@@ -1,0 +1,83 @@
+"""Scalar/aggregate function helpers shared by operators and queries.
+
+The reference has no function library at all (SURVEY.md §2.3 — the only
+scalar op in the whole repo is ``str.split`` inside the user mapfn,
+`/root/reference/example.py:24`); this module is the engine's function
+surface. Everything here compiles to built-in Catalyst expressions —
+JVM-side, whole-stage-codegen'd, never row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Deterministic aggregates over doubles.
+#
+# Floating-point SUM is order-dependent; Spark's partial-aggregate merge
+# order varies run to run, so a raw double SUM cannot hash-match any
+# oracle bit-for-bit. Accumulating in DECIMAL is exact and associative,
+# so the same trick on both engines yields identical doubles. The
+# DECIMAL(24,6) narrowing is part of the query SEMANTICS (both sides do
+# it). Scale 6 matters: the fixture money columns carry exactly 2
+# decimals, so products of two/three of them carry <= 6 — at scale 6
+# the cast is exact (tie-free), whereas at scale 2 products land
+# exactly on .005 boundaries and Spark (rounds the shortest decimal
+# repr, BigDecimal.valueOf) disagrees with DuckDB (rounds the exact
+# binary value) by one cent.
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(24,6)"
+
+
+def dec(col) -> Column:
+    """Column cast to the engine's exact money type."""
+    return F.col(col).cast(_DEC) if isinstance(col, str) else col.cast(_DEC)
+
+
+def dec_sum(col) -> Column:
+    """Order-independent SUM over a double column, returned as double."""
+    return F.sum(dec(col)).cast("double")
+
+
+def dec_avg(col) -> Column:
+    """Order-independent AVG: exact decimal sum / count, in doubles."""
+    return (F.sum(dec(col)).cast("double") / F.count(dec(col))).cast("double")
+
+
+def oracle_dec_sum(expr: str) -> str:
+    """DuckDB SQL equivalent of dec_sum (keep in lockstep with dec_sum)."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(24,6))) AS DOUBLE)"
+
+
+def oracle_dec_avg(expr: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(24,6))) AS DOUBLE)"
+        f" / COUNT(CAST(({expr}) AS DECIMAL(24,6))) AS DOUBLE)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vector math over array<float>/array<double> columns — built-in
+# higher-order functions (JVM-side), used by the similarity operators.
+# At 100 TB these run inside whole-stage codegen; the pandas-UDF variant
+# in operators/similarity.py exists only as an alternative batch path.
+# ---------------------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns (sequential fold — deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

@@ -1,0 +1,260 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all designed around the 100 TB shape of the problem
+(dedup is THE canonical big-data-pipeline op; the reference's algebra
+expresses only the exact variant, as map-to-key + keep-one,
+SURVEY.md §2.2 "distinct"):
+
+- exact:    content hash -> one shuffle on a 32-byte key.
+- MinHash:  shingle -> k independent min-hashes -> band buckets ->
+            candidate pairs only within buckets (LSH). Avoids the
+            O(n^2) all-pairs join; cost is output-bound, standard for
+            web-scale near-dedup.
+- SimHash:  64-bit signature per doc; near-dup iff small Hamming
+            distance; bucketed by bit-chunks for sub-quadratic search.
+- n-gram Jaccard: exact pairwise similarity, driven THROUGH the
+            inverted index (pairs sharing >=1 shingle), not a cross
+            join — still quadratic in the worst case, so it's the
+            verify stage after LSH at scale, or standalone at small n.
+
+Everything is built-in-function based (xxhash64, explode, groupBy);
+no Python in the hot path except the SimHash bit-fold which uses an
+Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def content_hash(col) -> Column:
+    """SHA-256 hex of a text column — the dedup identity at scale
+    (hashing first means the wide text column never shuffles)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c, 256)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per distinct content; adds dup_count.
+
+    One shuffle on the 32-byte hash; the min-id winner policy makes
+    the result deterministic (dropDuplicates keeps an arbitrary row).
+    """
+    h = content_hash(text_col).alias("content_sha")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_sha")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + exact n-gram Jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+
+def tokens(text_col: str = "text") -> Column:
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built-ins only: slice+concat_ws over the token array, exploded.
+    """
+    toks = tokens(text_col)
+    # sequence(1, k) descends when k < 1, so guard short docs explicitly
+    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs from the inverted index.
+
+    plan: shingles -> self-join on shingle (pairs sharing >=1 gram)
+          -> count intersection -> join per-doc sizes -> |A∩B|/|A∪B|.
+    Counts are integers, so the similarity is a deterministic double.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    a = sh.withColumnRenamed("doc", "doc_a")
+    b = sh.withColumnRenamed("doc", "doc_b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_shingles", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_shingles", "size_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            (F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64) -> DataFrame:
+    """(doc, array<long> signature): sig[i] = min over shingles of
+    xxhash64(shingle, seed=i).
+
+    One explode + one groupBy; each of the k min-aggregations is
+    map-side partial, so the shuffle carries k longs per doc.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    sig = sh.groupBy("doc").agg(*mins)
+    return sig.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH.
+
+    bands=16 x rows=4 over 64 hashes -> candidate iff any band matches
+    (s-curve threshold ~ (1/16)^(1/4) ≈ 0.5). Candidates are verified
+    with the estimated Jaccard = fraction of equal signature slots.
+    The band-bucket join replaces the O(n^2) cross join: cost scales
+    with bucket occupancy, not corpus size squared.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    banded = sig.select(
+        "doc",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.concat_ws(",", *[F.col("signature")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)])).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "signature", "bb.band", "bb.bucket")
+    a = banded.select(F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a"), "band", "bucket")
+    b = banded.select(F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(num_hashes)
+    return (
+        cands.withColumn("est_jaccard", est.cast("double"))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 64
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document from token xxhash64s.
+
+    The per-token hashing and explode/group stays JVM-side; the final
+    bit-majority fold runs as an Arrow-batched pandas UDF over the
+    (doc, array<long>) rows — vectorized numpy, not per-row Python.
+    """
+    toks = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok"))
+    hashed = toks.select("doc", F.xxhash64("tok").alias("h"))
+    per_doc = hashed.groupBy("doc").agg(F.collect_list("h").alias("hashes"))
+
+    @F.pandas_udf(LongType())
+    def simhash_fold(hashes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.empty(len(hashes), dtype=np.int64)
+        for i, hs in enumerate(hashes):
+            arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            bits = ((arr[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)) & 1).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig)
+        return pd.Series(out)
+
+    return per_doc.select("doc", simhash_fold("hashes").alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole bucketing: split the 64-bit signature into
+    (max_hamming+1) chunks; any pair within distance max_hamming
+    agrees on at least one chunk, so candidates come from chunk-equal
+    buckets (sub-quadratic), then exact popcount verifies.
+    """
+    chunks = max_hamming + 1
+    width = _SIMHASH_BITS // chunks
+    sig = simhash(df, id_col, text_col).cache()
+    banded = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * width).bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cb"),
+    ).select("doc", "simhash", "cb.chunk", "cb.key")
+    a = banded.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk", "key")
+    b = banded.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk", "key")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["chunk", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

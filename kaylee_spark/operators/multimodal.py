@@ -1,0 +1,164 @@
+"""Multimodal column conventions + processing plumbing.
+
+Design (per the build brief): image/audio/video payloads are opaque
+``binary`` columns with a typed metadata struct alongside. The Spark
+side — schema, partition sizing, Arrow batch shape, mapInPandas UDF
+signatures — is real and tested; the actual codec work is stubbed
+behind ``DECODERS`` because no image/audio libraries exist in this
+container (each stub is deterministic so tests are stable).
+
+At 100 TB: binary payloads dominate row size, so all transforms here
+are mapInPandas (streaming Arrow batches, constant memory) and
+``maxRecordsPerBatch`` should be tuned down for multi-MB payloads;
+metadata-only operations project the struct and never touch bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: canonical multimodal record schema
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), True),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("mime", StringType(), True),
+                    StructField("width", IntegerType(), True),
+                    StructField("height", IntegerType(), True),
+                    StructField("duration_ms", LongType(), True),
+                    StructField("n_bytes", LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("payload_sha", StringType(), True),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def real_decode(payload: bytes, modality: str):
+    """The true codec path — requires PIL/ffmpeg/soundfile, absent in
+    this container. Plumbing callers use the deterministic fake below."""
+    raise NotImplementedError(
+        "media codecs (PIL/ffmpeg) are not installed in this environment; "
+        "use fake_features (deterministic stub) — swap here when libs exist"
+    )
+
+
+def fake_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for decode->feature-extract: simple
+    byte-histogram moments. Pure-Python, stable across runs."""
+    if payload is None or len(payload) == 0:
+        return [0.0] * dim
+    buckets = [0] * dim
+    for i, byte in enumerate(payload):
+        buckets[byte % dim] += 1
+    n = len(payload)
+    return [round(b / n, 6) for b in buckets]
+
+
+def synth_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a multimodal table from the documents fixture: the text
+    bytes stand in for an opaque payload. Exercises the real schema,
+    binary column handling, and metadata struct without codec libs."""
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col("doc_id") % 3 + 1).cast("int")).alias("modality"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Decode + feature-extract over Arrow batches (mapInPandas).
+
+    The iterator-of-batches shape is the scale contract: constant
+    memory regardless of partition size, payloads never concatenated.
+    """
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "payload_sha": [
+                        hashlib.sha256(p).hexdigest() if p is not None else None for p in pdf["payload"]
+                    ],
+                    "features": [fake_features(p, dim) for p in pdf["payload"]],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(process, schema=FEATURE_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize plumbing: passes payload through the mapInPandas
+    path and rewrites metadata; actual pixel work is the stubbed codec."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pd.DataFrame(
+                {
+                    "mime": pdf["meta"].map(lambda m: m["mime"] if m else None),
+                    "width": width,
+                    "height": height,
+                    "duration_ms": pdf["meta"].map(lambda m: m["duration_ms"] if m else None),
+                    "n_bytes": pdf["meta"].map(lambda m: m["n_bytes"] if m else None),
+                }
+            )
+            pdf = pdf.copy()
+            pdf["meta"] = meta.to_dict("records")
+            yield pdf
+
+    return media.mapInPandas(process, schema=MEDIA_SCHEMA)
+
+
+def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: emits one row per sampled frame
+    index (payload decode stubbed; frame count derived from metadata)."""
+    n_frames = F.greatest((F.coalesce(F.col("meta.duration_ms"), F.lit(0)) / every_ms).cast("int"), F.lit(1))
+    return (
+        media.filter(F.col("modality") == "video")
+        .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1)))
+        .select("media_id", "frame_idx", F.col("payload").alias("frame_payload_stub"))
+    )

@@ -1,0 +1,138 @@
+"""Text-analysis operators for training-data pipelines.
+
+All column-expression based (built-in functions, codegen'd, zero
+Python in the row path): language ID, quality scoring, token counting,
+document fingerprinting. Each returns Column(s) or a DataFrame
+transform so they compose with any pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny multi-language stopword profiles for the n-gram/stopword
+#: language-ID heuristic. Deliberately small + deterministic.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "von"],
+    "fr": ["le", "la", "les", "et", "de", "est"],
+    "es": ["el", "la", "los", "y", "de", "es"],
+}
+
+
+def tokens(text_col="text") -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+def token_count(text_col="text") -> Column:
+    """Whitespace token count (the BPE-ish regex variant below)."""
+    return F.size(tokens(text_col)).cast("bigint")
+
+
+def bpe_ish_token_count(text_col="text") -> Column:
+    """Sub-word-ish token count: splits on word/number/punct boundaries
+    (a cheap proxy for BPE token budgeting at corpus scale)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    pieces = F.split(F.regexp_replace(c, r"([a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9\s])", "$1"), "")
+    return F.size(F.filter(pieces, lambda t: F.trim(t) != "")).cast("bigint")
+
+
+def stopword_ratio(text_col="text", stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords — integer counts divided
+    once, so bit-identical across engines."""
+    sw = stopwords or LANG_STOPWORDS["en"]
+    toks = tokens(text_col)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    return (n_stop / F.greatest(F.size(toks), F.lit(1))).cast("double")
+
+
+def punct_ratio(text_col="text") -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return (n_punct / F.greatest(F.length(c), F.lit(1))).cast("double")
+
+
+def mean_token_len(text_col="text") -> Column:
+    toks = tokens(text_col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return (total / F.greatest(F.size(toks), F.lit(1))).cast("double")
+
+
+def quality_score(text_col="text") -> Column:
+    """Composite quality score in [0,1]: rewards stopword presence and
+    sane token lengths, penalizes punctuation soup. Weights are fixed
+    constants -> deterministic double arithmetic."""
+    sw = stopword_ratio(text_col)
+    pr = punct_ratio(text_col)
+    mtl = mean_token_len(text_col)
+    len_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = F.lit(0.4) * F.least(sw * 4, F.lit(1.0)) + F.lit(0.4) * len_ok + F.lit(0.2) * (F.lit(1.0) - F.least(pr * 5, F.lit(1.0)))
+    return score.cast("double")
+
+
+def lang_id(text_col="text") -> Column:
+    """Stopword-profile language ID: argmax over per-language stopword
+    hit counts, 'und' (undetermined) when no profile hits."""
+    toks = tokens(text_col)
+
+    def hits(sw: list[str]):
+        # factory closure: PySpark lambda introspection requires the
+        # higher-order lambda to take exactly the element parameter
+        return F.size(F.filter(toks, lambda t: t.isin(*sw)))
+
+    scores = [(lang, hits(sw)) for lang, sw in LANG_STOPWORDS.items()]
+    best_score = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # reversed so earlier languages win ties (stable priority order)
+    for lang, s in reversed(scores):
+        out = F.when((s == best_score) & (best_score > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(text_col="text", modulus: int = (1 << 31) - 1, base: int = 257) -> Column:
+    """Polynomial rolling hash over tokens (order-sensitive document
+    fingerprint): fp = sum(base^i * h(tok_i)) mod p, folded
+    sequentially with aggregate() -> deterministic. Modulus is Mersenne
+    2^31-1 so acc*base + h stays well inside int64 (no ANSI overflow)."""
+    toks = tokens(text_col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * base + F.pmod(F.xxhash64(t), F.lit(modulus))) % F.lit(modulus),
+    ).cast("long")
+
+
+def fingerprint_portable(text_col="text", modulus: int = (1 << 31) - 1, base: int = 257) -> Column:
+    """Rolling-hash fingerprint using a token hash expressible in plain
+    SQL (for oracle cross-checks): h(tok) = ascii(first)*96031 +
+    ascii(last)*1299709 + length(tok)*2654435761, all mod p, folded in
+    token order. Production code should prefer ``fingerprint`` (xxhash64)."""
+    toks = tokens(text_col)
+    tok_h = lambda t: (  # noqa: E731
+        F.ascii(t.substr(F.lit(1), F.lit(1))) * F.lit(96031)
+        + F.ascii(t.substr(F.length(t), F.lit(1))) * F.lit(1299709)
+        + F.length(t) * F.lit(2654435761)
+    ) % F.lit(modulus)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * base + tok_h(t)) % F.lit(modulus),
+    ).cast("long")
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full analysis column set to a document DataFrame."""
+    return df.withColumns(
+        {
+            "n_tokens": token_count(text_col),
+            "n_tokens_bpe": bpe_ish_token_count(text_col),
+            "stopword_ratio": stopword_ratio(text_col),
+            "punct_ratio": punct_ratio(text_col),
+            "mean_token_len": mean_token_len(text_col),
+            "quality": quality_score(text_col),
+            "lang_pred": lang_id(text_col),
+            "fingerprint": fingerprint(text_col),
+        }
+    )

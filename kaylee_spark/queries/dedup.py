@@ -1,0 +1,96 @@
+"""Deduplication queries over the documents fixture (north-star ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kaylee_spark.operators import dedup as D
+from kaylee_spark.queries import query
+from kaylee_spark.sources import load_table
+
+
+@query(
+    "d01_exact_dedup",
+    oracle="""
+    SELECT sha256(text) AS content_sha, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by SHA-256 content hash, deterministic min-id winner.
+
+    Scale: the wide text column reduces to a 32-byte key before the
+    only shuffle; map-side partial agg collapses same-partition dups.
+    """
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "d02_dedup_survivors",
+    oracle="""
+    SELECT COUNT(*) AS n_docs, COUNT(DISTINCT sha256(text)) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT sha256(text)) AS n_removed
+    FROM documents
+    """,
+)
+def d02_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup summary: corpus size vs unique-content size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(D.content_hash("text")).alias("n_unique"),
+        (F.count("*") - F.count_distinct(D.content_hash("text"))).alias("n_removed"),
+    )
+
+
+@query(
+    "d03_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id AS doc, gram AS shingle FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS gram
+            FROM documents
+        )
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
+    """,
+)
+def d03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs through the inverted index
+    (no cross join); integer-count arithmetic -> exact doubles."""
+    return D.jaccard_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.2)
+
+
+@query("d04_minhash_lsh", oracle=None)
+def d04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH near-dup candidates (64 hashes, 16 bands).
+
+    Not SQL-expressible (xxhash64 seeds have no DuckDB equivalent) —
+    rows-only check here; tests/test_dedup.py verifies recall against
+    the exact-Jaccard oracle instead.
+    """
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.3
+    )
+
+
+@query("d05_simhash_pairs", oracle=None)
+def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming<=6 via pigeonhole bucketing).
+    xxhash64-based -> no SQL oracle; property-tested instead."""
+    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=6)

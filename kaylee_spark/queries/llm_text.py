@@ -1,0 +1,150 @@
+"""Text-analysis queries over the documents fixture (north-star ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kaylee_spark.operators import text as T
+from kaylee_spark.queries import query
+from kaylee_spark.sources import load_table
+
+# shared SQL fragments kept in lockstep with operators/text.py
+_SQL_TOKS = "string_split(text, ' ')"
+_SQL_NTOK = f"len(list_filter({_SQL_TOKS}, t -> t <> ''))"
+
+
+@query(
+    "t01_lang_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_chars,
+           SUM({_SQL_NTOK}) AS total_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def t01_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats (counts are ints -> exact arithmetic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).cast("double").alias("avg_chars"),
+        F.sum(T.token_count("text")).alias("total_tokens"),
+    )
+
+
+@query(
+    "t02_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           {_SQL_NTOK} AS n_tokens,
+           CAST(CAST(list_sum(list_transform(list_filter({_SQL_TOKS}, t -> t <> ''), t -> len(t))) AS DOUBLE)
+                / greatest({_SQL_NTOK}, 1) AS DOUBLE) AS mean_token_len
+    FROM documents
+    """,
+)
+def t02_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts + mean token length."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.mean_token_len("text").alias("mean_token_len"),
+    )
+
+
+@query(
+    "t03_quality_filter",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter({_SQL_TOKS}, t -> t IN ('the','and','of','to','a','in','is'))) AS DOUBLE)
+                   / greatest({_SQL_NTOK}, 1) AS sw_ratio
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(CASE WHEN sw_ratio >= 0.05 THEN 1 END) AS n_quality,
+           CAST(SUM(CAST(ROUND(sw_ratio, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_sw_ratio
+    FROM scored
+    GROUP BY lang
+    """,
+)
+def t03_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate by stopword ratio, summarized per language.
+
+    The ratio is int/int double division (deterministic); the SUM over
+    docs goes through decimal-of-rounded so partial-agg order can't
+    perturb bits.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sw = T.stopword_ratio("text")
+    scored = docs.select("doc_id", "lang", sw.alias("sw_ratio"))
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("sw_ratio") >= 0.05, F.lit(1))).alias("n_quality"),
+        F.sum(F.round("sw_ratio", 6).cast("decimal(18,6)")).cast("double").alias("total_sw_ratio"),
+    )
+
+
+@query(
+    "t04_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                       t -> (ascii(substring(t, 1, 1)) * 96031
+                             + ascii(substring(t, len(t), 1)) * 1299709
+                             + len(t) * 2654435761) % 2147483647)),
+               (acc, x) -> (acc * 257 + x) % 2147483647
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (portable
+    token hash so the SQL oracle can reproduce it exactly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint_portable("text").alias("fingerprint"))
+
+
+@query(
+    "t05_lang_id",
+    oracle="""
+    WITH hits AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','to','a','in','is'))) AS n_en,
+               len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist','von'))) AS n_de,
+               len(list_filter(string_split(text,' '), t -> t IN ('le','la','les','et','de','est'))) AS n_fr,
+               len(list_filter(string_split(text,' '), t -> t IN ('el','la','los','y','de','es'))) AS n_es
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN n_en > 0 AND n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+                WHEN n_de > 0 AND n_de >= n_fr AND n_de >= n_es THEN 'de'
+                WHEN n_fr > 0 AND n_fr >= n_es THEN 'fr'
+                WHEN n_es > 0 THEN 'es'
+                ELSE 'und' END AS lang_pred,
+           COUNT(*) AS n_docs
+    FROM hits
+    GROUP BY lang, CASE WHEN n_en > 0 AND n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+                WHEN n_de > 0 AND n_de >= n_fr AND n_de >= n_es THEN 'de'
+                WHEN n_fr > 0 AND n_fr >= n_es THEN 'fr'
+                WHEN n_es > 0 THEN 'es'
+                ELSE 'und' END
+    """,
+)
+def t05_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID vs. the labeled lang column
+    (confusion-matrix style counts)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -1,0 +1,599 @@
+"""Relational operator queries (SURVEY.md §2.2 derived surface + §2.3).
+
+The reference expresses all of these only implicitly through its
+MapReduce algebra (`/root/reference/README.md:27-45`): filter/project
+as mapfn emission, grouped aggregation as the canonical map+reduce
+(`example.py:23-29`), co-group joins as tag-by-source reduce, sort and
+top-k driver-side (`example.py:45`). Here each is a first-class
+DataFrame operator; Catalyst provides pushdown, pruning, join
+selection, and AQE.
+
+Scale notes per query are in docstrings: join strategy choices assume
+lineitem/orders are the 100 TB fact tables and region/nation/supplier
+(fixed-size) plus part/customer (much smaller) are broadcastable or
+shuffle-join dims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kaylee_spark.functions import dec, dec_avg, dec_sum, oracle_dec_avg, oracle_dec_sum
+from kaylee_spark.queries import query
+from kaylee_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {oracle_dec_sum('l_quantity')} AS sum_qty,
+           {oracle_dec_sum('l_extendedprice')} AS sum_base_price,
+           {oracle_dec_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {oracle_dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {oracle_dec_avg('l_quantity')} AS avg_qty,
+           {oracle_dec_avg('l_extendedprice')} AS avg_price,
+           {oracle_dec_avg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan -> filter -> hash agg.
+
+    Scale: partial aggregation is map-side (2x3 groups), so the shuffle
+    carries only per-partition partials — bytes, not rows. The shipdate
+    filter pushes into the parquet scan.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dec_sum("l_quantity").alias("sum_qty"),
+        dec_sum("l_extendedprice").alias("sum_base_price"),
+        F.sum(dec(disc_price)).cast("double").alias("sum_disc_price"),
+        F.sum(dec(charge)).cast("double").alias("sum_charge"),
+        dec_avg("l_quantity").alias("avg_qty"),
+        dec_avg("l_extendedprice").alias("avg_price"),
+        dec_avg("l_discount").alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "q06_revenue_forecast",
+    oracle=f"""
+    SELECT {oracle_dec_sum('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 25
+    """,
+)
+def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style filter-heavy single aggregate.
+
+    Scale: all four predicates push to the parquet scan (min/max row
+    group skipping on shipdate); no shuffle at all beyond the final
+    single-row partial merge.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * F.col("l_discount"))).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q08_nation_having",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING COUNT(*) >= 3
+    """,
+)
+def q08_nation_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING — post-aggregation predicate."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"), dec_sum("c_acctbal").alias("total_acctbal"))
+        .filter(F.col("n_customers") >= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q03_top_orders",
+    oracle=f"""
+    SELECT l_orderkey,
+           {oracle_dec_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: filtered dim -> fact joins -> agg -> top-k.
+
+    Scale: customer (filtered on segment) broadcasts into orders;
+    orders⋈lineitem is the one big shuffle, on the join key both sides
+    already share. Top-k plans as TakeOrderedAndProject (no global
+    sort materialization). Unique tie-break on l_orderkey keeps the
+    LIMIT deterministic.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q05_region_revenue",
+    oracle=f"""
+    SELECT n_name,
+           {oracle_dec_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join through two snowflake dims, dims broadcast.
+
+    Scale: region/nation/supplier are fixed-size — broadcasting them
+    turns the whole star into a single pass over lineitem with zero
+    shuffle before the tiny final agg.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q04_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS subquery as a LEFT SEMI join (TPC-H Q4 shape).
+
+    Scale: semi join short-circuits per key — no fact-side row
+    multiplication, and only the orderkey column of lineitem is read.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (li.l_shipdate > orders.o_orderdate)
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q16_customers_no_orders",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_customers_without_orders
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def q16_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a LEFT ANTI join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers_without_orders"))
+    )
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: outer join preserving empty groups, then a
+    second-level aggregation (distribution of counts)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q19_theta_join",
+    oracle=f"""
+    SELECT p_brand,
+           {oracle_dec_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+                 AND l_quantity >= p_size / 10.0
+                 AND l_quantity <= p_size / 10.0 + 20
+    WHERE p_size BETWEEN 10 AND 40
+    GROUP BY p_brand
+    """,
+)
+def q19_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi key + non-equi range residual (TPC-H Q19 shape).
+
+    Scale: the equi component (partkey) drives the join strategy —
+    Spark plans a broadcast/sort-merge join on it and applies the range
+    residual as a post-join filter, so this stays a key join rather
+    than a cross product.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size").between(10, 40))
+    cond = (
+        (li.l_partkey == part.p_partkey)
+        & (li.l_quantity >= part.p_size / 10.0)
+        & (li.l_quantity <= part.p_size / 10.0 + 20)
+    )
+    return (
+        li.join(F.broadcast(part), cond)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17_above_avg_parts",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_expensive
+    FROM part
+    WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+    GROUP BY p_brand
+    """,
+)
+def q17_above_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery via cross-joined 1-row aggregate (broadcast).
+
+    Note: AVG here is a plain double avg used only as a comparison
+    threshold — both engines compute it over the same values; the
+    comparison outcome is stable because no p_retailprice sits within
+    float-noise of the mean (verified in tests).
+    """
+    part = _t(spark, sf_dir, "part")
+    avg_price = part.agg(F.avg("p_retailprice").alias("threshold"))
+    return (
+        part.join(F.broadcast(avg_price))
+        .filter(F.col("p_retailprice") > F.col("threshold"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_expensive"))
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c_name, o_orderkey, o_totalprice,
+           {oracle_dec_sum('l_quantity')} AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 100
+    )
+    GROUP BY c_name, o_orderkey, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery on an aggregate (TPC-H Q18) as semi join.
+
+    Scale: the HAVING subquery aggregates lineitem once (map-side
+    partials), and its small result semi-joins back — Spark reuses the
+    shuffle on l_orderkey for both the filter and the final agg.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q")).filter(F.col("q") > 100).select("l_orderkey")
+    return (
+        orders.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(dec_sum("l_quantity").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations, distinct, union
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def q20_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics) — customers active in both years."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    return year(1996).intersect(year(1997))
+
+
+@query(
+    "q21_set_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def q21_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics) — churned customers."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    return year(1996).subtract(year(1997))
+
+
+@query(
+    "q07_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def q07_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT as shuffle-free-ish hash agg (map-side partial dedup)."""
+    return _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "q22_union",
+    oracle="""
+    SELECT party_key, party_name, kind FROM (
+      SELECT c_custkey AS party_key, c_name AS party_name, 'customer' AS kind FROM customer
+      UNION ALL
+      SELECT s_suppkey AS party_key, s_name AS party_name, 'supplier' AS kind FROM supplier
+    )
+    """,
+)
+def q22_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName of heterogeneous sources projected to one schema."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("party_key"), F.col("c_name").alias("party_name"), F.lit("customer").alias("kind")
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("party_key"), F.col("s_name").alias("party_name"), F.lit("supplier").alias("kind")
+    )
+    return cust.unionByName(sup)
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / cube / rollup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q11_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {oracle_dec_sum('l_quantity')} AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dims (all 4 grouping sets in one shuffle)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(dec_sum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q12_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP along the region -> nation hierarchy, dims broadcast."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), dec_sum("c_acctbal").alias("total_bal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (string / date / conditional / math)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q14_conditional_agg",
+    oracle=f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           {oracle_dec_sum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END")} AS urgent_revenue,
+           {oracle_dec_sum('o_totalprice')} AS total_revenue,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished
+    FROM orders
+    GROUP BY year(o_orderdate)
+    """,
+)
+def q14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN inside aggregates + date part extraction."""
+    orders = _t(spark, sf_dir, "orders")
+    urgent = F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")).otherwise(F.lit(0.0))
+    return (
+        orders.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.sum(dec(urgent)).cast("double").alias("urgent_revenue"),
+            dec_sum("o_totalprice").alias("total_revenue"),
+            F.count(F.when(F.col("o_orderstatus") == "F", F.lit(1))).alias("n_finished"),
+        )
+    )
+
+
+@query(
+    "q15_string_funcs",
+    oracle="""
+    SELECT UPPER(SUBSTRING(p_type, 1, 5)) AS type_prefix,
+           COUNT(DISTINCT p_brand) AS n_brands,
+           MIN(LENGTH(p_name)) AS min_name_len,
+           MAX(CONCAT(p_brand, ':', CAST(p_size AS VARCHAR))) AS max_brand_size
+    FROM part
+    WHERE p_name LIKE '%a%'
+    GROUP BY UPPER(SUBSTRING(p_type, 1, 5))
+    """,
+)
+def q15_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: UPPER/SUBSTRING/LENGTH/CONCAT/LIKE."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    prefix = F.upper(F.substring("p_type", 1, 5)).alias("type_prefix")
+    return part.groupBy(prefix).agg(
+        F.count_distinct("p_brand").alias("n_brands"),
+        F.min(F.length("p_name")).alias("min_name_len"),
+        F.max(F.concat(F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string"))).alias("max_brand_size"),
+    )
+
+
+@query(
+    "q23_date_trunc",
+    oracle=f"""
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           COUNT(*) AS n_orders,
+           {oracle_dec_sum('o_totalprice')} AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY date_trunc('month', o_orderdate)
+    """,
+)
+def q23_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date truncation to month buckets (calendar-window aggregation)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+    return orders.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month")).agg(
+        F.count("*").alias("n_orders"), dec_sum("o_totalprice").alias("revenue")
+    )
+
+
+@query(
+    "q24_math_funcs",
+    oracle="""
+    SELECT p_brand,
+           CAST(SUM(CAST(ROUND(SQRT(p_retailprice), 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_sqrt_price,
+           MAX(ABS(p_size - 25)) AS max_size_dev,
+           CAST(FLOOR(AVG(CAST(p_size AS DOUBLE))) AS BIGINT) AS floor_avg_size
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def q24_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function surface: SQRT/ROUND/ABS/FLOOR (all codegen'd)."""
+    part = _t(spark, sf_dir, "part")
+    sqrt_price = F.round(F.sqrt("p_retailprice"), 4).cast("decimal(18,4)")
+    return part.groupBy("p_brand").agg(
+        F.sum(sqrt_price).cast("double").alias("sum_sqrt_price"),
+        F.max(F.abs(F.col("p_size") - 25)).alias("max_size_dev"),
+        F.floor(F.avg(F.col("p_size").cast("double"))).cast("bigint").alias("floor_avg_size"),
+    )

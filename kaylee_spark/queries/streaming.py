@@ -1,0 +1,136 @@
+"""Event-stream queries (batch-equivalent forms with SQL oracles).
+
+Each of these is the BATCH expression of a streaming computation; the
+true Structured Streaming versions (readStream + watermark + the same
+window functions) live in kaylee_spark/streaming and are verified in
+tests/test_streaming.py by checking the streamed result equals these
+batch results — Spark's unified batch/stream semantics make that the
+natural correctness statement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kaylee_spark.functions import dec, oracle_dec_sum
+from kaylee_spark.queries import query
+from kaylee_spark.sources import load_table
+
+
+@query(
+    "e01_tumbling_window",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           {oracle_dec_sum('value')} AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def e01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows per event type (streaming: + watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum(dec("value")).cast("double").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@query(
+    "e02_sliding_window",
+    oracle=f"""
+    SELECT window_start, COUNT(*) AS n_events, {oracle_dec_sum('value')} AS total_value
+    FROM (
+        SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS window_start, value
+        FROM events CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS k)
+    )
+    GROUP BY window_start
+    """,
+)
+def e02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1h length, 15m slide (each event in 4 windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.sum(dec("value")).cast("double").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "e03_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sess_id
+    """,
+)
+def e03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30m gap) per user — Spark's session_window;
+    the oracle reproduces its semantics (a gap of exactly 30m starts a
+    new session because window end is exclusive) via gaps-and-islands.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "e04_json_extract",
+    oracle=f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           COUNT(*) AS n_events,
+           {oracle_dec_sum('value')} AS total_value
+    FROM events
+    GROUP BY CAST(json_extract_string(props, '$.k') AS INT) % 10
+    """,
+)
+def e04_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON props -> typed key -> agg."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n_events"), F.sum(dec("value")).cast("double").alias("total_value"))
+    )
+
+
+@query(
+    "e05_event_dedup",
+    oracle="""
+    SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n_dups
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def e05_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stateful-dedup analog: first event per
+    (user, type). The streaming twin (dropDuplicatesWithinWatermark)
+    is exercised in tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"), F.count("*").alias("n_dups")
+    )

@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` but every knob here is chosen for
+the 100 TB / 1000-executor design point:
+
+- AQE on (runtime re-plan: partition coalescing, skew-join splitting,
+  broadcast demotion/promotion).
+- Arrow on (vectorized Python <-> JVM transfer for the pandas-UDF
+  operators; row-at-a-time Python UDFs are banned in hot paths).
+- Sane shuffle partition default for local runs; at cluster scale this
+  is superseded by AQE's coalescing from a high initial count.
+- UTC session timezone so timestamp semantics match the DuckDB oracle
+  and are stable across environments.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "kaylee_spark", cpus: str | int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    When the driver hands us an existing session (``__spark_entry__.entry``)
+    we do NOT call this — queries must run on any vanilla session, so all
+    query code avoids depending on these configs for correctness.
+    """
+    cpus = str(cpus or DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    )
+    return builder.getOrCreate()

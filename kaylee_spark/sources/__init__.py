@@ -1,0 +1,90 @@
+"""Table sources.
+
+The reference's only source is a lazily mmap-scanned local text file
+(`/root/reference/example.py:8-20`); this module generalizes that to
+partitioned columnar scans: every fixture table is a parquet file and
+loads through ``spark.read.parquet`` so Catalyst gets predicate
+pushdown + column pruning for free. CSV/JSON/text loaders are exposed
+for parity with generic sources.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: all driver-provided fixture tables (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimension tables small enough to always broadcast in star joins —
+#: at TPC-H scale region/nation are fixed-size and supplier/part/customer
+#: stay orders of magnitude below the fact table.
+BROADCAST_TABLES = ("region", "nation", "supplier")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one fixture table (pushdown/pruning-capable).
+
+    The events fixture stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark rejects outright; read it as nanos-since-epoch long and
+    floor-convert to a microsecond timestamp — exactly what DuckDB's
+    micro-precision TIMESTAMP does, so both engines see identical values.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(table_path(sf_dir, name))
+        # integer DIV, not /: nanos-since-epoch (~1.7e18) exceeds double
+        # precision, so a float divide would be off by ~hundreds of ns.
+        # Produce TIMESTAMP_NTZ via pure epoch arithmetic: every other
+        # fixture column reads as NTZ, and an LTZ here would shift
+        # window boundaries under a non-UTC driver session.
+        return df.withColumn(
+            "ts",
+            F.expr("timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+        )
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table as a DataFrame keyed by name."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views for spark.sql use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text source (the reference's mmap line scan,
+    `/root/reference/example.py:15-20`, as a partitioned scan)."""
+    return spark.read.text(path)
+
+
+def read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
+    opts = {"header": "true", "inferSchema": "true"}
+    opts.update(options)
+    return spark.read.options(**opts).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, **options) -> DataFrame:
+    return spark.read.options(**options).json(path)

@@ -1,0 +1,120 @@
+"""Structured Streaming operators over the events table.
+
+The reference has NO stream semantics — its closest analogue is
+incremental task streaming over sockets, which is scheduling, not
+streaming (SURVEY.md §2.3). This module supplies the streaming layer a
+user of the engine needs: event-time windows (tumbling / sliding /
+session), watermarks for late data, and stateful dedup.
+
+Correctness statement (tested in tests/test_streaming.py): because
+Spark's batch and streaming share one semantics, each streaming
+aggregation here must produce exactly the batch result of the same
+window function once the stream is fully consumed (availableNow
+trigger + complete/append output).
+
+Scale notes: state store size is bounded by the watermark horizon —
+at 100 TB/day ingest, a 2h watermark keeps state at ~8% of daily key
+cardinality; session windows use ``session_window`` (native state
+merge) rather than applyInPandasWithState when the built-in suffices.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kaylee_spark.functions import dec
+from kaylee_spark.sources import load_table
+
+# ts is LTZ here (not NTZ like the batch fixture loader): Spark's
+# event-time watermark machinery requires TIMESTAMP. Stream and batch
+# sides of every test read through this same schema, so the
+# interpretation is consistent whatever the session timezone.
+EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def stage_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Materialize the events fixture as a multi-file parquet directory
+    (the shape a streaming file source expects). Files are CONTIGUOUS
+    TIME SLICES written oldest-first, so replaying file-by-file follows
+    event time and the watermark advances monotonically — the realistic
+    arrival order. (A plain repartition would round-robin rows: every
+    file spans the full range, batch 1 slams the watermark to the end,
+    and all later batches arrive 'late'.)"""
+    from pyspark.sql import Window
+
+    out = os.path.join(tempfile.gettempdir(), f"kaylee_events_{uuid.uuid4().hex[:8]}")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_slice", F.ntile(n_files).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(1, n_files + 1):
+        # sequential writes -> increasing file mtimes -> the streaming
+        # file source replays slices oldest-first
+        ev.filter(F.col("_slice") == i).drop("_slice").coalesce(1).write.mode("append").parquet(out)
+    return out
+
+
+def events_stream(spark: SparkSession, events_dir: str, files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over a staged events directory."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(events_dir)
+    )
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window counts per event type, late data
+    dropped past the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum(dec("value")).cast("double").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_counts(events: DataFrame, window: str = "1 hour", slide: str = "15 minutes", watermark: str = "2 hours") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.sum(dec("value")).cast("double").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows (dynamic gap-merged state) per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), F.col("w.end").alias("session_end"), "n_events")
+    )
+
+
+def stream_dedup(events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours") -> DataFrame:
+    """Stateful dedup keyed on (user_id, event_type) within the
+    watermark horizon — state is GC'd as the watermark advances, so
+    memory is bounded at scale (unlike plain dropDuplicates)."""
+    keys = keys or ["user_id", "event_type"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str = "append", name: str | None = None) -> DataFrame:
+    """Drain the stream with availableNow into a memory sink; returns
+    the result as a batch DataFrame (test/verification helper)."""
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

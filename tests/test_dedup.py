@@ -1,0 +1,70 @@
+"""Dedup operator tests: exact semantics on literal data, LSH recall
+against the exact-Jaccard oracle on the fixture corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kaylee_spark.operators import dedup as D
+from kaylee_spark.sources import load_table
+
+
+def test_exact_dedup_literal(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa"), (5, "ccc")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r["dup_count"] for r in D.exact_dedup(df, "text", "doc_id").collect()}
+    # min-id winner policy, dup_count = group size
+    assert rows == {1: 3, 2: 1, 5: 1}
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "a b c d")], ["doc_id", "text"])
+    sh = D.shingles(df, "doc_id", "text", n=3).collect()
+    got = {(r["doc"], r["shingle"]) for r in sh}
+    assert got == {(2, "a b c"), (2, "b c d")}  # doc 1 too short -> none
+
+
+def test_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6"), (2, "w1 w2 w3 w4 w5 w6"), (3, "x1 x2 x3 x4 x5 x6")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in D.jaccard_pairs(df, "doc_id", "text", threshold=0.1).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_minhash_identical_docs_full_signature_match(spark):
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6 w7 w8"), (2, "w1 w2 w3 w4 w5 w6 w7 w8"), (3, "z1 z2 z3 z4 z5 z6 z7 z8")],
+        ["doc_id", "text"],
+    )
+    pairs = D.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    assert [(r["doc_a"], r["doc_b"], r["est_jaccard"]) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    approx = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.3).collect()
+    }
+    if exact:
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8, f"LSH recall {recall} over {len(exact)} true pairs"
+
+
+def test_simhash_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 w5"), (3, "completely different words here now")],
+        ["doc_id", "text"],
+    )
+    sigs = {r["doc"]: r["simhash"] for r in D.simhash(df, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    pairs = D.simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} >= {(1, 2)}

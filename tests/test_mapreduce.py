@@ -1,0 +1,122 @@
+"""Reference-contract tests for the MapReduce core: the
+datafn/mapfn/reducefn surface of `/root/reference/example.py:15-45`
+plus the associativity laws its README asserts (README.md:20-24)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from kaylee_spark.core.mapreduce import MapReduceJob, word_count
+
+CORPUS = [
+    "the quick brown fox",
+    "the lazy dog",
+    "the quick dog jumps",
+    "fox and dog and fox",
+]
+
+
+def expected_counts() -> dict[str, int]:
+    c: Counter = Counter()
+    for line in CORPUS:
+        c.update(w for w in line.split() if w)
+    return dict(c)
+
+
+def make_job(spark, **kw) -> MapReduceJob:
+    def datafn():
+        # the reference's datafn yields (line_number, line) lazily
+        # (example.py:15-20)
+        for i, line in enumerate(CORPUS):
+            yield i, line
+
+    def mapfn(k, v):
+        # 1->N generator, as example.py:23-25
+        for tok in v.split():
+            yield tok, 1
+
+    def reducefn(k, values):
+        return sum(values)
+
+    return MapReduceJob(spark, datafn=datafn, mapfn=mapfn, reducefn=reducefn, **kw)
+
+
+def test_holistic_reducer_path(spark):
+    # no combiner declared -> groupByKey path, exact reference semantics
+    assert make_job(spark).results() == expected_counts()
+
+
+def test_associative_combiner_path(spark):
+    assert make_job(spark, combiner=lambda a, b: a + b).results() == expected_counts()
+
+
+@pytest.mark.parametrize("n", [1, 2, 7])
+def test_partition_count_invariance(spark, n):
+    # README.md:20-24: associative+commutative reducers must be
+    # partition-invariant
+    assert make_job(spark, combiner=lambda a, b: a + b, num_partitions=n).results() == expected_counts()
+
+
+def test_input_order_invariance(spark):
+    def datafn():
+        for i, line in enumerate(reversed(CORPUS)):
+            yield i, line
+
+    job = MapReduceJob(
+        spark,
+        datafn=datafn,
+        mapfn=lambda k, v: ((t, 1) for t in v.split()),
+        reducefn=lambda k, vs: sum(vs),
+        combiner=lambda a, b: a + b,
+    )
+    assert job.results() == expected_counts()
+
+
+def test_custom_partition_fn(spark):
+    job = make_job(spark, combiner=lambda a, b: a + b, num_partitions=3, partition_fn=lambda k: len(k))
+    assert job.results() == expected_counts()
+
+
+def test_holistic_reducer_gets_full_iterator(spark):
+    # a genuinely non-associative reducer: median
+    def mapfn(k, v):
+        for tok in v.split():
+            yield len(tok) % 2, len(tok)
+
+    def median(k, values):
+        vs = sorted(values)
+        return vs[len(vs) // 2]
+
+    job = MapReduceJob(spark, datafn=lambda: ((i, l) for i, l in enumerate(CORPUS)), mapfn=mapfn, reducefn=median)
+    res = job.results()
+    lens = [len(t) for line in CORPUS for t in line.split()]
+    for parity in (0, 1):
+        vs = sorted(v for v in lens if v % 2 == parity)
+        assert res[parity] == vs[len(vs) // 2]
+
+
+def test_from_dataframe_source(spark):
+    df = spark.createDataFrame([(i, line) for i, line in enumerate(CORPUS)], ["id", "line"])
+    job = MapReduceJob(
+        spark,
+        mapfn=lambda k, v: ((t, 1) for t in v.split()),
+        reducefn=lambda k, vs: sum(vs),
+        combiner=lambda a, b: a + b,
+    ).from_dataframe(df, "id", "line")
+    assert job.results() == expected_counts()
+
+
+def test_word_count_dataframe_golden(spark):
+    df = spark.createDataFrame([(line,) for line in CORPUS], ["value"])
+    rows = word_count(spark, df, "value").collect()
+    assert {r["word"]: r["count"] for r in rows} == expected_counts()
+    top2 = word_count(spark, df, "value", top_k=2).collect()
+    # dog/fox/the all count 3 -> alphabetical tie-break picks dog, fox
+    assert [(r["word"], r["count"]) for r in top2] == [("dog", 3), ("fox", 3)]
+
+
+def test_to_dataframe(spark):
+    df = make_job(spark, combiner=lambda a, b: a + b).to_dataframe("word", "n")
+    assert {r["word"]: r["n"] for r in df.collect()} == expected_counts()

@@ -1,0 +1,107 @@
+"""Tests for as-of/range joins, text operators, and multimodal plumbing."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from kaylee_spark.operators import multimodal as M
+from kaylee_spark.operators import text as T
+from kaylee_spark.operators.joins import asof_join, range_join
+from kaylee_spark.sources import load_table
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_backward(spark):
+    trades = spark.createDataFrame(
+        [("A", ts("2024-01-01 10:00:05"), 100), ("A", ts("2024-01-01 10:00:20"), 200), ("B", ts("2024-01-01 10:00:10"), 300)],
+        ["sym", "trade_ts", "qty"],
+    )
+    quotes = spark.createDataFrame(
+        [("A", ts("2024-01-01 10:00:00"), 1.0), ("A", ts("2024-01-01 10:00:10"), 2.0), ("B", ts("2024-01-01 10:00:30"), 9.0)],
+        ["sym", "quote_ts", "px"],
+    )
+    out = asof_join(trades, quotes, on="sym", left_time="trade_ts", right_time="quote_ts").collect()
+    got = {(r["sym"], r["qty"]): r["px"] for r in out}
+    # A@05 -> quote@00; A@20 -> quote@10; B@10 -> no quote yet -> null
+    assert got == {("A", 100): 1.0, ("A", 200): 2.0, ("B", 300): None}
+    assert len(out) == 3  # every left row survives
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([("A", 5, "l1"), ("A", 25, "l2")], ["k", "t", "tag"])
+    right = spark.createDataFrame([("A", 10, "r1"), ("A", 20, "r2")], ["k", "t2", "val"])
+    out = asof_join(left, right, on="k", left_time="t", right_time="t2", direction="forward").collect()
+    got = {r["tag"]: r["val"] for r in out}
+    assert got == {"l1": "r1", "l2": None}
+
+
+def test_asof_equal_timestamps_match(spark):
+    left = spark.createDataFrame([("A", 10, "l")], ["k", "t", "tag"])
+    right = spark.createDataFrame([("A", 10, "r")], ["k", "t2", "val"])
+    out = asof_join(left, right, on="k", left_time="t", right_time="t2").collect()
+    assert out[0]["val"] == "r"  # backward as-of is <=, not <
+
+
+def test_range_join_bucketed_equals_naive(spark):
+    points = spark.createDataFrame([(i, float(i)) for i in range(50)], ["pid", "x"])
+    intervals = spark.createDataFrame(
+        [(100, 5.0, 10.0), (200, 9.5, 20.0), (300, 45.0, 70.0)], ["iid", "lo", "hi"]
+    )
+    naive = range_join(points, intervals, "x", "lo", "hi")
+    bucketed = range_join(points, intervals, "x", "lo", "hi", bucket_width=4.0)
+    key = lambda r: (r["pid"], r["iid"])  # noqa: E731
+    assert sorted(map(key, naive.collect())) == sorted(map(key, bucketed.collect()))
+    assert len(naive.collect()) > 0
+
+
+def test_text_profile_columns(spark):
+    df = spark.createDataFrame([(1, "the quick the fox"), (2, "der und das ist")], ["doc_id", "text"])
+    prof = {r["doc_id"]: r for r in T.text_profile(df).collect()}
+    assert prof[1]["n_tokens"] == 4
+    assert prof[1]["stopword_ratio"] == 0.5  # 'the' twice of 4
+    assert prof[1]["lang_pred"] == "en"
+    assert prof[2]["lang_pred"] == "de"
+    assert prof[1]["fingerprint"] != prof[2]["fingerprint"]
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, "c b a")], ["doc_id", "text"])
+    fps = {r["doc_id"]: r["fp"] for r in df.select("doc_id", T.fingerprint("text").alias("fp")).collect()}
+    assert fps[1] != fps[2]
+
+
+def test_multimodal_pipeline(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = M.synth_media_from_documents(docs)
+    # same field names + types (nullability may differ on literals;
+    # simpleString renders types without nullability)
+    assert media.schema.simpleString() == M.MEDIA_SCHEMA.simpleString()
+    feats = M.extract_features(media, dim=8).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert r["n_bytes"] > 0
+        assert len(r["features"]) == 8
+        assert abs(sum(r["features"]) - 1.0) < 0.01  # histogram sums to ~1
+        assert r["payload_sha"] is not None
+
+
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(9)
+    media = M.synth_media_from_documents(docs)
+    resized = M.resize_stub(media, 64, 64).collect()
+    assert all(r["meta"]["width"] == 64 for r in resized)
+    frames = M.frame_sample_stub(media).collect()
+    videos = media.filter(F.col("modality") == "video").count()
+    assert len(frames) == videos  # duration unknown -> 1 frame each
+
+
+def test_real_decode_is_explicit_stub():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        M.real_decode(b"xx", "image")

@@ -1,0 +1,51 @@
+"""Similarity-search tests: brute-force exactness on literal vectors,
+LSH recall vs brute force on the embeddings fixture."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kaylee_spark.operators import similarity as S
+from kaylee_spark.sources import load_table
+
+
+def test_cosine_topk_literal(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0]), (4, [-1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    queries = spark.createDataFrame([(100, [1.0, 0.0])], ["query_id", "embedding"])
+    rows = S.cosine_topk(corpus, queries, k=2).collect()
+    assert [(r["neighbor_id"], round(r["cosine_sim"], 6)) for r in rows] == [
+        (1, 1.0),
+        (3, round(1 / math.sqrt(2), 6)),
+    ]
+
+
+def test_lsh_ann_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_bucketed_topk(emb, queries, k=5, n_planes=4, n_tables=4, dim=64).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # random 64-dim vectors have weak top-neighbor cosine (~0.4), the
+    # hard case for sign LSH; 4 tables x 4 planes + 1-bit multi-probe
+    # should still recover most of the true top-5
+    assert recall >= 0.6, f"ANN recall {recall}"
+
+
+def test_embedding_neardup_finds_duplicates(spark):
+    base = [0.1 * i for i in range(8)]
+    near = [0.1 * i + (0.001 if i == 0 else 0.0) for i in range(8)]
+    ortho = [1.0 if i == 0 else -0.5 * i for i in range(8)]
+    df = spark.createDataFrame([(1, base), (2, near), (3, ortho)], ["vec_id", "embedding"])
+    pairs = S.embedding_neardup_pairs(df, threshold=0.999, n_planes=4, dim=8).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}

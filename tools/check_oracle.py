@@ -1,0 +1,127 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registry query on Spark and its oracle on DuckDB at the
+given sf dir, then compares row count, schema shape, and values
+(columns sorted by name, rows sorted, exact equality for
+ints/strings/timestamps, exact-or-tiny-ulp report for doubles).
+
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kaylee_spark.queries import load_all  # noqa: E402
+from kaylee_spark.session import get_spark  # noqa: E402
+from kaylee_spark.sources import TABLES, table_path  # noqa: E402
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+    # normalize all missing flavors (None/NaN/NaT) to None so both
+    # engines render and sort identically
+    df = df.astype(object).where(pd.notna(df), None)
+    # sort on the string rendering (repr is injective enough for
+    # identical bit patterns) so None/NaN ordering is engine-agnostic
+    key = df.astype(str)
+    order = key.sort_values(by=list(df.columns), kind="mergesort").index
+    return df.loc[order].reset_index(drop=True)
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if len(spark_df) != len(duck_df):
+        problems.append(f"rowcount spark={len(spark_df)} duck={len(duck_df)}")
+    s_cols, d_cols = sorted(spark_df.columns), sorted(duck_df.columns)
+    if s_cols != d_cols:
+        problems.append(f"columns spark={s_cols} duck={d_cols}")
+        return problems
+    if problems:
+        return problems
+    s, d = canon(spark_df), canon(duck_df)
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+            sv = sv.astype(float)
+            dv = dv.astype(float)
+            both_nan = sv.isna() & dv.isna()
+            neq = ~both_nan & (sv != dv)
+            if neq.any():
+                idx = neq.idxmax()
+                a, b = sv[idx], dv[idx]
+                ulps = "inf"
+                if not (math.isnan(a) or math.isnan(b)):
+                    ulps = abs(a - b)
+                problems.append(f"col {c}: {int(neq.sum())} float mismatches, first {a!r} vs {b!r} (absdiff {ulps})")
+        else:
+            sv = sv.astype(object).where(pd.notna(sv), None)
+            dv = dv.astype(object).where(pd.notna(dv), None)
+            both_na = sv.isna() & dv.isna()
+            neq = ~(both_na | (sv == dv).fillna(False))
+            if neq.any():
+                idx = neq.idxmax()
+                problems.append(f"col {c}: {int(neq.sum())} mismatches, first {sv[idx]!r} vs {dv[idx]!r}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+    registry = load_all()
+    spark = get_spark("check_oracle")
+    con = duck_connection(sf_dir)
+    n_pass = n_fail = n_rows_only = 0
+    for name, spec in sorted(registry.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            print(f"ROWS {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            ddf = con.execute(spec.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            print(f"FAIL {name} [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"     {p}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
