@@ -24,10 +24,8 @@ Arrow-batched pandas UDF.
 
 from __future__ import annotations
 
-import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 
 # ---------------------------------------------------------------------------
@@ -194,30 +192,26 @@ _SIMHASH_BITS = 64
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash per document from token xxhash64s.
 
-    The per-token hashing and explode/group stays JVM-side; the final
-    bit-majority fold runs as an Arrow-batched pandas UDF over the
-    (doc, array<long>) rows — vectorized numpy, not per-row Python.
+    Fully JVM-side: explode tokens -> xxhash64 -> 64 conditional-sum
+    bit votes in ONE hash aggregate (map-side partial, codegen'd) ->
+    signature reassembled with shifts. No Python, no collect_list —
+    the shuffle carries 64 longs per doc regardless of doc length,
+    which is what survives 100 TB. (An earlier pandas-UDF fold over
+    collect_list was ~10x slower and materialized whole documents.)
     """
     toks = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok"))
     hashed = toks.select("doc", F.xxhash64("tok").alias("h"))
-    per_doc = hashed.groupBy("doc").agg(F.collect_list("h").alias("hashes"))
-
-    @F.pandas_udf(LongType())
-    def simhash_fold(hashes: pd.Series) -> pd.Series:
-        import numpy as np
-
-        out = np.empty(len(hashes), dtype=np.int64)
-        for i, hs in enumerate(hashes):
-            arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            bits = ((arr[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)) & 1).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sig)
-        return pd.Series(out)
-
-    return per_doc.select("doc", simhash_fold("hashes").alias("simhash"))
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{i}")
+        for i in range(_SIMHASH_BITS)
+    ]
+    per_doc = hashed.groupBy("doc").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for i in range(_SIMHASH_BITS):
+        sig = sig.bitwiseOR(F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
+    return per_doc.select("doc", sig.alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:

@@ -72,7 +72,10 @@ def asof_join(
         out = out.withColumn("_matched", F.when(within, F.col("_matched")))
     flat_left = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
     flat_right = [F.col(f"_matched.{c}").alias(c) for c in rcols]
-    return out.select(*flat_left, *flat_right)
+    # expose the matched right-side time too (asof analyses almost
+    # always need the gap); null when no match
+    matched_time = F.when(F.col("_matched").isNotNull(), F.col("_matched_t")).alias(right_time)
+    return out.select(*flat_left, *flat_right, matched_time)
 
 
 def range_join(

@@ -56,6 +56,7 @@ def query(name: str, oracle: str | None = None):
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module so their @query decorators run."""
     from kaylee_spark.queries import (  # noqa: F401
+        advanced,
         dedup,
         llm_text,
         mapreduce,

@@ -1,0 +1,395 @@
+"""Advanced operator coverage: approximate & statistical aggregates,
+pivot, grouping sets, as-of join, bucketed range join, array/regexp
+functions, histograms, multimodal columns, and the raw-SQL entry path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kaylee_spark.functions import dec, dec_sum, oracle_dec_sum
+from kaylee_spark.operators.joins import asof_join, range_join
+from kaylee_spark.operators.multimodal import synth_media_from_documents
+from kaylee_spark.queries import query
+from kaylee_spark.sources import load_table, register_views
+
+
+# ---------------------------------------------------------------------------
+# Approximate + exact-distinct aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a01_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT year(o_orderdate)) AS n_years
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a01_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT(DISTINCT) (expand + two-phase agg)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count_distinct(F.year("o_orderdate")).alias("n_years"),
+    )
+
+
+@query("a02_approx_sketches", oracle=None)
+def a02_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches: HLL++ count-distinct and approximate
+    quantiles. Sketch outputs are algorithm-specific -> rows-only
+    check; tests bound their error vs exact values instead.
+
+    Scale: this is THE pattern for 100 TB distinct-counting — fixed
+    ~1.5 KB of state per group instead of a distinct expand.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("price_quantiles"),
+    )
+
+
+@query(
+    "a03_exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50,
+           ROUND(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE), 4) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a03_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles, rounded to 4dp on both sides —
+    the engines interpolate with differently-associated formulas
+    (lo+(hi-lo)*f vs (1-f)*lo+f*hi), identical to the last ulp only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+    )
+
+
+@query(
+    "a04_stat_moments",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           {oracle_dec_sum('c_acctbal')} AS s1,
+           {oracle_dec_sum('c_acctbal * c_acctbal')} AS s2,
+           CAST(({oracle_dec_sum('c_acctbal * c_acctbal')} - {oracle_dec_sum('c_acctbal')} * {oracle_dec_sum('c_acctbal')} / COUNT(*)) / (COUNT(*) - 1) AS DOUBLE) AS variance
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def a04_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance from exact decimal moments (sum, sum-of-squares).
+
+    Plain stddev/var_samp stream doubles in partition order and can't
+    bit-match any oracle; accumulating the two moments in decimal is
+    order-independent, then the final double arithmetic is identical
+    on both engines. Same one-pass shape as Spark's native m2 method.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    s1 = F.sum(dec("c_acctbal")).cast("double")
+    s2 = F.sum(dec(F.col("c_acctbal") * F.col("c_acctbal"))).cast("double")
+    n = F.count("*")
+    return cust.groupBy("c_mktsegment").agg(
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        ((s2 - s1 * s1 / n) / (n - F.lit(1))).cast("double").alias("variance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / grouping sets / SQL entry
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a05_pivot",
+    oracle=f"""
+    SELECT l_linestatus,
+           {oracle_dec_sum("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS A,
+           {oracle_dec_sum("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS N,
+           {oracle_dec_sum("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def a05_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with explicit value list (explicit list avoids the extra
+    distinct-values job — the form that scales)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(dec_sum("l_quantity"))
+    )
+
+
+@query(
+    "a06_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+           CAST(GROUPING(c_mktsegment) AS INT) * 2 + CAST(GROUPING(c_nationkey) AS INT) AS gid
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+)
+def a06_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + grouping_id via the SQL entry point."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+               CAST(grouping_id(c_mktsegment, c_nationkey) AS INT) AS gid
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+@query(
+    "a07_sql_surface",
+    oracle=f"""
+    SELECT n_name,
+           COUNT(DISTINCT c_custkey) AS n_customers,
+           {oracle_dec_sum('o_totalprice')} AS revenue
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN orders ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name
+    HAVING COUNT(DISTINCT c_custkey) >= 2
+    """,
+)
+def a07_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole query written as SQL text — the engine's second entry
+    point (same Catalyst plan as the DataFrame form)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               COUNT(DISTINCT c_custkey) AS n_customers,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+                      JOIN orders ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY n_name
+        HAVING COUNT(DISTINCT c_custkey) >= 2
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of + bucketed range joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a08_asof_join",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    checkpoints AS (
+        SELECT user_id, ts AS cts, event_id AS checkpoint_event_id
+        FROM ranked WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, c.checkpoint_event_id,
+           CAST(date_diff('microsecond', c.cts, e.ts) // 1000000 AS BIGINT) AS secs_since_checkpoint
+    FROM events e ASOF LEFT JOIN checkpoints c
+      ON e.user_id = c.user_id AND e.ts >= c.cts
+    """,
+)
+def a08_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): each event matched to the latest
+    checkpoint (first event of a user-day) at or before it.
+
+    Implementation is the union+window single-sort pattern
+    (operators/joins.py) — one shuffle, no row explosion; the oracle
+    is DuckDB's native ASOF JOIN, so semantics are cross-validated
+    against an independent implementation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    checkpoints = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.min("ts").alias("cts"),
+            F.min_by("event_id", F.struct("ts", "event_id")).alias("checkpoint_event_id"),
+        )
+        .drop("day")
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    out = asof_join(left, checkpoints, on="user_id", left_time="ts", right_time="cts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "checkpoint_event_id",
+        F.expr("timestampdiff(MICROSECOND, cts, ts) div 1000000").cast("bigint").alias("secs_since_checkpoint"),
+    )
+
+
+@query(
+    "a09_range_join",
+    oracle=f"""
+    SELECT b.bucket_name, COUNT(*) AS n_items, {oracle_dec_sum('l.l_extendedprice')} AS revenue
+    FROM lineitem l JOIN (
+        VALUES ('tiny', 0.0, 10.0), ('small', 10.0, 20.0), ('mid', 20.0, 35.0), ('big', 35.0, 50.0)
+    ) AS b(bucket_name, lo, hi)
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.bucket_name
+    """,
+)
+def a09_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join through the bucketed equi-join rewrite
+    (operators/joins.py range_join): intervals explode across buckets,
+    points hash-join on bucket id — no nested-loop, co-partitioned at
+    scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    buckets = spark.createDataFrame(
+        [("tiny", 0.0, 10.0), ("small", 10.0, 20.0), ("mid", 20.0, 35.0), ("big", 35.0, 50.0)],
+        ["bucket_name", "lo", "hi"],
+    )
+    # half-open [lo, hi): shrink hi by an epsilon smaller than the
+    # 2-decimal data resolution to reuse the closed-interval operator
+    joined = range_join(
+        li,
+        buckets.withColumn("hi", F.col("hi") - F.lit(0.001)),
+        left_point="l_quantity",
+        right_lo="lo",
+        right_hi="hi",
+        bucket_width=8.0,
+    )
+    return joined.groupBy("bucket_name").agg(
+        F.count("*").alias("n_items"), dec_sum("l_extendedprice").alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array / regexp / histogram / min_by
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a10_array_agg",
+    oracle="""
+    SELECT n_nationkey, list(s_name ORDER BY s_name) AS suppliers,
+           COUNT(*) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def a10_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic array aggregation: collect + sort (collect order
+    is nondeterministic, sort_array canonicalizes)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.sort_array(F.collect_list("s_name")).alias("suppliers"),
+            F.count("*").alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "a11_regexp",
+    oracle="""
+    SELECT regexp_extract(p_type, '^([a-z]+)', 1) AS type_head,
+           COUNT(*) AS n_parts,
+           MAX(regexp_replace(p_name, '[aeiou]', '', 'g')) AS max_consonant_name
+    FROM part GROUP BY regexp_extract(p_type, '^([a-z]+)', 1)
+    """,
+)
+def a11_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp extract/replace surface (patterns restricted to the
+    RE2/Java-regex common subset so both engines agree)."""
+    part = load_table(spark, sf_dir, "part")
+    head = F.regexp_extract("p_type", r"^([a-z]+)", 1).alias("type_head")
+    return part.groupBy(head).agg(
+        F.count("*").alias("n_parts"),
+        F.max(F.regexp_replace("p_name", "[aeiou]", "")).alias("max_consonant_name"),
+    )
+
+
+@query(
+    "a12_histogram",
+    oracle=f"""
+    SELECT CAST(floor((o_totalprice - 0) / 50000.0) AS BIGINT) AS price_bucket,
+           COUNT(*) AS n_orders,
+           {oracle_dec_sum('o_totalprice')} AS bucket_revenue
+    FROM orders GROUP BY floor((o_totalprice - 0) / 50000.0)
+    """,
+)
+def a12_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via arithmetic bucketing (identical float
+    ops both sides -> identical bucket ids)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor((F.col("o_totalprice") - 0) / 50000.0).cast("bigint").alias("price_bucket")
+    return orders.groupBy(bucket).agg(
+        F.count("*").alias("n_orders"), dec_sum("o_totalprice").alias("bucket_revenue")
+    )
+
+
+@query(
+    "a13_min_max_by",
+    oracle="""
+    SELECT c_mktsegment,
+           MAX(CASE WHEN rn_desc = 1 THEN c_custkey END) AS richest_custkey,
+           MAX(CASE WHEN rn_asc = 1 THEN c_custkey END) AS poorest_custkey,
+           MAX(c_acctbal) AS max_bal
+    FROM (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey DESC) AS rn_desc,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) AS rn_asc
+        FROM customer
+    ) GROUP BY c_mktsegment
+    """,
+)
+def a13_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX_BY/MIN_BY with a composite (value, key) ordering struct so
+    ties break deterministically on both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    ordering = F.struct("c_acctbal", "c_custkey")
+    return cust.groupBy("c_mktsegment").agg(
+        F.max_by("c_custkey", ordering).alias("richest_custkey"),
+        F.min_by("c_custkey", ordering).alias("poorest_custkey"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (binary payload) with SQL oracle
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a14_multimodal_meta",
+    oracle="""
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+           COUNT(*) AS n_media,
+           SUM(octet_length(encode(text))) AS total_bytes,
+           MIN(sha256(text)) AS min_sha
+    FROM documents
+    GROUP BY CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
+    """,
+)
+def a14_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column conventions: opaque binary payload + typed
+    metadata; metadata-only aggregation never touches payload bytes
+    (column pruning drops them at the scan)."""
+    media = synth_media_from_documents(load_table(spark, sf_dir, "documents"))
+    return media.groupBy("modality").agg(
+        F.count("*").alias("n_media"),
+        F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+        F.min(F.sha2(F.col("payload"), 256)).alias("min_sha"),
+    )

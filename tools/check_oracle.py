@@ -37,6 +37,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].map(lambda v: isinstance(v, (list, tuple)) or hasattr(v, "tolist")).any():
+            # array columns: normalize list/ndarray cells to tuples so
+            # equality is scalar and sortable
+            df[c] = df[c].map(lambda v: tuple(v.tolist() if hasattr(v, "tolist") else v) if v is not None else None)
     # normalize all missing flavors (None/NaN/NaT) to None so both
     # engines render and sort identically
     df = df.astype(object).where(pd.notna(df), None)
