@@ -81,3 +81,18 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Dot product unrolled over a KNOWN dimension.
+
+    Higher-order functions (aggregate/zip_with) evaluate on Catalyst's
+    interpreted path — fine per-row, but the hot verify stage of an LSH
+    join evaluates millions of candidate pairs. Unrolling to a flat
+    ``a[0]*b[0] + ... + a[d-1]*b[d-1]`` keeps the whole expression
+    inside whole-stage codegen (same left-to-right association as the
+    sequential fold, so values are identical)."""
+    out = a[0].cast("double") * b[0].cast("double")
+    for i in range(1, dim):
+        out = out + a[i].cast("double") * b[i].cast("double")
+    return out

