@@ -147,6 +147,79 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """ANN top-k via IVF (inverted-file) coarse quantization + re-rank.
+
+    The scale path for billion-vector corpora, complementing the LSH
+    variant: a k-means coarse quantizer (pyspark.ml, JVM-side) assigns
+    every corpus vector to one of n_centroids inverted lists — this is
+    the expensive one-off INDEX BUILD, amortized across queries. Each
+    query probes its n_probe nearest centroids and re-ranks only those
+    lists exactly, so per-query cost is ~(n_probe/n_centroids) of a
+    full scan. At 100 TB: fit k-means on a sample, write the assigned
+    corpus partitioned BY list_id so a probe prunes file partitions.
+    Recall tunes via n_probe; n_probe == n_centroids degrades to exact.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
+    featured = c.withColumn("features", array_to_vector("cv")).cache()
+    # coarse quantizer only needs rough Voronoi cells — few Lloyd
+    # iterations; every iteration is a full corpus pass at scale.
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, initMode="random",
+        featuresCol="features", predictionCol="list_id",
+    ).fit(featured)
+    assigned = model.transform(featured).select("neighbor_id", "cv", "list_id")
+
+    # probe: per query, the n_probe nearest centroids by squared L2.
+    # centroids are driver-side tiny (k x dim floats) — a k-row
+    # DataFrame cross-joined with the (small) query set; inlining them
+    # as literal columns instead compiles a k*dim-term expression that
+    # blows up codegen time.
+    centers = [(l, [float(x) for x in ctr]) for l, ctr in enumerate(model.clusterCenters())]
+    cents = queries.sparkSession.createDataFrame(centers, "list_id int, ctr array<double>")
+
+    q = queries.select(F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+    d2 = F.aggregate(
+        F.zip_with("qv", "ctr", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probes = q.crossJoin(F.broadcast(cents)).withColumn("d2", d2)
+    wp = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("list_id"))
+    probed = probes.withColumn("pr", F.row_number().over(wp)).filter(F.col("pr") <= n_probe).select("query_id", "list_id")
+
+    # search only the probed inverted lists, then exact re-rank
+    qn = _with_normalized(q, "qv", "qn").select("query_id", "qn")
+    cn = _with_normalized(assigned, "cv", "cn").select("neighbor_id", "list_id", "cn")
+    cands = (
+        cn.join(F.broadcast(probed), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qn), "query_id")
+    )
+    scored = cands.withColumn("cosine_sim", dot_fixed(F.col("qn"), F.col("cn"), dim))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("cosine_sim").cast("double"), "rank")
+    )
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

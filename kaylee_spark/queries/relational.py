@@ -597,3 +597,152 @@ def q24_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.abs(F.col("p_size") - 25)).alias("max_size_dev"),
         F.floor(F.avg(F.col("p_size").cast("double"))).cast("bigint").alias("floor_avg_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery / multi-join shapes (TPC-H Q2/Q9/Q10 adapted to the
+# fixture star schema — it has no partsupp table, so supply cost is
+# derived from lineitem)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q02_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               MIN(l_extendedprice) AS supply_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+        SELECT partkey, MIN(supply_cost) AS supply_cost FROM cost GROUP BY partkey
+    ),
+    chosen AS (
+        SELECT c.partkey, c.supply_cost, MIN(c.suppkey) AS suppkey
+        FROM cost c JOIN best b ON c.partkey = b.partkey AND c.supply_cost = b.supply_cost
+        GROUP BY c.partkey, c.supply_cost
+    )
+    SELECT p_partkey, p_name, supply_cost, s_suppkey, s_name, n_name
+    FROM chosen JOIN part ON p_partkey = partkey
+                JOIN supplier ON s_suppkey = suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_size <= 20
+    """,
+)
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-cost supplier (correlated
+    MIN subquery), suppkey tie-break for determinism.
+
+    Scale: the correlated MIN is a window-min over the (part,supp)
+    aggregate — ONE shuffle on partkey serves both the per-part
+    aggregation and the min-filter (vs. the self-join the SQL spells);
+    supply_cost is a MIN of stored doubles (no arithmetic), so the
+    equality filter is float-exact on both engines. part/supplier/
+    nation broadcast into the tiny chosen set.
+    """
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 20)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    cost = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min("l_extendedprice").alias("supply_cost"))
+    w = Window.partitionBy("partkey")
+    chosen = (
+        cost.withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .groupBy("partkey", "supply_cost")
+        .agg(F.min("suppkey").alias("suppkey"))
+    )
+    return (
+        chosen.join(F.broadcast(part), part.p_partkey == F.col("partkey"))
+        .join(F.broadcast(sup), sup.s_suppkey == F.col("suppkey"))
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select("p_partkey", "p_name", "supply_cost", "s_suppkey", "s_name", "n_name")
+    )
+
+
+@query(
+    "q09_nation_year_profit",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           {oracle_dec_sum('l_extendedprice * (1 - l_discount)')} AS sum_profit
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%a%'
+    GROUP BY n_name, CAST(EXTRACT(year FROM o_orderdate) AS INT)
+    """,
+)
+def q09_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year.
+
+    Scale: part (name-filtered), supplier, nation broadcast — the only
+    shuffle is lineitem⋈orders on orderkey, then a tiny (nation, year)
+    hash agg with map-side partials. The LIKE filter prunes part
+    BEFORE the broadcast, shrinking the build side.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {oracle_dec_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           c_acctbal, n_name
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost revenue from returned items, top 20
+    customers.
+
+    Scale: returnflag + orderdate predicates push to the scans;
+    nation broadcasts; orders⋈lineitem is the one big shuffle. Top-20
+    plans as TakeOrderedAndProject; decimal-accumulated revenue makes
+    the sort key bit-identical across engines so the LIMIT cut is
+    deterministic (custkey tie-break).
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

@@ -51,6 +51,18 @@ def s02_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucketed_topk(emb, queries, k=10, n_planes=4, n_tables=4, dim=64)
 
 
+@query("s04_ivf_ann_topk", oracle=None)
+def s04_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via IVF: k-means coarse quantizer (pyspark.ml) +
+    probe-4-of-16 inverted lists + exact re-rank.
+
+    k-means training is not SQL-expressible -> rows-only check; recall
+    vs s01's exact result is asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    return S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4, dim=64)
+
+
 @query("s03_embedding_neardup", oracle=None)
 def s03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table LSH self-join.

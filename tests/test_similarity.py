@@ -42,6 +42,39 @@ def test_lsh_ann_recall(spark, sf_dir):
     assert recall >= 0.6, f"ANN recall {recall}"
 
 
+def test_ivf_ann_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4, dim=64).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # near-isotropic corpus is IVF's hard case (neighbors scatter
+    # across lists); probing 4/16 lists must still beat the 25%
+    # coverage a random probe would give
+    assert recall >= 0.4, f"IVF recall {recall}"
+
+
+def test_ivf_full_probe_is_exact(spark, sf_dir):
+    """n_probe == n_centroids degrades IVF to exact search."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(emb, queries, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8, dim=64).collect()
+    }
+    assert full == exact
+
+
 def test_embedding_neardup_finds_duplicates(spark):
     base = [0.1 * i for i in range(8)]
     near = [0.1 * i + (0.001 if i == 0 else 0.0) for i in range(8)]
