@@ -134,3 +134,21 @@ def e05_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id", "event_type").agg(
         F.min("event_id").alias("first_event_id"), F.count("*").alias("n_dups")
     )
+
+
+@query(
+    "e06_user_running_totals",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events, {oracle_dec_sum('value')} AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def e06_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the custom stateful fold
+    (kaylee_spark/streaming/stateful.py applyInPandasWithState): the
+    drained stream's final per-user state equals this aggregate —
+    asserted in tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum(dec("value")).cast("double").alias("total_value")
+    )

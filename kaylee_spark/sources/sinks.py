@@ -1,0 +1,75 @@
+"""File and table sinks.
+
+The reference's only sink is the coordinator-side results dict exposed
+by ``Server.results()`` (`/root/reference/kaylee/server.py:174-178`,
+`300`) — a driver-memory collect. These sinks are its distributed
+replacement: executors write partitioned columnar files directly, so
+results never funnel through one process.
+
+Scale guidance encoded here:
+- parquet + partitionBy(low-cardinality cols) -> partition pruning on
+  read; never partition by a high-cardinality key (file explosion).
+- bucketBy(key) pre-shuffles ONCE at write; later joins/aggs on that
+  key skip their Exchange entirely (asserted in tests/test_sinks.py).
+- csv/json exist for interchange, not analytics — row-oriented, no
+  pushdown, no stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Columnar sink; optional hive-style partition layout.
+
+    ``max_records_per_file`` caps file size at scale (with AQE-coalesced
+    writes a single task can otherwise emit a multi-GB file).
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    opts = {"header": "true"}
+    opts.update(options)
+    df.write.mode(mode).options(**opts).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    df.write.mode(mode).options(**options).json(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (pre-shuffled) managed table.
+
+    Bucketing pays the shuffle once at write time: every later join or
+    aggregation keyed on ``bucket_cols`` reads co-located buckets and
+    plans WITHOUT an Exchange — at 100 TB this converts the nightly
+    fact⋈fact join from a full-network shuffle into a local zip of
+    bucket files. sortBy additionally enables merge-join without sort.
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)

@@ -1,0 +1,62 @@
+"""Sink tests: partitioned/bucketed/interchange writes.
+
+The bucketed-join test is the scale proof: a join between two tables
+bucketed on the join key must plan with NO Exchange (shuffle) — the
+write-once-shuffle contract that matters at 100 TB."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from kaylee_spark.sources import load_table, sinks
+
+
+def test_partitioned_parquet_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "li_part")
+    li = load_table(spark, sf_dir, "lineitem")
+    sinks.write_parquet(li, out, partition_by=["l_returnflag"])
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    # partition pruning: the flag predicate must dissolve into the
+    # directory listing, not a post-scan filter
+    plan = back.filter(F.col("l_returnflag") == "R")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan or "l_returnflag#" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    nat = load_table(spark, sf_dir, "nation")
+    csv_out, json_out = str(tmp_path / "nat_csv"), str(tmp_path / "nat_json")
+    sinks.write_csv(nat, csv_out)
+    sinks.write_json(nat, json_out)
+    csv_back = spark.read.options(header="true", inferSchema="true").csv(csv_out)
+    json_back = spark.read.json(json_out)
+    want = sorted(tuple(r) for r in nat.collect())
+    assert sorted(tuple(r) for r in csv_back.select(*nat.columns).collect()) == want
+    assert sorted(tuple(r) for r in json_back.select(*nat.columns).collect()) == want
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    try:
+        sinks.write_bucketed_table(li, "li_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"], path=str(tmp_path / "li_b"))
+        sinks.write_bucketed_table(orders, "ord_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"], path=str(tmp_path / "ord_b"))
+        # disable broadcast so the join would otherwise shuffle both sides
+        with_conf = spark.conf
+        old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("li_b").join(
+                spark.table("ord_b"), F.col("l_orderkey") == F.col("o_orderkey")
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() > 0
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)

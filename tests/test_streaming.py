@@ -76,3 +76,33 @@ def test_late_data_dropped_past_watermark(spark, tmp_path):
     # but the on-time windows must always be complete and correct
     assert rows[("2024-01-01 10:00:00", "click")] == 2
     assert rows[("2024-01-01 12:00:00", "view")] == 1
+
+
+def test_stateful_running_totals_equals_batch(spark, events_dir):
+    """applyInPandasWithState fold: the final per-user emission must
+    equal the batch groupBy aggregate (unified-semantics check for the
+    custom stateful path)."""
+    from pyspark.sql import Window
+
+    from kaylee_spark.streaming.stateful import user_running_totals
+
+    streamed = ST.run_to_memory(
+        user_running_totals(ST.events_stream(spark, events_dir, files_per_trigger=2)),
+        output_mode="update",
+    )
+    # update mode appends one emission per (user, batch); keep the last
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        streamed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    batch = (
+        _batch_events(spark, events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+    )
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in final.collect()}
+    want = {r["user_id"]: (r["n_events"], r["total_value"]) for r in batch.collect()}
+    assert set(got) == set(want)
+    for uid, (n, total) in want.items():
+        assert got[uid][0] == n
+        assert got[uid][1] == pytest.approx(total, rel=1e-9)
