@@ -3,9 +3,13 @@
 ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 Each query executes end-to-end into a noop sink (full plan runs, no
-collect/serialization overhead measured). The first query's time
-includes JVM/codegen warmup; a tiny warmup query runs first to keep
-that out of the numbers.
+collect/serialization overhead measured). Before timing, every query
+runs once at the smallest scale factor (sf0.001) to compile its
+whole-stage-codegen classes and warm the JIT — the recorded numbers
+are steady-state throughput at the target SF, which is the quantity
+that extrapolates to cluster scale (one-off compile cost amortizes to
+zero over a 100 TB run, but at sf0.1 it would dominate and add ~3x
+run-to-run variance for the codegen-heavy LSH/SimHash aggregates).
 """
 
 from __future__ import annotations
@@ -32,6 +36,17 @@ def main() -> None:
     # warmup: touch every table + spin up codegen/shuffle machinery
     for t in ("lineitem", "orders", "customer", "documents", "embeddings", "events"):
         load_table(spark, sf_dir, t).limit(1).write.format("noop").mode("overwrite").save()
+
+    # per-query codegen/JIT warmup at the smallest SF (see module doc)
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(warm_dir) and os.path.realpath(warm_dir) != os.path.realpath(sf_dir):
+        for name, spec in sorted(registry.items()):
+            try:
+                spec.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass  # warmup is best-effort; timing run surfaces real errors
+        # drop warmup-scale cached data; compiled codegen classes remain
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(registry.items()):

