@@ -1,0 +1,52 @@
+"""Skew-mitigation operators.
+
+The reference delegates work placement to ZMQ PUSH/PULL round-robin
+(`/root/reference/kaylee/server.py:243-247`) — load balance across
+WORKERS, but a hot reduce key still lands on one worker because the
+shuffle is keyed (`server.py:212`). The same pathology exists in any
+keyed shuffle: at 100 TB one hot join key (null ids, a default value,
+a celebrity entity) serializes the whole stage onto one task.
+
+First lines of defense are built-in and preferred: AQE skew-join
+splitting (enabled in kaylee_spark.session) and broadcasting the small
+side. Salting is for the remaining case — a shuffle join whose build
+side is too big to broadcast AND whose skew AQE can't split (e.g. one
+key is most of the data, or the join is a left join Spark won't
+rewrite). It trades an n_salts-times replication of the *smaller* side
+for an n_salts-way split of each hot key's probe rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__kaylee_salt"
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str] | str,
+    how: str = "inner",
+    n_salts: int = 8,
+) -> DataFrame:
+    """Equi-join with the skewed probe side split n_salts ways.
+
+    ``skewed`` rows get a salt in [0, n_salts); ``other`` is replicated
+    once per salt value; the join key becomes (on..., salt), so a hot
+    key's rows spread over n_salts reduce tasks instead of one.
+    Supported join types: inner / left / left_semi / left_anti (the
+    replicated side must be the non-preserved one — a right or full
+    join would null-extend each of the n_salts copies).
+    """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(f"salted_join supports inner/left/left_semi/left_anti, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    # salt by physical row position: cheap, uniform, and independent of
+    # the key distribution (hashing the key would re-concentrate the
+    # hot key on one salt — exactly the failure being fixed)
+    salted = skewed.withColumn(_SALT, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"))
+    replicated = other.withColumn(_SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    out = salted.join(replicated, keys + [_SALT], how)
+    return out.drop(_SALT)

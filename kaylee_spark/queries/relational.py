@@ -746,3 +746,31 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q25_salted_join",
+    oracle=f"""
+    SELECT s_nationkey, {oracle_dec_sum('l_extendedprice')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def q25_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join (operators/skew.salted_join) — result must be
+    identical to the plain equi-join, which is exactly what the oracle
+    checks. The salt splits each hot probe key n_salts ways at the cost
+    of replicating the small side; here it demonstrates the rewrite is
+    semantics-preserving (fixtures aren't skewed — the skewed-input
+    equivalence test lives in tests/test_operators.py).
+    """
+    from kaylee_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
+    return (
+        salted_join(li, sup, "l_suppkey", how="inner", n_salts=4)
+        .groupBy("s_nationkey")
+        .agg(dec_sum("l_extendedprice").alias("revenue"), F.count("*").alias("n_items"))
+    )

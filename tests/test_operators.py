@@ -105,3 +105,28 @@ def test_real_decode_is_explicit_stub():
 
     with pytest.raises(NotImplementedError):
         M.real_decode(b"xx", "image")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted join must be result-identical to the plain join on a
+    skewed key distribution (one key = 90% of rows)."""
+    from kaylee_spark.operators.skew import salted_join
+
+    skewed = spark.createDataFrame(
+        [(1, i) for i in range(900)] + [(k, 0) for k in range(2, 102)], ["k", "v"]
+    )
+    dim = spark.createDataFrame([(k, f"name_{k}") for k in range(1, 120)], ["k", "name"])
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        plain = skewed.join(dim, "k", how)
+        salted = salted_join(skewed, dim, "k", how=how, n_salts=4)
+        assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect())), how
+
+
+def test_salted_join_rejects_right_join(spark):
+    import pytest as _pytest
+
+    from kaylee_spark.operators.skew import salted_join
+
+    df = spark.range(2)
+    with _pytest.raises(ValueError):
+        salted_join(df, df, "id", how="right")

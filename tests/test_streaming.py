@@ -106,3 +106,9 @@ def test_stateful_running_totals_equals_batch(spark, events_dir):
     for uid, (n, total) in want.items():
         assert got[uid][0] == n
         assert got[uid][1] == pytest.approx(total, rel=1e-9)
+
+
+def test_sliding_stream_equals_batch(spark, events_dir):
+    streamed = ST.run_to_memory(ST.sliding_counts(ST.events_stream(spark, events_dir)), output_mode="complete")
+    batch = ST.sliding_counts(_batch_events(spark, events_dir), watermark="0 seconds")
+    assert canon(streamed) == canon(batch)
