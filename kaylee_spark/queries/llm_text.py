@@ -148,3 +148,40 @@ def t05_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@query(
+    "t06_pandas_udf_tokens",
+    oracle="""
+    SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def t06_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf surface: Arrow-batched regex token count.
+
+    The same count is SQL-expressible (that's the oracle) — the query
+    exists to keep the vectorized-Python path under the hash gate, so
+    a regression in Arrow transfer or pandas semantics fails loudly.
+    """
+    from kaylee_spark.functions.pandas_udfs import pd_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", pd_token_count("text").alias("n_tokens"))
+
+
+@query(
+    "t07_grouped_pandas_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+           CAST(MEDIAN(n_chars) AS DOUBLE) AS median_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def t07_grouped_pandas_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas surface: holistic per-language stats
+    (median needs the whole group — the pandas shape earns its keep)."""
+    from kaylee_spark.functions.pandas_udfs import lang_stats_pandas
+
+    return lang_stats_pandas(load_table(spark, sf_dir, "documents"))

@@ -130,3 +130,23 @@ def test_salted_join_rejects_right_join(spark):
     df = spark.range(2)
     with _pytest.raises(ValueError):
         salted_join(df, df, "id", how="right")
+
+
+def test_grouped_agg_pandas_udf_median(spark, sf_dir):
+    """pd_median (grouped-agg pandas_udf) must agree with Spark's exact
+    interpolated percentile_approx-free median (F.median)."""
+    from pyspark.sql import functions as F
+
+    from kaylee_spark.functions.pandas_udfs import pd_median
+    from kaylee_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["lang"]: r["med"]
+        for r in docs.groupBy("lang").agg(pd_median("n_chars").alias("med")).collect()
+    }
+    want = {
+        r["lang"]: float(r["med"])
+        for r in docs.groupBy("lang").agg(F.median("n_chars").alias("med")).collect()
+    }
+    assert got == want

@@ -1,0 +1,64 @@
+"""Property-based tests (hypothesis) for the MapReduce-algebra laws the
+reference's README asserts (README.md:20-24): for an associative,
+commutative reducer the result is invariant under input order and
+partition count. Bounded example counts — every example is a Spark job."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kaylee_spark.core.mapreduce import MapReduceJob
+
+pairs_strategy = st.lists(
+    st.tuples(st.sampled_from("abcdef"), st.integers(min_value=-100, max_value=100)),
+    min_size=0,
+    max_size=30,
+)
+
+SPARK_SETTINGS = settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+
+def run_job(spark, pairs, **kw) -> dict:
+    job = MapReduceJob(
+        spark,
+        datafn=lambda: iter(pairs),
+        mapfn=lambda k, v: [(k, v)],
+        reducefn=lambda k, vs: sum(vs),
+        **kw,
+    )
+    return job.results()
+
+
+@given(pairs=pairs_strategy, n_parts=st.integers(min_value=1, max_value=7))
+@SPARK_SETTINGS
+def test_result_invariant_under_partitioning_and_order(spark, pairs, n_parts):
+    expected = {}
+    for k, v in pairs:
+        expected[k] = expected.get(k, 0) + v
+    assert run_job(spark, pairs, num_partitions=n_parts, combiner=lambda a, b: a + b) == expected
+    assert run_job(spark, list(reversed(pairs)), num_partitions=n_parts) == expected
+
+
+@given(pairs=pairs_strategy)
+@SPARK_SETTINGS
+def test_holistic_equals_combiner_path_for_associative_reducer(spark, pairs):
+    """When the reducer IS associative, declaring the combiner must not
+    change the result — only the plan (reduceByKey vs groupByKey)."""
+    assert run_job(spark, pairs) == run_job(spark, pairs, combiner=lambda a, b: a + b)
+
+
+@given(texts=st.lists(st.text(alphabet="ab ", min_size=0, max_size=12), min_size=0, max_size=8))
+@SPARK_SETTINGS
+def test_wordcount_matches_python_counter(spark, texts):
+    """DataFrame word count == plain Python Counter on any input."""
+    from kaylee_spark.core.mapreduce import word_count
+
+    df = spark.createDataFrame([(t,) for t in texts] or [("",)], "value string")
+    got = {r["word"]: r["count"] for r in word_count(spark, df).collect()}
+    want = Counter(w for t in (texts or [""]) for w in t.split() if w)
+    assert got == dict(want)
