@@ -224,6 +224,84 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Dedup clustering (iterative connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Min-label propagation over an undirected pair graph.
+
+    The canonical post-pass of every dedup pipeline: near-dup PAIRS
+    (from Jaccard/MinHash/SimHash) become CLUSTERS, and min-label makes
+    the lowest doc id the deterministic cluster representative. This is
+    the engine's iterative-algorithm shape: a driver loop where each
+    step is one distributed join + min-aggregate, converging in
+    O(graph diameter) steps — near-dup clusters are shallow (dups of a
+    common source), so a handful of iterations suffices at any scale.
+
+    Per iteration: label(n) <- min(label(n), min over neighbors of
+    label(m)). Stops early when an iteration changes nothing.
+    localCheckpoint truncates the growing lineage so iteration i+1
+    doesn't replan/recompute iterations 1..i.
+
+    Output: (doc, cluster) for every node appearing in ``edges``.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.distinct().localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("doc"))
+        .distinct()
+        .withColumn("cluster", F.col("doc"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.doc)
+            .groupBy(F.col("a").alias("doc"))
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc", "left")
+            .select("doc", F.least(F.col("cluster"), F.coalesce("nmin", "cluster")).alias("cluster"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Full near-dup clustering: exact-Jaccard pairs above ``threshold``
+    -> connected components -> (doc, cluster, is_canonical) for every
+    document (singletons are their own cluster)."""
+    pairs = jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    comps = connected_components(pairs)
+    all_docs = df.select(F.col(id_col).alias("doc"))
+    return (
+        all_docs.join(comps, "doc", "left")
+        .select("doc", F.coalesce("cluster", F.col("doc")).alias("cluster"))
+        .withColumn("is_canonical", (F.col("doc") == F.col("cluster")).cast("boolean"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -97,3 +97,54 @@ def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming<=6 via pigeonhole bucketing).
     xxhash64-based -> no SQL oracle; property-tested instead."""
     return D.simhash_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=6)
+
+
+@query(
+    "d06_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    sh AS (
+        SELECT DISTINCT doc_id AS doc, gram AS shingle FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS gram
+            FROM documents
+        )
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS doc, MIN(label) AS cluster FROM reach GROUP BY node)
+    SELECT d.doc_id AS doc,
+           COALESCE(c.cluster, d.doc_id) AS cluster,
+           (d.doc_id = COALESCE(c.cluster, d.doc_id)) AS is_canonical
+    FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
+    """,
+)
+def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: Jaccard>=0.5 pairs -> iterative min-label
+    connected components -> deterministic canonical per cluster.
+
+    The engine's iterative-algorithm shape (driver loop, one join +
+    min-agg per step, lineage truncated per iteration); the oracle is
+    the same computation as a DuckDB recursive CTE.
+    """
+    return D.dedup_clusters(load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5)

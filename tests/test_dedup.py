@@ -68,3 +68,22 @@ def test_simhash_identical_docs(spark):
     assert sigs[1] != sigs[3]
     pairs = D.simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} >= {(1, 2)}
+
+
+def test_connected_components_literal_graph(spark):
+    """Two chains + a singleton edge: labels converge to component minima."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)], ["doc_a", "doc_b"]
+    )
+    got = {r["doc"]: r["cluster"] for r in D.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_groups_exact_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (5, "x y z w q r"), (9, "totally different words here")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc"]: (r["cluster"], r["is_canonical"]) for r in D.dedup_clusters(df, "doc_id", "text").collect()}
+    assert rows[1] == (1, True) and rows[2] == (1, False)
+    assert rows[5] == (5, True) and rows[9] == (9, True)
