@@ -774,3 +774,101 @@ def q25_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey")
         .agg(dec_sum("l_extendedprice").alias("revenue"), F.count("*").alias("n_items"))
     )
+
+
+@query(
+    "q26_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+           {oracle_dec_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY n1.n_name, n2.n_name, CAST(EXTRACT(year FROM l_shipdate) AS INT)
+    """,
+)
+def q26_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border revenue by (supplier nation,
+    customer nation, ship year) — the same dimension table joined twice
+    under different roles.
+
+    Scale: both nation copies and supplier broadcast; lineitem⋈orders
+    and ⋈customer are the shuffles, each on a key the fact rows
+    already carry. The inequality filter runs after the broadcasts —
+    a residual predicate, never a join explosion.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q27_market_share",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           CAST(
+             CAST(SUM(CASE WHEN r_name = 'ASIA'
+                      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))
+                      ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+           AS DOUBLE) AS asia_share
+    FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CAST(EXTRACT(year FROM o_orderdate) AS INT)
+    """,
+)
+def q27_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one region's revenue share per order year —
+    a ratio of two conditional aggregates in a single pass.
+
+    Scale: the share is ONE hash agg (two decimal accumulators per
+    year), not two scans; snowflake dims broadcast; the only shuffle
+    is lineitem⋈orders. Both numerator and denominator accumulate in
+    exact decimal, so the final double division is bit-identical to
+    the oracle's.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    disc = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    zero = F.lit(0).cast("decimal(24,6)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("r_name") == "ASIA", disc).otherwise(zero)).cast("double")
+                / F.sum(disc).cast("double")
+            ).cast("double").alias("asia_share")
+        )
+    )
