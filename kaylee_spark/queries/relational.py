@@ -57,7 +57,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries only per-partition partials — bytes, not rows. The shipdate
     filter pushes into the parquet scan.
     """
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -94,8 +94,8 @@ def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
             & F.col("l_discount").between(0.03, 0.07)
             & (F.col("l_quantity") < 25)
         )
@@ -401,8 +401,8 @@ def q20_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def year(y: int) -> DataFrame:
         return orders.filter(
-            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp_ntz"))
         ).select("o_custkey")
 
     return year(1996).intersect(year(1997))
@@ -422,8 +422,8 @@ def q21_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def year(y: int) -> DataFrame:
         return orders.filter(
-            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp_ntz"))
         ).select("o_custkey")
 
     return year(1996).subtract(year(1997))
@@ -570,9 +570,16 @@ def q15_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q23_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date truncation to month buckets (calendar-window aggregation)."""
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-    return orders.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month")).agg(
+    """Date truncation to month buckets (calendar-window aggregation).
+
+    date_trunc coerces TIMESTAMP_NTZ to session-zone TIMESTAMP; the
+    cast back to NTZ round-trips through the same session zone, so the
+    month bucket is the wall-clock month start under ANY driver
+    timezone (caught by the non-UTC probe in the verify recipe).
+    """
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+    month = F.date_trunc("month", "o_orderdate").cast("timestamp_ntz")
+    return orders.groupBy(month.alias("order_month")).agg(
         F.count("*").alias("n_orders"), dec_sum("o_totalprice").alias("revenue")
     )
 
@@ -731,8 +738,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     )
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nat = _t(spark, sf_dir, "nation")
