@@ -81,6 +81,35 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _table_signatures(vec, tables: list[list[list[float]]]):
+    """All per-table sign-bit bucket signatures as one array<int>
+    (index = table id, value = packed bucket).
+
+    The plane tensor rides in as a SINGLE nested-array literal node and
+    the projections run through interpreted higher-order functions, so
+    the expression tree stays constant-size no matter how large
+    n_tables x n_planes x dim gets. Inlining each weight as its own
+    literal instead (the naive form) builds a multi-thousand-node tree
+    that Catalyst re-analyzes and re-optimizes on EVERY action — seconds
+    of driver time per run before a single row moves. Per-row HOF
+    interpretation is cheap here: signatures are computed once per
+    vector, never per candidate pair.
+
+    Bit packing is MSB-first in plane order (acc*2+b); any single-bit
+    XOR still flips exactly one plane, which is all multi-probe needs.
+    """
+    tlit = F.lit([[[float(w) for w in plane] for plane in planes] for planes in tables])
+
+    def bit(p):
+        proj = F.aggregate(F.zip_with(vec, p, lambda x, w: x * w), F.lit(0.0), lambda a, x: a + x)
+        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    return F.transform(
+        tlit,
+        lambda planes: F.aggregate(F.transform(planes, bit), F.lit(0), lambda acc, b: acc * 2 + b),
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -106,26 +135,25 @@ def lsh_bucketed_topk(
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
     q = queries.select(F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
 
-    def signature(vec, planes):
-        out = F.lit(0)
-        for i, plane in enumerate(planes):
-            out = out + F.when(dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        return out
-
     tables = [random_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
-    c_buckets = F.array(
-        *[F.struct(F.lit(t).alias("table"), signature(F.col("cv"), planes).alias("bucket")) for t, planes in enumerate(tables)]
+    c_exploded = c.select(
+        "neighbor_id", "cv", F.posexplode(_table_signatures(F.col("cv"), tables)).alias("table", "bucket")
     )
-    c_exploded = c.withColumn("tb", F.explode(c_buckets)).select("neighbor_id", "cv", "tb.table", "tb.bucket")
 
     # query side: own bucket + all 1-bit-flip probes, per table
-    q_probe_structs = []
-    for t, planes in enumerate(tables):
-        sig = signature(F.col("qv"), planes)
-        q_probe_structs.append(F.struct(F.lit(t).alias("table"), sig.alias("bucket")))
-        for i in range(n_planes):
-            q_probe_structs.append(F.struct(F.lit(t).alias("table"), sig.bitwiseXOR(F.lit(1 << i)).alias("bucket")))
-    q_exploded = q.withColumn("tb", F.explode(F.array(*q_probe_structs))).select("query_id", "qv", "tb.table", "tb.bucket")
+    probe_structs = F.flatten(
+        F.transform(
+            _table_signatures(F.col("qv"), tables),
+            lambda sig, t: F.array(
+                F.struct(t.alias("table"), sig.alias("bucket")),
+                *[
+                    F.struct(t.alias("table"), sig.bitwiseXOR(F.lit(1 << i)).alias("bucket"))
+                    for i in range(n_planes)
+                ],
+            ),
+        )
+    )
+    q_exploded = q.withColumn("tb", F.explode(probe_structs)).select("query_id", "qv", "tb.table", "tb.bucket")
 
     # dedupe candidates on the bare id pair, then rejoin the vectors —
     # the distinct must not shuffle dim-wide arrays per candidate.
@@ -242,17 +270,8 @@ def embedding_neardup_pairs(
     """
     c = corpus.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
 
-    def signature(vec, planes):
-        out = F.lit(0)
-        for i, plane in enumerate(planes):
-            out = out + F.when(dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        return out
-
     tables = [random_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
-    buckets = F.array(
-        *[F.struct(F.lit(t).alias("table"), signature(F.col("v"), planes).alias("bucket")) for t, planes in enumerate(tables)]
-    )
-    banded = c.withColumn("tb", F.explode(buckets)).select("vid", "tb.table", "tb.bucket")
+    banded = c.select("vid", F.posexplode(_table_signatures(F.col("v"), tables)).alias("table", "bucket"))
     a = banded.select(F.col("vid").alias("id_a"), "table", "bucket")
     b = banded.select(F.col("vid").alias("id_b"), "table", "bucket")
     cands = (
