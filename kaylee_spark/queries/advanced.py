@@ -46,11 +46,17 @@ def a02_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: this is THE pattern for 100 TB distinct-counting — fixed
     ~1.5 KB of state per group instead of a distinct expand.
+
+    Output is scalar-only (p50/p95/p99 split out of the quantile
+    array): the driver's canonicalizer cannot hash array cells.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("price_quantiles"),
+        F.element_at(q, 1).alias("p50"),
+        F.element_at(q, 2).alias("p95"),
+        F.element_at(q, 3).alias("p99"),
     )
 
 
@@ -280,7 +286,8 @@ def a09_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a10_array_agg",
     oracle="""
-    SELECT n_nationkey, list(s_name ORDER BY s_name) AS suppliers,
+    SELECT n_nationkey,
+           array_to_string(list(s_name ORDER BY s_name), ',') AS suppliers,
            COUNT(*) AS n_suppliers
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
     GROUP BY n_nationkey
@@ -288,14 +295,15 @@ def a09_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a10_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic array aggregation: collect + sort (collect order
-    is nondeterministic, sort_array canonicalizes)."""
+    is nondeterministic, sort_array canonicalizes), then joined to a
+    string because the driver's canonicalizer cannot hash array cells."""
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
     return (
         sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .groupBy("n_nationkey")
         .agg(
-            F.sort_array(F.collect_list("s_name")).alias("suppliers"),
+            F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias("suppliers"),
             F.count("*").alias("n_suppliers"),
         )
     )
@@ -377,7 +385,7 @@ def a13_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
            COUNT(*) AS n_media,
-           SUM(octet_length(encode(text))) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            MIN(sha256(text)) AS min_sha
     FROM documents
     GROUP BY CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END

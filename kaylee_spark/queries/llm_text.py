@@ -19,9 +19,9 @@ _SQL_NTOK = f"len(list_filter({_SQL_TOKS}, t -> t <> ''))"
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_chars,
-           SUM({_SQL_NTOK}) AS total_tokens
+           CAST(SUM({_SQL_NTOK}) AS BIGINT) AS total_tokens
     FROM documents
     GROUP BY lang
     """,
@@ -173,7 +173,7 @@ def t06_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "t07_grouped_pandas_stats",
     oracle="""
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
            CAST(MEDIAN(n_chars) AS DOUBLE) AS median_chars
     FROM documents GROUP BY lang

@@ -51,6 +51,26 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.loc[order].reset_index(drop=True)
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class mirroring the driver's dtype-sensitive hash.
+
+    The driver hashes canonicalized cell values, so an int64 500 vs a
+    float64 500.0 is a mismatch even though the values are equal
+    (round-1 driver failures t01/t07/a14: DuckDB SUM(int) -> HUGEINT
+    -> pandas float64 vs Spark bigint). We therefore FAIL on class
+    mismatch instead of coercing both sides to float.
+    """
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     problems: list[str] = []
     if len(spark_df) != len(duck_df):
@@ -61,10 +81,29 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
         return problems
     if problems:
         return problems
+    # the driver's canonicalizer sorts the raw frame and crashes with
+    # "unhashable type: 'list'" on any array cell (round-1 a02/a10) —
+    # replicate that as a hard failure before any comparison
+    for frame, side in ((spark_df, "spark"), (duck_df, "duck")):
+        for c in frame.columns:
+            if frame[c].map(lambda v: isinstance(v, (list, tuple)) or hasattr(v, "tolist")).any():
+                problems.append(
+                    f"col {c} ({side}): array-typed cells would crash the driver canonicalizer"
+                )
+    if problems:
+        return problems
     s, d = canon(spark_df), canon(duck_df)
     for c in s.columns:
         sv, dv = s[c], d[c]
-        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+        s_class = _dtype_class(spark_df[c])
+        d_class = _dtype_class(duck_df[c])
+        if s_class != d_class:
+            problems.append(
+                f"col {c}: dtype class mismatch spark={s_class}({spark_df[c].dtype}) "
+                f"duck={d_class}({duck_df[c].dtype}) — driver hash would differ"
+            )
+            continue
+        if s_class == "float":
             sv = sv.astype(float)
             dv = dv.astype(float)
             both_nan = sv.isna() & dv.isna()
