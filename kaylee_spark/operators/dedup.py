@@ -24,6 +24,8 @@ Arrow-batched pandas UDF.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -245,9 +247,13 @@ def connected_components(
     common source), so a handful of iterations suffices at any scale.
 
     Per iteration: label(n) <- min(label(n), min over neighbors of
-    label(m)). Stops early when an iteration changes nothing.
-    localCheckpoint truncates the growing lineage so iteration i+1
-    doesn't replan/recompute iterations 1..i.
+    label(m)), then a pointer-jump label(n) <- label(label(n)) --
+    the jump halves chain depth each step, so convergence is
+    O(log diameter) instead of O(diameter) (a 1000-hop dup chain needs
+    ~10 iterations, not 1000). Stops early when an iteration changes
+    nothing; warns if ``max_iter`` is exhausted unconverged rather than
+    silently returning split clusters. localCheckpoint truncates the
+    growing lineage so iteration i+1 doesn't replan/recompute 1..i.
 
     Output: (doc, cluster) for every node appearing in ``edges``.
     """
@@ -261,15 +267,29 @@ def connected_components(
         .withColumn("cluster", F.col("doc"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.doc)
             .groupBy(F.col("a").alias("doc"))
             .agg(F.min("cluster").alias("nmin"))
         )
+        propagated = labels.join(neighbor_min, "doc", "left").select(
+            "doc", F.least(F.col("cluster"), F.coalesce("nmin", "cluster")).alias("cluster")
+        )
+        # pointer jump: cluster <- label(cluster). Labels are node ids,
+        # so self-joining (doc, cluster) resolves each label one hop
+        # further; compounded with the neighbor step, chain depth
+        # halves every iteration.
+        jump = propagated.select(
+            F.col("doc").alias("jdoc"), F.col("cluster").alias("jcluster")
+        )
         new_labels = (
-            labels.join(neighbor_min, "doc", "left")
-            .select("doc", F.least(F.col("cluster"), F.coalesce("nmin", "cluster")).alias("cluster"))
+            propagated.join(jump, propagated.cluster == jump.jdoc, "left")
+            .select(
+                "doc",
+                F.least(F.col("cluster"), F.coalesce("jcluster", "cluster")).alias("cluster"),
+            )
             .localCheckpoint()
         )
         changed = (
@@ -282,6 +302,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        warnings.warn(
+            f"connected_components: max_iter={max_iter} exhausted before "
+            "convergence; cluster labels may be split. Increase max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

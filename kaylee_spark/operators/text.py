@@ -32,11 +32,14 @@ def token_count(text_col="text") -> Column:
 
 
 def bpe_ish_token_count(text_col="text") -> Column:
-    """Sub-word-ish token count: splits on word/number/punct boundaries
-    (a cheap proxy for BPE token budgeting at corpus scale)."""
+    """Sub-word-ish token count: alpha runs chunk into <=4-char pieces,
+    digits and punctuation count one piece each (a cheap proxy for BPE
+    token budgeting at corpus scale). regexp_extract_all counts the
+    pieces directly -- no separator char that real text could collide
+    with."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    pieces = F.split(F.regexp_replace(c, r"([a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9\s])", "$1"), "")
-    return F.size(F.filter(pieces, lambda t: F.trim(t) != "")).cast("bigint")
+    pieces = F.regexp_extract_all(c, F.lit(r"([a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9\s])"), 1)
+    return F.size(pieces).cast("bigint")
 
 
 def stopword_ratio(text_col="text", stopwords: list[str] | None = None) -> Column:

@@ -87,3 +87,21 @@ def test_dedup_clusters_groups_exact_dups(spark):
     rows = {r["doc"]: (r["cluster"], r["is_canonical"]) for r in D.dedup_clusters(df, "doc_id", "text").collect()}
     assert rows[1] == (1, True) and rows[2] == (1, False)
     assert rows[5] == (5, True) and rows[9] == (9, True)
+
+def test_connected_components_long_chain_pointer_jump(spark):
+    """A 64-hop chain converges well inside max_iter=20: the pointer
+    jump gives O(log diameter), where plain min-propagation would need
+    64 iterations and silently return split clusters."""
+    edges = spark.createDataFrame([(i, i + 1) for i in range(64)], ["doc_a", "doc_b"])
+    got = {r["doc"]: r["cluster"] for r in D.connected_components(edges, max_iter=20).collect()}
+    assert got == {i: 0 for i in range(65)}
+
+
+def test_connected_components_warns_when_unconverged(spark):
+    import warnings as W
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(64)], ["doc_a", "doc_b"])
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        D.connected_components(edges, max_iter=1).collect()
+    assert any("max_iter" in str(c.message) for c in caught)

@@ -150,3 +150,16 @@ def test_grouped_agg_pandas_udf_median(spark, sf_dir):
         for r in docs.groupBy("lang").agg(F.median("n_chars").alias("med")).collect()
     }
     assert got == want
+
+
+def test_bpe_ish_token_count_chunks(spark):
+    """Alpha runs chunk into <=4-char pieces; digits/punct are one each.
+    'internationalization' (20 alpha) -> 5 pieces; 'hello world, 42 ...!'
+    -> 2+2+1+1+1+5+1 = 13."""
+    from kaylee_spark.operators.text import bpe_ish_token_count
+
+    df = spark.createDataFrame(
+        [("hello world, 42 internationalization!",), ("abc",), ("",)], ["text"]
+    )
+    got = [r["n"] for r in df.select(bpe_ish_token_count("text").alias("n")).collect()]
+    assert got == [13, 1, 0]
