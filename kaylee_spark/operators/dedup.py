@@ -163,6 +163,41 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3, nu
     return sig.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
 
 
+def _lsh_candidates(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Distinct candidate id pairs (doc_a < doc_b) from banded buckets.
+
+    Band bucket = xxhash64 of the signature SLICE (xxhash64 accepts
+    array input) — far smaller codegen than stringifying each slot,
+    which matters because this expression is instantiated per band.
+    Candidates are deduped on the bare 16-byte id pair BEFORE any
+    rejoin of wide columns — carrying k-long signature arrays through
+    the bucket join and the distinct would multiply the shuffle ~64x.
+    """
+    rows_per_band = num_hashes // bands
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.slice("signature", b * rows_per_band + 1, rows_per_band)).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    a = banded.select(F.col("doc").alias("doc_a"), "band", "bucket")
+    b = banded.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -180,36 +215,8 @@ def minhash_lsh_pairs(
     The band-bucket join replaces the O(n^2) cross join: cost scales
     with bucket occupancy, not corpus size squared.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
-    # band bucket = hash of the signature SLICE (xxhash64 accepts array
-    # input) — far smaller codegen than stringifying each slot, which
-    # matters because this expression is instantiated per band.
-    banded = sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(F.slice("signature", b * rows_per_band + 1, rows_per_band)).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
-    a = banded.select(F.col("doc").alias("doc_a"), "band", "bucket")
-    b = banded.select(F.col("doc").alias("doc_b"), "band", "bucket")
-    # dedupe candidates on the bare 16-byte id pair, THEN rejoin the
-    # k-long signatures — carrying two k-long arrays through the bucket
-    # join and the distinct would multiply the shuffle by ~64x.
-    cands = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cands = _lsh_candidates(sig, num_hashes, bands)
     cands = cands.join(
         sig.select(F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a")), "doc_a"
     ).join(sig.select(F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b")), "doc_b")
@@ -222,6 +229,56 @@ def minhash_lsh_pairs(
         cands.withColumn("est_jaccard", est.cast("double"))
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def minhash_lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The full LSH dedup pipeline: banded-MinHash candidate generation
+    followed by EXACT n-gram Jaccard verification of only the
+    candidates — the shape a 100 TB dedup run actually uses (LSH prunes
+    the pair space; the quadratic exact-Jaccard stage touches only
+    candidate pairs).
+
+    Verification cost scales with |candidates| x avg shingle count, not
+    corpus²: candidates explode by doc_a's shingles, then one hash join
+    against the (doc, shingle) index on (doc_b, shingle) counts the
+    intersection; sizes join in last.
+
+    Output (doc_a, doc_b, jaccard) — exact values. With a banding
+    config whose recall is 1.0 at or above ``threshold`` (for 32
+    hashes, 16 bands x 2 rows: P(miss) = (1-J²)^16, ~1% at J=0.5 and
+    <1e-7 at J=0.8 — verified exhaustively equal to the exact pair set
+    on the test fixtures), the result equals jaccard_pairs(threshold),
+    which is what makes this driver-verifiable against the same SQL
+    oracle as the exact query.
+    """
+    sh = hashed_shingles(df, id_col, text_col, n).withColumnRenamed("sh64", "shingle").cache()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    cands = _lsh_candidates(sig, num_hashes, bands)
+    common = (
+        cands.join(sh.select(F.col("doc").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("size_a")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("size_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            (F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 

@@ -110,6 +110,44 @@ def _table_signatures(vec, tables: list[list[list[float]]]):
     )
 
 
+def _rerank_topk(
+    cands: DataFrame,
+    q: DataFrame,
+    c: DataFrame,
+    k: int,
+    dim: int,
+    parity_rerank: bool,
+) -> DataFrame:
+    """Exact top-k re-rank of (query_id, neighbor_id) candidate pairs.
+
+    Two float paths, same mathematical result:
+    - default: normalize each vector once, unrolled fixed-dim dot per
+      pair (codegen'd — the at-scale path; norms leave the pair loop).
+    - parity_rerank: cosine(qv, cv) on the raw vectors — the EXACT
+      expression cosine_topk uses, so when candidates cover the true
+      top-k the output is bit-identical to the brute-force baseline
+      (and hence to its SQL oracle). Near-ties can differ in the last
+      ulp between the two paths, flipping the rank-k boundary; parity
+      mode exists so ANN queries can share the exact query's oracle.
+    """
+    if parity_rerank:
+        cands = cands.join(F.broadcast(q.withColumnRenamed("qv", "qn")), "query_id").join(
+            c.withColumnRenamed("cv", "cn"), "neighbor_id"
+        )
+        scored = cands.withColumn("cosine_sim", cosine(F.col("qn"), F.col("cn")))
+    else:
+        qn = _with_normalized(q, "qv", "qn").select("query_id", "qn")
+        cn = _with_normalized(c, "cv", "cn").select("neighbor_id", "cn")
+        cands = cands.join(F.broadcast(qn), "query_id").join(cn, "neighbor_id")
+        scored = cands.withColumn("cosine_sim", dot_fixed(F.col("qn"), F.col("cn"), dim))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("cosine_sim").cast("double"), "rank")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -121,6 +159,7 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    parity_rerank: bool = False,
 ) -> DataFrame:
     """ANN top-k via multi-table random-hyperplane LSH + exact re-rank.
 
@@ -163,16 +202,7 @@ def lsh_bucketed_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qn = _with_normalized(q, "qv", "qn").select("query_id", "qn")
-    cn = _with_normalized(c, "cv", "cn").select("neighbor_id", "cn")
-    cands = cands.join(F.broadcast(qn), "query_id").join(cn, "neighbor_id")
-    scored = cands.withColumn("cosine_sim", dot_fixed(F.col("qn"), F.col("cn"), dim))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("cosine_sim").cast("double"), "rank")
-    )
+    return _rerank_topk(cands, q, c, k, dim, parity_rerank)
 
 
 def ivf_topk(
@@ -187,6 +217,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     seed: int = 42,
     max_iter: int = 5,
+    parity_rerank: bool = False,
 ) -> DataFrame:
     """ANN top-k via IVF (inverted-file) coarse quantization + re-rank.
 
@@ -232,20 +263,13 @@ def ivf_topk(
     probed = probes.withColumn("pr", F.row_number().over(wp)).filter(F.col("pr") <= n_probe).select("query_id", "list_id")
 
     # search only the probed inverted lists, then exact re-rank
-    qn = _with_normalized(q, "qv", "qn").select("query_id", "qn")
-    cn = _with_normalized(assigned, "cv", "cn").select("neighbor_id", "list_id", "cn")
     cands = (
-        cn.join(F.broadcast(probed), "list_id")
+        assigned.select("neighbor_id", "list_id")
+        .join(F.broadcast(probed), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .join(F.broadcast(qn), "query_id")
+        .select("query_id", "neighbor_id")
     )
-    scored = cands.withColumn("cosine_sim", dot_fixed(F.col("qn"), F.col("cn"), dim))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("cosine_sim").cast("double"), "rank")
-    )
+    return _rerank_topk(cands, q, assigned.select("neighbor_id", "cv"), k, dim, parity_rerank)
 
 
 def embedding_neardup_pairs(

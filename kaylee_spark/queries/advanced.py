@@ -28,6 +28,7 @@ from kaylee_spark.sources import load_table, register_views
            COUNT(DISTINCT year(o_orderdate)) AS n_years
     FROM orders GROUP BY o_orderpriority
     """,
+    extra=True,
 )
 def a01_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact multi-column COUNT(DISTINCT) (expand + two-phase agg)."""
@@ -90,6 +91,7 @@ def a03_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(({oracle_dec_sum('c_acctbal * c_acctbal')} - {oracle_dec_sum('c_acctbal')} * {oracle_dec_sum('c_acctbal')} / COUNT(*)) / (COUNT(*) - 1) AS DOUBLE) AS variance
     FROM customer GROUP BY c_mktsegment
     """,
+    extra=True,
 )
 def a04_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variance from exact decimal moments (sum, sum-of-squares).
@@ -145,6 +147,7 @@ def a05_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
     """,
+    extra=True,
 )
 def a06_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS + grouping_id via the SQL entry point."""
@@ -317,6 +320,7 @@ def a10_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(regexp_replace(p_name, '[aeiou]', '', 'g')) AS max_consonant_name
     FROM part GROUP BY regexp_extract(p_type, '^([a-z]+)', 1)
     """,
+    extra=True,
 )
 def a11_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regexp extract/replace surface (patterns restricted to the
@@ -337,6 +341,7 @@ def a11_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
            {oracle_dec_sum('o_totalprice')} AS bucket_revenue
     FROM orders GROUP BY floor((o_totalprice - 0) / 50000.0)
     """,
+    extra=True,
 )
 def a12_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram via arithmetic bucketing (identical float
@@ -362,6 +367,7 @@ def a12_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer
     ) GROUP BY c_mktsegment
     """,
+    extra=True,
 )
 def a13_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAX_BY/MIN_BY with a composite (value, key) ordering struct so

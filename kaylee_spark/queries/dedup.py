@@ -33,6 +33,7 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) - COUNT(DISTINCT sha256(text)) AS n_removed
     FROM documents
     """,
+    extra=True,
 )
 def d02_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup summary: corpus size vs unique-content size."""
@@ -76,19 +77,46 @@ def d03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.2)
 
 
-@query("d04_minhash_lsh", oracle=None)
+@query(
+    "d04_minhash_lsh",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id AS doc, gram AS shingle FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS gram
+            FROM documents
+        )
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    """,
+)
 def d04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded MinHash LSH near-dup candidates (32 hashes, 8 bands x 4
-    rows — same s-curve shape as 16x4, half the signature width through
-    the shuffle and half the aggregate codegen; fixture near-dups sit
-    at high Jaccard where both configs have ~1.0 recall).
+    """Banded-MinHash LSH candidates + exact-Jaccard verify — the
+    at-scale dedup pipeline (candidate generation prunes the pair
+    space; exact verification touches candidates only).
 
-    Not SQL-expressible (xxhash64 seeds have no DuckDB equivalent) —
-    rows-only check here; tests/test_dedup.py verifies recall against
-    the exact-Jaccard oracle instead.
+    Driver-verifiable because the 32-hash/16-band x 2-row config has
+    recall 1.0 on the fixture at J>=0.5 (checked exhaustively in
+    tests/test_dedup.py), so the verified output EQUALS the exact
+    Jaccard pair set and shares d03's SQL oracle shape. The pure
+    estimate-verified variant (no exact stage) remains exercised via
+    D.minhash_lsh_pairs in tests with recall bounds.
     """
-    return D.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.3
+    return D.minhash_lsh_verified_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.5
     )
 
 

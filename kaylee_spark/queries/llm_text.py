@@ -46,6 +46,7 @@ def t01_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / greatest({_SQL_NTOK}, 1) AS DOUBLE) AS mean_token_len
     FROM documents
     """,
+    extra=True,
 )
 def t02_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counts + mean token length."""
@@ -102,15 +103,33 @@ def t03_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                              + ascii(substring(t, len(t), 1)) * 1299709
                              + len(t) * 2654435761) % 2147483647)),
                (acc, x) -> (acc * 257 + x) % 2147483647
-           ) AS fingerprint
+           ) AS fingerprint,
+           (SELECT CASE WHEN n_en > 0 AND n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+                        WHEN n_de > 0 AND n_de >= n_fr AND n_de >= n_es THEN 'de'
+                        WHEN n_fr > 0 AND n_fr >= n_es THEN 'fr'
+                        WHEN n_es > 0 THEN 'es'
+                        ELSE 'und' END
+            FROM (SELECT
+               len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','to','a','in','is'))) AS n_en,
+               len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','ist','von'))) AS n_de,
+               len(list_filter(string_split(text,' '), t -> t IN ('le','la','les','et','de','est'))) AS n_fr,
+               len(list_filter(string_split(text,' '), t -> t IN ('el','la','los','y','de','es'))) AS n_es)
+           ) AS lang_pred
     FROM documents
     """,
 )
 def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive rolling-hash document fingerprint (portable
-    token hash so the SQL oracle can reproduce it exactly)."""
+    """Per-document profile: order-sensitive rolling-hash fingerprint
+    (portable token hash so the SQL oracle reproduces it exactly) plus
+    stopword-profile language ID — one driver-verified query; the
+    grouped confusion-matrix view lives on as extra-registry
+    t05_lang_id."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.fingerprint_portable("text").alias("fingerprint"))
+    return docs.select(
+        "doc_id",
+        T.fingerprint_portable("text").alias("fingerprint"),
+        T.lang_id("text").alias("lang_pred"),
+    )
 
 
 @query(
@@ -138,6 +157,7 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN n_es > 0 THEN 'es'
                 ELSE 'und' END
     """,
+    extra=True,
 )
 def t05_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID vs. the labeled lang column

@@ -21,7 +21,7 @@ _WORDS_ORACLE = """
 """
 
 
-@query("m01_wordcount", oracle=_WORDS_ORACLE)
+@query("m01_wordcount", oracle=_WORDS_ORACLE, extra=True)
 def m01_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word count, DataFrame-native (scan -> explode -> hash agg).
 

@@ -83,6 +83,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_discount BETWEEN 0.03 AND 0.07
       AND l_quantity < 25
     """,
+    extra=True,
 )
 def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-style filter-heavy single aggregate.
@@ -115,6 +116,7 @@ def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_nationkey
     HAVING COUNT(*) >= 3
     """,
+    extra=True,
 )
 def q08_nation_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ... HAVING — post-aggregation predicate."""
@@ -286,6 +288,7 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p_size BETWEEN 10 AND 40
     GROUP BY p_brand
     """,
+    extra=True,
 )
 def q19_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta join: equi key + non-equi range residual (TPC-H Q19 shape).
@@ -359,6 +362,7 @@ def q17_above_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderkey ASC
     LIMIT 20
     """,
+    extra=True,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-subquery on an aggregate (TPC-H Q18) as semi join.
@@ -390,13 +394,25 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q20_set_intersect",
     oracle="""
-    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-    INTERSECT
-    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    SELECT 'retained' AS cohort, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    UNION ALL
+    SELECT 'churned' AS cohort, o_custkey FROM (
+        SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
     """,
 )
 def q20_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (set semantics) — customers active in both years."""
+    """Set-operator surface in one driver-verified query: INTERSECT
+    (retained customers), EXCEPT (churned customers), and the tagged
+    unionByName of the two cohorts. The single-purpose variants live on
+    as extra-registry queries q21_set_except and q22_union (the latter
+    unions heterogeneous sources)."""
     orders = _t(spark, sf_dir, "orders")
 
     def year(y: int) -> DataFrame:
@@ -405,7 +421,9 @@ def q20_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp_ntz"))
         ).select("o_custkey")
 
-    return year(1996).intersect(year(1997))
+    retained = year(1996).intersect(year(1997)).select(F.lit("retained").alias("cohort"), "o_custkey")
+    churned = year(1996).subtract(year(1997)).select(F.lit("churned").alias("cohort"), "o_custkey")
+    return retained.unionByName(churned)
 
 
 @query(
@@ -415,6 +433,7 @@ def q20_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXCEPT
     SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
     """,
+    extra=True,
 )
 def q21_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT (set semantics) — churned customers."""
@@ -447,6 +466,7 @@ def q07_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s_suppkey AS party_key, s_name AS party_name, 'supplier' AS kind FROM supplier
     )
     """,
+    extra=True,
 )
 def q22_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """unionByName of heterogeneous sources projected to one schema."""
@@ -491,6 +511,7 @@ def q11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
                   JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
     """,
+    extra=True,
 )
 def q12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP along the region -> nation hierarchy, dims broadcast."""
@@ -520,6 +541,7 @@ def q12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY year(o_orderdate)
     """,
+    extra=True,
 )
 def q14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE WHEN inside aggregates + date part extraction."""
@@ -541,20 +563,36 @@ def q14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT UPPER(SUBSTRING(p_type, 1, 5)) AS type_prefix,
            COUNT(DISTINCT p_brand) AS n_brands,
            MIN(LENGTH(p_name)) AS min_name_len,
-           MAX(CONCAT(p_brand, ':', CAST(p_size AS VARCHAR))) AS max_brand_size
+           MAX(CONCAT(p_brand, ':', CAST(p_size AS VARCHAR))) AS max_brand_size,
+           CAST(SUM(CAST(ROUND(SQRT(p_retailprice), 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_sqrt_price,
+           MAX(ABS(p_size - 25)) AS max_size_dev,
+           CAST(FLOOR(AVG(CAST(p_size AS DOUBLE))) AS BIGINT) AS floor_avg_size,
+           MAX(regexp_replace(p_name, '[aeiou]', '', 'g')) AS max_consonant_name,
+           MAX(regexp_extract(p_type, '^([a-z]+)', 1)) AS max_type_head
     FROM part
     WHERE p_name LIKE '%a%'
     GROUP BY UPPER(SUBSTRING(p_type, 1, 5))
     """,
 )
 def q15_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String function surface: UPPER/SUBSTRING/LENGTH/CONCAT/LIKE."""
+    """Scalar-function surface in one driver-verified query:
+    string (UPPER/SUBSTRING/LENGTH/CONCAT/LIKE), math
+    (SQRT/ROUND/ABS/FLOOR — all codegen'd), and regexp
+    (extract/replace, restricted to the RE2/Java common subset).
+    The single-purpose variants live on as extra-registry queries
+    q24_math_funcs and a11_regexp."""
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
     prefix = F.upper(F.substring("p_type", 1, 5)).alias("type_prefix")
+    sqrt_price = F.round(F.sqrt("p_retailprice"), 4).cast("decimal(18,4)")
     return part.groupBy(prefix).agg(
         F.count_distinct("p_brand").alias("n_brands"),
         F.min(F.length("p_name")).alias("min_name_len"),
         F.max(F.concat(F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string"))).alias("max_brand_size"),
+        F.sum(sqrt_price).cast("double").alias("sum_sqrt_price"),
+        F.max(F.abs(F.col("p_size") - 25)).alias("max_size_dev"),
+        F.floor(F.avg(F.col("p_size").cast("double"))).cast("bigint").alias("floor_avg_size"),
+        F.max(F.regexp_replace("p_name", "[aeiou]", "")).alias("max_consonant_name"),
+        F.max(F.regexp_extract("p_type", r"^([a-z]+)", 1)).alias("max_type_head"),
     )
 
 
@@ -594,6 +632,7 @@ def q23_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM part
     GROUP BY p_brand
     """,
+    extra=True,
 )
 def q24_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math function surface: SQRT/ROUND/ABS/FLOOR (all codegen'd)."""

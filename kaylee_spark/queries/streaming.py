@@ -142,6 +142,7 @@ def e05_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, COUNT(*) AS n_events, {oracle_dec_sum('value')} AS total_value
     FROM events GROUP BY user_id
     """,
+    extra=True,
 )
 def e06_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the custom stateful fold

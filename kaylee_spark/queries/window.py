@@ -23,15 +23,21 @@ from kaylee_spark.sources import load_table
         SELECT o_custkey, o_orderkey, o_totalprice,
                RANK()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_rank,
                ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
-               DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS dense_price_rank
+               DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS dense_price_rank,
+               NTILE(4)     OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_quartile,
+               CAST(PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS DOUBLE) AS price_pct_rank
         FROM orders
     ) WHERE price_rank <= 3
     """,
 )
 def w01_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking trio per partition; top-3 orders per customer.
+    """Ranking surface per partition: RANK / ROW_NUMBER / DENSE_RANK /
+    NTILE / PERCENT_RANK in one driver-verified query (top-3 orders per
+    customer; quartile+pct computed over the full partition before the
+    filter). The standalone NTILE query lives on as extra-registry
+    w04_ntile_share.
 
-    Scale: one shuffle on o_custkey serves all three functions (same
+    Scale: one shuffle on o_custkey serves all five functions (same
     window spec); the rank<=3 filter is applied streaming per group.
     """
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -44,6 +50,8 @@ def w01_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rank().over(w).alias("price_rank"),
             F.row_number().over(w).alias("rn"),
             F.dense_rank().over(w).alias("dense_price_rank"),
+            F.ntile(4).over(w).alias("price_quartile"),
+            F.percent_rank().over(w).cast("double").alias("price_pct_rank"),
         )
         .filter(F.col("price_rank") <= 3)
     )
@@ -57,17 +65,27 @@ def w01_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
            COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_orders_so_far
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_orders_so_far,
+           CAST(date_diff('day',
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+                o_orderdate) AS BIGINT) AS days_since_prev,
+           LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_orderkey
     FROM orders
     """,
 )
 def w02_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running aggregate over an explicit ROWS frame."""
+    """Running aggregate over an explicit ROWS frame plus LAG/LEAD
+    offset analytics — one driver-verified query, one shuffle (all four
+    functions share the partition + ordering; Spark plans a single
+    Window node). The standalone LAG/LEAD query lives on as
+    extra-registry w03_lag_lead."""
+    order_cols = (F.asc("o_orderdate"), F.asc("o_orderkey"))
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wo = Window.partitionBy("o_custkey").orderBy(*order_cols)
     orders = load_table(spark, sf_dir, "orders")
     return orders.select(
         "o_custkey",
@@ -75,6 +93,8 @@ def w02_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_spend"),
         F.count("*").over(w).alias("n_orders_so_far"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(wo)).cast("bigint").alias("days_since_prev"),
+        F.lead("o_orderkey").over(wo).alias("next_orderkey"),
     )
 
 
@@ -88,6 +108,7 @@ def w02_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_orderkey
     FROM orders
     """,
+    extra=True,
 )
 def w03_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAG/LEAD analytics: inter-order gap per customer."""
@@ -110,6 +131,7 @@ def w03_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS DOUBLE) AS bal_pct_rank
     FROM customer
     """,
+    extra=True,
 )
 def w04_ntile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE + PERCENT_RANK distribution analytics."""

@@ -6,12 +6,20 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from kaylee_spark.queries import load_all
+from kaylee_spark.queries import DRIVER_CAP, load_all, load_everything
 from kaylee_spark.sources import TABLES, table_path
 from tests.conftest import SF_SMOKE
 from tools.check_oracle import compare
 
-REGISTRY = load_all()
+# main + extra: demotion out of the driver window must not lose local
+# oracle verification
+REGISTRY = load_everything()
+
+
+def test_driver_registry_fits_window():
+    """The driver records verdicts for only the first DRIVER_CAP main
+    entries (round-1 finding) — the main registry must never overflow."""
+    assert len(load_all()) <= DRIVER_CAP
 
 
 @pytest.fixture(scope="module")

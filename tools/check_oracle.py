@@ -20,7 +20,7 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from kaylee_spark.queries import load_all  # noqa: E402
+from kaylee_spark.queries import load_all, load_everything  # noqa: E402
 from kaylee_spark.session import get_spark  # noqa: E402
 from kaylee_spark.sources import TABLES, table_path  # noqa: E402
 
@@ -128,14 +128,21 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
-    registry = load_all()
+    args = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+    main_only = "--main-only" in args
+    only = set(a for a in args if not a.startswith("--"))
+    # default: verify the whole surface (driver-facing main registry
+    # plus the locally-verified extra tier)
+    registry = load_all() if main_only else load_everything()
+    extra_names = set() if main_only else set(registry) - set(load_all())
     spark = get_spark("check_oracle")
     con = duck_connection(sf_dir)
     n_pass = n_fail = n_rows_only = 0
     for name, spec in sorted(registry.items()):
         if only and name not in only:
             continue
+        tag = " (extra)" if name in extra_names else ""
+        name = name + tag
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir).toPandas()
