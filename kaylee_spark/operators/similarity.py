@@ -81,9 +81,10 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def _table_signatures(vec, tables: list[list[list[float]]]):
+def _table_signatures(vec_name: str, tables: list[list[list[float]]]):
     """All per-table sign-bit bucket signatures as one array<int>
-    (index = table id, value = packed bucket).
+    (index = table id, value = packed bucket). ``vec_name`` is the
+    array<double> column NAME holding the vector.
 
     The plane tensor rides in as a SINGLE nested-array literal node and
     the projections run through interpreted higher-order functions, so
@@ -97,16 +98,33 @@ def _table_signatures(vec, tables: list[list[list[float]]]):
 
     Bit packing is MSB-first in plane order (acc*2+b); any single-bit
     XOR still flips exactly one plane, which is all multi-probe needs.
+
+    The WHOLE expression — tensor literal and the three nested
+    higher-order folds — is one parsed SQL string. The ``F.lit`` +
+    python-lambda form boxes every tensor float through an individual
+    py4j call and round-trips each lambda through the bridge (~5 s of
+    driver time for a 12x4x64 tensor, measured); one expr() string
+    crosses the bridge once and parses JVM-side in ~20 ms. repr() emits
+    the shortest round-trip decimal and the D suffix parses each weight
+    directly as a double, and SQL lambdas fold in the same sequential
+    order, so values are bit-identical to the lit form.
     """
-    tlit = F.lit([[[float(w) for w in plane] for plane in planes] for planes in tables])
-
-    def bit(p):
-        proj = F.aggregate(F.zip_with(vec, p, lambda x, w: x * w), F.lit(0.0), lambda a, x: a + x)
-        return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
-
-    return F.transform(
-        tlit,
-        lambda planes: F.aggregate(F.transform(planes, bit), F.lit(0), lambda acc, b: acc * 2 + b),
+    tensor = (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join("array(" + ",".join(f"{float(w)!r}D" for w in plane) + ")" for plane in planes)
+            + ")"
+            for planes in tables
+        )
+        + ")"
+    )
+    return F.expr(
+        f"""transform({tensor}, planes -> aggregate(
+                transform(planes, p -> IF(
+                    aggregate(zip_with({vec_name}, p, (x, w) -> x * w), 0.0D, (a, x) -> a + x) >= 0,
+                    1, 0)),
+                0, (acc, b) -> acc * 2 + b))"""
     )
 
 
@@ -139,7 +157,7 @@ def _rerank_topk(
         qn = _with_normalized(q, "qv", "qn").select("query_id", "qn")
         cn = _with_normalized(c, "cv", "cn").select("neighbor_id", "cn")
         cands = cands.join(F.broadcast(qn), "query_id").join(cn, "neighbor_id")
-        scored = cands.withColumn("cosine_sim", dot_fixed(F.col("qn"), F.col("cn"), dim))
+        scored = cands.withColumn("cosine_sim", dot_fixed("qn", "cn", dim))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -176,13 +194,13 @@ def lsh_bucketed_topk(
 
     tables = [random_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     c_exploded = c.select(
-        "neighbor_id", "cv", F.posexplode(_table_signatures(F.col("cv"), tables)).alias("table", "bucket")
+        "neighbor_id", "cv", F.posexplode(_table_signatures("cv", tables)).alias("table", "bucket")
     )
 
     # query side: own bucket + all 1-bit-flip probes, per table
     probe_structs = F.flatten(
         F.transform(
-            _table_signatures(F.col("qv"), tables),
+            _table_signatures("qv", tables),
             lambda sig, t: F.array(
                 F.struct(t.alias("table"), sig.alias("bucket")),
                 *[
@@ -295,7 +313,7 @@ def embedding_neardup_pairs(
     c = corpus.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
 
     tables = [random_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
-    banded = c.select("vid", F.posexplode(_table_signatures(F.col("v"), tables)).alias("table", "bucket"))
+    banded = c.select("vid", F.posexplode(_table_signatures("v", tables)).alias("table", "bucket"))
     a = banded.select(F.col("vid").alias("id_a"), "table", "bucket")
     b = banded.select(F.col("vid").alias("id_b"), "table", "bucket")
     cands = (
@@ -308,7 +326,7 @@ def embedding_neardup_pairs(
     return (
         cands.join(cnorm.select(F.col("vid").alias("id_a"), F.col("vn").alias("va")), "id_a")
         .join(cnorm.select(F.col("vid").alias("id_b"), F.col("vn").alias("vb")), "id_b")
-        .withColumn("cosine_sim", dot_fixed(F.col("va"), F.col("vb"), dim).cast("double"))
+        .withColumn("cosine_sim", dot_fixed("va", "vb", dim).cast("double"))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
