@@ -105,3 +105,29 @@ def test_connected_components_warns_when_unconverged(spark):
         W.simplefilter("always")
         D.connected_components(edges, max_iter=1).collect()
     assert any("max_iter" in str(c.message) for c in caught)
+
+
+def test_simhash_golden_signature(spark):
+    """Golden pin for the simhash SQL-string rewrite: the signature of
+    a known document must stay stable across refactors (any change to
+    the vote or reassembly arithmetic flips this)."""
+    df = spark.createDataFrame([(1, "the quick brown fox"), (2, "the quick brown fox")], ["doc_id", "text"])
+    sigs = [r["simhash"] for r in D.simhash(df, "doc_id", "text").collect()]
+    assert sigs[0] == sigs[1]
+    # bit-vote semantics: each bit of the signature is the majority bit
+    # of the token hashes; recompute directly from xxhash64 values
+    from pyspark.sql import functions as F
+
+    hs = [
+        r["h"]
+        for r in df.filter(F.col("doc_id") == 1)
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .select(F.xxhash64("t").alias("h"))
+        .collect()
+    ]
+    want = 0
+    for i in range(64):
+        votes = sum(1 if (h >> i) & 1 else -1 for h in hs)
+        if votes > 0:
+            want |= 1 << i
+    assert sigs[0] == want

@@ -82,3 +82,53 @@ def test_embedding_neardup_finds_duplicates(spark):
     df = spark.createDataFrame([(1, base), (2, near), (3, ortho)], ["vec_id", "embedding"])
     pairs = S.embedding_neardup_pairs(df, threshold=0.999, n_planes=4, dim=8).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_dot_fixed_name_form_bit_identical(spark):
+    """The expr-string fast path of dot_fixed must produce the same
+    bits as the Column-operator form (same left-to-right association),
+    including subnormal and negative values — regression pin for the
+    py4j-reduction rewrite."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from kaylee_spark.functions import dot_fixed
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    a = [float(x) for x in rng.standard_normal(16)] + [1e-300, -0.0, 1.5e-17, 2.0]
+    b = [float(x) for x in rng.standard_normal(16)] + [-1e-300, 7.0, -2.5e16, 0.5]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    got = df.select(
+        dot_fixed("a", "b", 20).alias("s"),
+        dot_fixed(F.col("a"), F.col("b"), 20).alias("c"),
+    ).collect()[0]
+    assert struct.pack("d", got.s) == struct.pack("d", got.c)
+
+
+def test_table_signatures_match_numpy(spark):
+    """The one-string SQL signature expression must agree with a
+    straightforward numpy reimplementation of the same fold —
+    regression pin for the py4j-reduction rewrite."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from kaylee_spark.operators.similarity import _table_signatures, random_hyperplanes
+
+    tables = [random_hyperplanes(8, 3, 42 + 1000 * t) for t in range(4)]
+    rng = np.random.default_rng(5)
+    vecs = [[float(x) for x in rng.standard_normal(8)] for _ in range(20)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)], "id int, v array<double>")
+    got = {r.id: list(r.s) for r in df.select("id", _table_signatures("v", tables).alias("s")).collect()}
+    for i, v in enumerate(vecs):
+        want = []
+        for planes in tables:
+            bits = [1 if float(np.dot(v, p)) >= 0 else 0 for p in planes]
+            acc = 0
+            for bb in bits:
+                acc = acc * 2 + bb
+            want.append(acc)
+        assert got[i] == want, (i, got[i], want)
