@@ -370,12 +370,31 @@ def connected_components(
 
 
 def dedup_clusters(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    edges: str = "lsh",
 ) -> DataFrame:
-    """Full near-dup clustering: exact-Jaccard pairs above ``threshold``
+    """Full near-dup clustering: Jaccard pairs above ``threshold``
     -> connected components -> (doc, cluster, is_canonical) for every
-    document (singletons are their own cluster)."""
-    pairs = jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    document (singletons are their own cluster).
+
+    ``edges`` picks the pair stage:
+    - "lsh" (default): banded-MinHash candidates + exact-Jaccard
+      verify (minhash_lsh_verified_pairs) — the 100 TB pipeline shape;
+      with the recall-1.0 banding config the edge set EQUALS the exact
+      one (asserted in tests/test_dedup.py), so clustering output is
+      unchanged while the pair stage cost scales with candidates, not
+      corpus².
+    - "exact": full inverted-index exact Jaccard (jaccard_pairs) —
+      the brute-force reference path.
+    """
+    if edges == "lsh":
+        pairs = minhash_lsh_verified_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    else:
+        pairs = jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
     comps = connected_components(pairs)
     all_docs = df.select(F.col(id_col).alias("doc"))
     return (

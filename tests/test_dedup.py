@@ -131,3 +131,14 @@ def test_simhash_golden_signature(spark):
         if votes > 0:
             want |= 1 << i
     assert sigs[0] == want
+
+
+def test_dedup_clusters_lsh_equals_exact_edges(spark, sf_dir):
+    """The LSH-verified edge stage must yield the same clustering as
+    the exact-Jaccard edge stage on the fixture (recall-1.0 banding) —
+    this is what lets d06 keep its exact SQL oracle while running the
+    candidates-then-verify pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = {(r.doc, r.cluster) for r in D.dedup_clusters(docs, "doc_id", "text", edges="lsh").collect()}
+    exact = {(r.doc, r.cluster) for r in D.dedup_clusters(docs, "doc_id", "text", edges="exact").collect()}
+    assert lsh == exact
