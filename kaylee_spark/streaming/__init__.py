@@ -97,6 +97,46 @@ def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each left event matched to
+    right events of the same key whose timestamp falls in
+    (left.ts - within, left.ts].
+
+    This is Spark's bounded-state stream-stream join shape: BOTH sides
+    carry a watermark and the join condition bounds right_ts relative
+    to left_ts, so the state store only retains rows inside the
+    watermark + interval horizon — the property that keeps a joined
+    pair of infinite streams in finite memory at scale. Without the
+    time bound Spark would have to buffer one side forever.
+
+    Output: (on, left event_id/ts, matched right event_id/ts).
+    """
+    lw = left.withWatermark("ts", watermark).select(
+        F.col(on).alias("k"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    rw = right.withWatermark("ts", watermark).select(
+        F.col(on).alias("rk"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    cond = (
+        (F.col("k") == F.col("rk"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") > F.col("l_ts") - F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond).select(
+        F.col("k").alias(on), "l_event_id", "l_ts", "r_event_id", "r_ts"
+    )
+
+
 def stream_dedup(events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours") -> DataFrame:
     """Stateful dedup keyed on (user_id, event_type) within the
     watermark horizon — state is GC'd as the watermark advances, so

@@ -112,3 +112,23 @@ def test_sliding_stream_equals_batch(spark, events_dir):
     streamed = ST.run_to_memory(ST.sliding_counts(ST.events_stream(spark, events_dir)), output_mode="complete")
     batch = ST.sliding_counts(_batch_events(spark, events_dir), watermark="0 seconds")
     assert canon(streamed) == canon(batch)
+
+
+def test_stream_stream_join_equals_batch(spark, events_dir):
+    """Watermarked stream-stream interval join drained with availableNow
+    equals the same join expressed over the batch data — Spark's
+    unified semantics, and the proof the time-bound keeps results
+    complete (nothing dropped by state eviction at these watermarks)."""
+    from pyspark.sql import functions as F
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click")
+        views = df.filter(F.col("event_type") == "view")
+        return clicks, views
+
+    s_clicks, s_views = split(ST.events_stream(spark, events_dir))
+    streamed = ST.run_to_memory(ST.stream_stream_join(s_clicks, s_views))
+    b_clicks, b_views = split(_batch_events(spark, events_dir))
+    batch = ST.stream_stream_join(b_clicks, b_views)
+    assert len(canon(streamed)) > 0
+    assert canon(streamed) == canon(batch)
