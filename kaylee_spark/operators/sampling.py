@@ -1,0 +1,77 @@
+"""Deterministic sampling for training-data pipelines.
+
+At 100 TB, `df.sample()` is the wrong tool for corpus curation: its
+Bernoulli draw depends on partitioning and task replays, so two runs
+(or a retried task) can yield different corpora. Everything here
+derives membership from a seeded hash of a STABLE KEY column instead —
+the sample is a pure function of the data, reproducible across runs,
+partitionings, engines, and cluster sizes, and it composes (the same
+row lands on the same side of every split everywhere it appears).
+
+All predicates are single codegen'd expressions on an 8-byte hash —
+scan-speed, no shuffle, prunable columns untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# denominator for hash->fraction mapping; 2^20 keeps fraction
+# resolution ~1e-6 while staying far from the 63-bit hash range
+_BUCKETS = 1 << 20
+
+
+def _hash_bucket(key: Column | str, seed: int) -> Column:
+    """Uniform bucket in [0, _BUCKETS) from a seeded xxhash64 of the
+    key. pmod folds the signed hash into the positive range."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(_BUCKETS))
+
+
+def deterministic_sample(df: DataFrame, key: str, fraction: float, seed: int = 42) -> DataFrame:
+    """Keep ~`fraction` of rows, chosen by seeded hash of `key`.
+
+    Reproducible: membership depends only on (key value, seed), never
+    on partitioning, task retries, or row order.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(_hash_bucket(key, seed) < int(fraction * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame, key: str, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. per-language corpus
+    balancing): `fractions` maps stratum value -> keep fraction; strata
+    absent from the map are dropped.
+
+    One codegen'd CASE over the stratum column — no per-stratum jobs,
+    no shuffle (contrast: df.sampleBy is Bernoulli and irreproducible
+    under retries).
+    """
+    bucket = _hash_bucket(key, seed)
+    expr = None
+    for value, frac in fractions.items():
+        cond = (F.col(strata_col) == F.lit(value)) & (bucket < int(frac * _BUCKETS))
+        expr = cond if expr is None else (expr | cond)
+    if expr is None:
+        raise ValueError("fractions must not be empty")
+    return df.filter(expr)
+
+
+def train_eval_split(
+    df: DataFrame, key: str, eval_fraction: float = 0.1, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive (train, eval) split by seeded key hash.
+
+    The split is stable under any reprocessing: a document never
+    migrates between sides, which is the property that prevents
+    train/eval leakage across pipeline re-runs. Split BY KEY (e.g.
+    content hash or source URL), not by row, so near-identical rows
+    sharing a key stay on one side.
+    """
+    bucket = _hash_bucket(key, seed)
+    threshold = int(eval_fraction * _BUCKETS)
+    return df.filter(bucket >= threshold), df.filter(bucket < threshold)
