@@ -158,9 +158,12 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3, nu
     per doc regardless of document length.
     """
     sh = hashed_shingles(df, id_col, text_col, n)
-    mins = [F.min(F.xxhash64(F.col("sh64"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
-    sig = sh.groupBy("doc").agg(*mins)
-    return sig.select("doc", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+    # one parsed SQL string for all k min-hash aggregates (the Column
+    # form costs ~4 py4j round trips per hash — driver-time, not data)
+    sig = F.expr(
+        "array(" + ",".join(f"MIN(xxhash64(sh64, {i}))" for i in range(num_hashes)) + ")"
+    ).alias("signature")
+    return sh.groupBy("doc").agg(sig)
 
 
 def _lsh_candidates(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:

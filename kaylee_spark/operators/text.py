@@ -139,3 +139,47 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(text_col),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (Gopher/RefinedWeb-style quality filters)
+# ---------------------------------------------------------------------------
+
+
+def repeated_line_ratio(text_col="text") -> Column:
+    """Fraction of non-empty lines that are duplicates of an earlier
+    line (0.0 for docs with <=1 line). Boilerplate-heavy pages score
+    high; the classic cheap pre-filter before any cross-doc dedup.
+    Pure column expression — codegen'd, scan-speed."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = F.filter(F.split(c, "\n"), lambda ln: F.trim(ln) != "")
+    n = F.size(lines)
+    return F.when(n <= 1, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(lines))) / n.cast("double")
+    )
+
+
+def top_ngram_fraction(df: DataFrame, id_col: str, text_col: str, n: int = 2) -> DataFrame:
+    """Per-document fraction of n-gram occurrences taken by the single
+    most frequent n-gram — near 1.0 flags degenerate repetition loops.
+
+    Explode-based (the shape that scales): one shuffle on
+    (doc, xxhash64(gram)) with map-side partial counts — the wide gram
+    string never rides the shuffle — then a per-doc max/sum. Output:
+    (doc, top_ngram_frac); docs with no n-grams are absent.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    # sequence(a, b) DESCENDS when b < a, so short docs need an explicit
+    # empty-array guard (sequence(0, -1) is [0, -1], not [])
+    starts = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        starts,
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")),
+    )
+    exploded = df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("g"))
+    counts = exploded.groupBy("doc", "g").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc").agg(
+        (F.max("c") / F.sum("c")).cast("double").alias("top_ngram_frac")
+    )

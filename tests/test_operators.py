@@ -163,3 +163,38 @@ def test_bpe_ish_token_count_chunks(spark):
     )
     got = [r["n"] for r in df.select(bpe_ish_token_count("text").alias("n")).collect()]
     assert got == [13, 1, 0]
+
+
+def test_repeated_line_ratio(spark):
+    from kaylee_spark.operators.text import repeated_line_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\na\n\n a "),   # lines a,b,a,'a ' -> 'a' repeats once -> 1/4... trim keeps ' a ' distinct? trim only gates emptiness
+            (2, "x\ny\nz"),
+            (3, "solo"),
+            (4, ""),
+        ],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["r"] for r in df.select("id", repeated_line_ratio("text").alias("r")).collect()}
+    assert got[2] == 0.0 and got[3] == 0.0 and got[4] == 0.0
+    # doc 1: non-empty lines = [a, b, a, ' a '] -> 4 lines, distinct 3 -> 0.25
+    assert abs(got[1] - 0.25) < 1e-12
+
+
+def test_top_ngram_fraction(spark):
+    from kaylee_spark.operators.text import top_ngram_fraction
+
+    df = spark.createDataFrame(
+        [
+            (1, "go go go go go"),        # bigrams: 4x 'go go' -> frac 1.0
+            (2, "a b c d"),               # 3 distinct bigrams -> 1/3
+            (3, "one"),                   # no bigram -> absent
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc"]: r["top_ngram_frac"] for r in top_ngram_fraction(df, "doc_id", "text", n=2).collect()}
+    assert got[1] == 1.0
+    assert abs(got[2] - 1 / 3) < 1e-12
+    assert 3 not in got
