@@ -64,31 +64,44 @@ def t02_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
         SELECT doc_id, lang,
                CAST(len(list_filter({_SQL_TOKS}, t -> t IN ('the','and','of','to','a','in','is'))) AS DOUBLE)
-                   / greatest({_SQL_NTOK}, 1) AS sw_ratio
+                   / greatest({_SQL_NTOK}, 1) AS sw_ratio,
+               CASE WHEN len(list_filter(string_split(text, chr(10)), ln -> trim(ln) <> '')) <= 1 THEN 0.0
+                    ELSE CAST(len(list_filter(string_split(text, chr(10)), ln -> trim(ln) <> ''))
+                              - len(list_distinct(list_filter(string_split(text, chr(10)), ln -> trim(ln) <> ''))) AS DOUBLE)
+                         / len(list_filter(string_split(text, chr(10)), ln -> trim(ln) <> ''))
+               END AS rep_ratio
         FROM documents
     )
     SELECT lang,
            COUNT(*) AS n_docs,
            COUNT(CASE WHEN sw_ratio >= 0.05 THEN 1 END) AS n_quality,
-           CAST(SUM(CAST(ROUND(sw_ratio, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_sw_ratio
+           CAST(SUM(CAST(ROUND(sw_ratio, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_sw_ratio,
+           CAST(SUM(CAST(ROUND(rep_ratio, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_rep_ratio
     FROM scored
     GROUP BY lang
     """,
 )
 def t03_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality gate by stopword ratio, summarized per language.
+    """Quality gate per language: stopword ratio plus the
+    repeated-line-ratio boilerplate filter (operators/text.py), both
+    driver-verified.
 
-    The ratio is int/int double division (deterministic); the SUM over
-    docs goes through decimal-of-rounded so partial-agg order can't
+    The ratios are int/int double division (deterministic); SUMs over
+    docs go through decimal-of-rounded so partial-agg order can't
     perturb bits.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sw = T.stopword_ratio("text")
-    scored = docs.select("doc_id", "lang", sw.alias("sw_ratio"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        T.stopword_ratio("text").alias("sw_ratio"),
+        T.repeated_line_ratio("text").alias("rep_ratio"),
+    )
     return scored.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.count(F.when(F.col("sw_ratio") >= 0.05, F.lit(1))).alias("n_quality"),
         F.sum(F.round("sw_ratio", 6).cast("decimal(18,6)")).cast("double").alias("total_sw_ratio"),
+        F.sum(F.round("rep_ratio", 6).cast("decimal(18,6)")).cast("double").alias("total_rep_ratio"),
     )
 
 
