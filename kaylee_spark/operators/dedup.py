@@ -157,11 +157,17 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str, n: int = 3, nu
     min-aggregation is map-side partial, so the shuffle carries k longs
     per doc regardless of document length.
     """
-    sh = hashed_shingles(df, id_col, text_col, n)
+    return _signatures_from_shingles(hashed_shingles(df, id_col, text_col, n), num_hashes)
+
+
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int, col: str = "sh64") -> DataFrame:
+    """Signatures from an existing (doc, sh64) shingle frame — lets a
+    pipeline that also needs the shingles for exact verification scan
+    them once instead of twice."""
     # one parsed SQL string for all k min-hash aggregates (the Column
     # form costs ~4 py4j round trips per hash — driver-time, not data)
     sig = F.expr(
-        "array(" + ",".join(f"MIN(xxhash64(sh64, {i}))" for i in range(num_hashes)) + ")"
+        "array(" + ",".join(f"MIN(xxhash64({col}, {i}))" for i in range(num_hashes)) + ")"
     ).alias("signature")
     return sh.groupBy("doc").agg(sig)
 
@@ -265,7 +271,9 @@ def minhash_lsh_verified_pairs(
     """
     sh = hashed_shingles(df, id_col, text_col, n).withColumnRenamed("sh64", "shingle").cache()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # signatures derive from the SAME cached shingle frame the verify
+    # stage reads — one shingle scan for the whole pipeline
+    sig = _signatures_from_shingles(sh, num_hashes, col="shingle")
     cands = _lsh_candidates(sig, num_hashes, bands)
     common = (
         cands.join(sh.select(F.col("doc").alias("doc_a"), "shingle"), "doc_a")
