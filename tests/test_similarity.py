@@ -132,3 +132,33 @@ def test_table_signatures_match_numpy(spark):
                 acc = acc * 2 + bb
             want.append(acc)
         assert got[i] == want, (i, got[i], want)
+
+
+def test_ivf_partitioned_index_prunes_files(spark, sf_dir, tmp_path):
+    """The written IVF index must (a) round-trip every vector, and
+    (b) prune unprobed list directories at the FILE level — the
+    physical plan's scan carries a PartitionFilters entry on list_id
+    and reads strictly fewer files than the full index."""
+    from kaylee_spark.operators.similarity import ivf_read_lists, ivf_write_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    centroids = ivf_write_index(emb, path, n_centroids=8)
+    assert len(centroids) == 8
+
+    full = spark.read.parquet(path)
+    assert full.count() == emb.count()
+
+    probed = ivf_read_lists(spark, path, [0, 1])
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    # pruned read touches only the probed directories (input_file_name
+    # over the filtered scan = files actually read; inputFiles() would
+    # report the whole relation pre-pruning)
+    from pyspark.sql import functions as F
+
+    n_all = full.select(F.input_file_name()).distinct().count()
+    n_probed = probed.select(F.input_file_name()).distinct().count()
+    assert 0 < n_probed < n_all
+    # and the probed rows are exactly the rows assigned to those lists
+    assert probed.count() == full.filter("list_id in (0, 1)").count()
