@@ -48,6 +48,11 @@ def stage_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     from pyspark.sql import Window
 
     out = os.path.join(tempfile.gettempdir(), f"kaylee_events_{uuid.uuid4().hex[:8]}")
+    # global-order ntile = single-partition sort: acceptable ONLY
+    # because this is test/staging plumbing over a fixture slice — at
+    # scale you'd slice by time range (filter on ts buckets), which is
+    # embarrassingly parallel. Never ship a global-order window in a
+    # production path.
     ev = load_table(spark, sf_dir, "events").withColumn(
         "_slice", F.ntile(n_files).over(Window.orderBy("ts", "event_id"))
     )
