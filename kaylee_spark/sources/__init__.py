@@ -88,3 +88,28 @@ def read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
 
 def read_json(spark: SparkSession, path: str, **options) -> DataFrame:
     return spark.read.options(**options).json(path)
+
+
+def read_json_tolerant(
+    spark: SparkSession, path: str, schema: str, corrupt_col: str = "_corrupt_record", **options
+) -> DataFrame:
+    """JSON ingestion that survives malformed lines — the default for
+    web-scraped / third-party feeds at 100 TB, where some fraction of
+    records is ALWAYS broken and a single bad line must not kill a
+    20-hour job.
+
+    PERMISSIVE mode parses what it can; unparseable lines land intact
+    in ``corrupt_col`` (all schema fields null) so the pipeline can
+    count, quarantine, or reprocess them instead of crashing
+    (FAILFAST) or silently losing them (DROPMALFORMED). An explicit
+    schema is REQUIRED: schema inference reads the data twice and
+    silently drops the corrupt column.
+    """
+    full_schema = f"{schema}, {corrupt_col} STRING"
+    return (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .options(**options)
+        .json(path)
+    )

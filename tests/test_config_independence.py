@@ -1,0 +1,32 @@
+"""Queries must be correct on ANY session config — the external driver
+runs them on its own vanilla SparkSession, not our tuned one. These
+tests flip the optimizer knobs that change PHYSICAL plans (broadcast
+vs shuffle join, AQE) and assert identical RESULTS."""
+
+from __future__ import annotations
+
+import pytest
+
+from kaylee_spark.queries import load_everything
+
+REG = load_everything()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", ["q03_top_orders", "q05_region_revenue", "q09_nation_year_profit", "a08_asof_join"])
+def test_results_identical_without_broadcast_or_aqe(spark, sf_dir, name):
+    fn = REG[name].fn
+    want = _rows(fn(spark, sf_dir))
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        got = _rows(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert got == want

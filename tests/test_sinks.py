@@ -60,3 +60,24 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_read_json_tolerant_quarantines_corrupt_lines(spark, tmp_path):
+    """Malformed JSON lines land in the corrupt column with schema
+    fields null; valid lines parse; nothing is dropped or fatal."""
+    from kaylee_spark.sources import read_json_tolerant
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "{broken json!!\n"
+        '{"id": 2, "v": "fine"}\n'
+        '["wrong shape"]\n'
+    )
+    df = read_json_tolerant(spark, str(p), "id BIGINT, v STRING").cache()
+    assert df.count() == 4
+    good = df.filter("_corrupt_record IS NULL")
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert {(r.id, r.v) for r in good.collect()} == {(1, "ok"), (2, "fine")}
+    assert bad.count() == 2
+    assert all(r.id is None for r in bad.collect())
