@@ -1,0 +1,52 @@
+"""End-to-end curation pipeline: partition correctness, reason
+accounting, determinism."""
+
+from __future__ import annotations
+
+from kaylee_spark.pipelines import curate
+from kaylee_spark.sources import load_table
+
+
+def _ids(df, col="doc_id"):
+    return {r[col] for r in df.select(col).collect()}
+
+
+def test_curate_partitions_the_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    res = curate(docs)
+    train, ev, rej = _ids(res.train), _ids(res.eval), _ids(res.rejected)
+    # train/eval/rejected partition the corpus: disjoint and exhaustive
+    assert train.isdisjoint(ev)
+    assert (train | ev).isdisjoint(rej)
+    assert train | ev | rej == _ids(docs)
+    assert len(train) > 0 and len(ev) > 0
+    reasons = {r["reason"] for r in res.rejected.select("reason").distinct().collect()}
+    assert reasons <= {"quality", "exact_dup", "near_dup"}
+
+
+def test_curate_drops_planted_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs away in a field of green"
+    near = base + " tonight"
+    rows = [
+        (1, base),
+        (2, base),            # exact dup of 1
+        (3, near),            # near dup of 1
+        (4, "a is the of to in and " * 5),   # passes quality, unique
+        (5, "xxxxx yyyyy zzzzz"),             # no stopwords -> quality reject
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    res = curate(docs, near_dup_threshold=0.5)
+    kept = _ids(res.train) | _ids(res.eval)
+    assert 1 in kept and 4 in kept
+    rej = {r["doc_id"]: r["reason"] for r in res.rejected.select("doc_id", "reason").collect()}
+    assert rej[2] == "exact_dup"
+    assert rej[3] == "near_dup"
+    assert rej[5] == "quality"
+
+
+def test_curate_is_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = curate(docs)
+    b = curate(docs.repartition(13))
+    assert _ids(a.train) == _ids(b.train)
+    assert _ids(a.eval) == _ids(b.eval)
