@@ -218,3 +218,31 @@ def t07_grouped_pandas_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kaylee_spark.functions.pandas_udfs import lang_stats_pandas
 
     return lang_stats_pandas(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "t08_top_ngram_repetition",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, len(tk) - 1 + 1), i -> array_to_string(tk[i:i+1], ' '))) AS g
+        FROM toks WHERE len(tk) >= 2
+    ),
+    counts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+    SELECT doc_id AS doc, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_ngram_frac
+    FROM counts GROUP BY doc_id
+    """,
+    extra=True,
+)
+def t08_top_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-bigram occupancy (degenerate-repetition
+    filter). Spark counts hashed grams (xxhash64 — the 8-byte key is
+    what rides the shuffle at scale); the oracle counts the raw
+    strings: identical fractions unless two distinct grams in one doc
+    collide in 64 bits (fixture-checked via the hash gate)."""
+    from kaylee_spark.operators.text import top_ngram_fraction
+
+    return top_ngram_fraction(load_table(spark, sf_dir, "documents"), "doc_id", "text", n=2)
