@@ -84,6 +84,7 @@ def _import_all() -> None:
         llm_text,
         mapreduce,
         advanced,
+        pipeline,
     )
 
 

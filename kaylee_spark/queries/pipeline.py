@@ -1,0 +1,95 @@
+"""End-to-end curation pipeline query (extra tier): the full
+quality -> exact-dedup -> near-dup-clustering ladder summarized per
+language, verified against a single DuckDB SQL program (the train/eval
+split is excluded — its seeded xxhash64 has no SQL twin; kept =
+train ∪ eval is split-independent)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kaylee_spark.pipelines import curate
+from kaylee_spark.queries import query
+from kaylee_spark.sources import load_table
+
+_ORACLE = """
+    WITH RECURSIVE scored AS (
+        SELECT doc_id, lang, text,
+               CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','and','of','to','a','in','is'))) AS DOUBLE)
+                   / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1) AS sw_ratio,
+               CASE WHEN len(list_filter(string_split(text, chr(10)), ln -> trim(ln) <> '')) <= 1 THEN 0.0
+                    ELSE CAST(len(list_filter(string_split(text, chr(10)), ln -> trim(ln) <> ''))
+                              - len(list_distinct(list_filter(string_split(text, chr(10)), ln -> trim(ln) <> ''))) AS DOUBLE)
+                         / len(list_filter(string_split(text, chr(10)), ln -> trim(ln) <> ''))
+               END AS rep_ratio
+        FROM documents
+    ),
+    passed AS (SELECT * FROM scored WHERE sw_ratio >= 0.05 AND rep_ratio <= 0.3),
+    winners AS (SELECT sha256(text) AS h, MIN(doc_id) AS winner FROM passed GROUP BY sha256(text)),
+    tagged AS (SELECT p.*, w.winner FROM passed p JOIN winners w ON sha256(p.text) = w.h),
+    exact_unique AS (SELECT * FROM tagged WHERE doc_id = winner),
+    sh AS (
+        SELECT DISTINCT doc_id AS doc, gram AS shingle FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS gram
+            FROM exact_unique
+        )
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS doc, MIN(label) AS cluster FROM reach GROUP BY node),
+    labeled AS (
+        SELECT eu.doc_id, eu.lang,
+               (eu.doc_id = COALESCE(c.cluster, eu.doc_id)) AS is_canonical
+        FROM exact_unique eu LEFT JOIN comp c ON c.doc = eu.doc_id
+    )
+    SELECT 'kept' AS status, lang, COUNT(*) AS n FROM labeled WHERE is_canonical GROUP BY lang
+    UNION ALL
+    SELECT 'near_dup' AS status, lang, COUNT(*) AS n FROM labeled WHERE NOT is_canonical GROUP BY lang
+    UNION ALL
+    SELECT 'exact_dup' AS status, lang, COUNT(*) AS n FROM tagged WHERE doc_id <> winner GROUP BY lang
+    UNION ALL
+    SELECT 'quality' AS status, lang, COUNT(*) AS n FROM scored WHERE NOT (sw_ratio >= 0.05 AND rep_ratio <= 0.3) GROUP BY lang
+    """
+
+
+@query("p01_curation_summary", oracle=_ORACLE, extra=True)
+def p01_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-ladder accounting per language: kept canonical docs
+    plus rejects by reason, cross-validated against a single SQL
+    program reproducing the whole ladder (quality predicates, sha256
+    min-id exact dedup, Jaccard>=0.5 recursive-CTE clustering)."""
+    res = curate(load_table(spark, sf_dir, "documents"))
+    kept = (
+        res.train.unionByName(res.eval)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("kept").alias("status"), "lang", "n")
+    )
+    rejected = (
+        res.rejected.groupBy(F.col("reason").alias("status"), "lang")
+        .agg(F.count("*").alias("n"))
+        .select("status", "lang", "n")
+    )
+    return kept.unionByName(rejected)
