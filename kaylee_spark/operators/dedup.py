@@ -102,7 +102,14 @@ def hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
     )
 
 
-def jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5) -> DataFrame:
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs from the inverted index.
 
     plan: shingles -> self-join on shingle (pairs sharing >=1 gram)
@@ -117,8 +124,21 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3, thresho
     (P ≈ m²/2⁶⁵; ~10⁻⁹ at one million distinct shingles, ~10⁻³ at a
     web-scale 10¹⁰ — at that scale pair it with a second hash or use
     this as the candidate stage before an exact verify).
+
+    ``max_df`` is the web-scale safety valve: the self-join cost is
+    Σ_shingle df², so ONE boilerplate shingle in 10⁶ docs costs 10¹²
+    pair rows. Capping drops shingles with document frequency >
+    ``max_df`` from the index AND from the per-doc sizes, computing
+    Jaccard over the capped shingle space — stopword-like grams carry
+    no near-dup signal, so high-similarity pairs are preserved while
+    the worst-case join term vanishes. None (default) = exact metric,
+    what the oracle-gated queries use.
     """
-    sh = hashed_shingles(df, id_col, text_col, n).withColumnRenamed("sh64", "shingle").cache()
+    sh = hashed_shingles(df, id_col, text_col, n).withColumnRenamed("sh64", "shingle")
+    if max_df is not None:
+        rare = sh.groupBy("shingle").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_df)
+        sh = sh.join(rare.select("shingle"), "shingle")
+    sh = sh.cache()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
     a = sh.withColumnRenamed("doc", "doc_a")
     b = sh.withColumnRenamed("doc", "doc_b")

@@ -142,3 +142,26 @@ def test_dedup_clusters_lsh_equals_exact_edges(spark, sf_dir):
     lsh = {(r.doc, r.cluster) for r in D.dedup_clusters(docs, "doc_id", "text", edges="lsh").collect()}
     exact = {(r.doc, r.cluster) for r in D.dedup_clusters(docs, "doc_id", "text", edges="exact").collect()}
     assert lsh == exact
+
+
+def test_jaccard_max_df_cap(spark):
+    """max_df drops only hot shingles: with the cap above every
+    document frequency the result is identical to the exact metric,
+    and with a tight cap a planted boilerplate shingle shared by ALL
+    docs stops creating pairs while true near-dups survive."""
+    boiler = "copyright footer text"
+    rows = [
+        (1, f"alpha beta gamma delta epsilon {boiler}"),
+        (2, f"alpha beta gamma delta epsilon {boiler}"),
+        (3, f"zeta eta theta iota kappa {boiler}"),
+        (4, f"lambda mu nu xi omicron {boiler}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = {(r.doc_a, r.doc_b, r.jaccard) for r in D.jaccard_pairs(df, "doc_id", "text", threshold=0.1).collect()}
+    same = {(r.doc_a, r.doc_b, r.jaccard) for r in D.jaccard_pairs(df, "doc_id", "text", threshold=0.1, max_df=100).collect()}
+    assert same == uncapped
+    # cap at 3: the boiler 3-grams (df=4) leave the index; docs 3/4
+    # share nothing else -> no pair; docs 1/2 are true dups -> jaccard 1.0
+    capped = {(r.doc_a, r.doc_b): r.jaccard for r in D.jaccard_pairs(df, "doc_id", "text", threshold=0.1, max_df=3).collect()}
+    assert (1, 2) in capped and capped[(1, 2)] == 1.0
+    assert (3, 4) not in capped
