@@ -41,25 +41,35 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table (pushdown/pruning-capable).
 
-    The events fixture stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark rejects outright; read it as nanos-since-epoch long and
-    floor-convert to a microsecond timestamp — exactly what DuckDB's
-    micro-precision TIMESTAMP does, so both engines see identical values.
+    Some generations of the events fixture store ``ts`` as parquet
+    TIMESTAMP(NANOS), which Spark rejects outright; for those, read it
+    as nanos-since-epoch long and floor-convert to a microsecond
+    timestamp — exactly what DuckDB's micro-precision TIMESTAMP does,
+    so both engines see identical values. Current fixtures store
+    ``ts`` as TIMESTAMP(MICROS), which reads as TIMESTAMP_NTZ with no
+    conversion needed — so the legacy path is gated on the dtype
+    actually read, never applied unconditionally.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(table_path(sf_dir, name))
-        # integer DIV, not /: nanos-since-epoch (~1.7e18) exceeds double
-        # precision, so a float divide would be off by ~hundreds of ns.
-        # Produce TIMESTAMP_NTZ via pure epoch arithmetic: every other
-        # fixture column reads as NTZ, and an LTZ here would shift
-        # window boundaries under a non-UTC driver session.
-        return df.withColumn(
-            "ts",
-            F.expr("timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
-        )
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # legacy nanos fixture. Integer DIV, not /: nanos-since-epoch
+            # (~1.7e18) exceeds double precision, so a float divide would
+            # be off by ~hundreds of ns. Produce TIMESTAMP_NTZ via pure
+            # epoch arithmetic: every other fixture column reads as NTZ,
+            # and an LTZ here would shift window boundaries under a
+            # non-UTC driver session.
+            return df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 
