@@ -10,6 +10,12 @@ are steady-state throughput at the target SF, which is the quantity
 that extrapolates to cluster scale (one-off compile cost amortizes to
 zero over a 100 TB run, but at sf0.1 it would dominate and add ~3x
 run-to-run variance for the codegen-heavy LSH/SimHash aggregates).
+
+Failure policy: loud and partial. A table that fails to preload or a
+query that throws is reported on stderr and recorded under "errors" in
+the JSON line; it never aborts the run — the remaining queries still
+get timed. (Rounds 3/4 lost ALL numbers because one broken table
+loader killed the whole process at preload.)
 """
 
 from __future__ import annotations
@@ -18,12 +24,17 @@ import json
 import os
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from kaylee_spark.queries import load_all  # noqa: E402
 from kaylee_spark.session import get_spark  # noqa: E402
 from kaylee_spark.sources import load_table  # noqa: E402
+
+
+def _warn(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def main() -> None:
@@ -33,9 +44,14 @@ def main() -> None:
     spark = get_spark("kaylee_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: touch every table + spin up codegen/shuffle machinery
+    # warmup: touch every table + spin up codegen/shuffle machinery.
+    # Per-table and loud: a fixture-schema drift in ONE table must cost
+    # only that table's queries, not the whole bench file.
     for t in ("lineitem", "orders", "customer", "documents", "embeddings", "events"):
-        load_table(spark, sf_dir, t).limit(1).write.format("noop").mode("overwrite").save()
+        try:
+            load_table(spark, sf_dir, t).limit(1).write.format("noop").mode("overwrite").save()
+        except Exception as exc:
+            _warn(f"preload FAILED for table {t!r}: {type(exc).__name__}: {exc}")
 
     # per-query codegen/JIT warmup at the smallest SF (see module doc)
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -43,8 +59,10 @@ def main() -> None:
         for name, spec in sorted(registry.items()):
             try:
                 spec.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
-            except Exception:
-                pass  # warmup is best-effort; timing run surfaces real errors
+            except Exception as exc:
+                # warmup is best-effort, but say so: a query that fails
+                # here will almost certainly fail in the timed pass too.
+                _warn(f"warmup failed for {name}: {type(exc).__name__}: {exc}")
         # drop warmup-scale cached data; compiled codegen classes remain
         spark.catalog.clearCache()
 
@@ -52,14 +70,22 @@ def main() -> None:
     # standard steady-state estimator — robust to transient co-tenant
     # CPU contention that can inflate any single measurement several x.
     samples: dict[str, list[float]] = {name: [] for name in registry}
+    errors: dict[str, str] = {}
 
     def timed_pass(names) -> None:
         # each pass measures the same cold-cache work: intra-query
         # caches from the previous pass must not subsidize this one
         spark.catalog.clearCache()
         for name in sorted(names):
+            if name in errors:
+                continue
             t0 = time.perf_counter()
-            registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                registry[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:
+                errors[name] = f"{type(exc).__name__}: {exc}"
+                _warn(f"query {name} FAILED:\n{traceback.format_exc()}")
+                continue
             samples[name].append(round(time.perf_counter() - t0, 3))
 
     for _pass in range(2):
@@ -68,23 +94,23 @@ def main() -> None:
     # by >1.5x, BOTH may have been hit by the same contention burst —
     # one more sample pins the steady state without tripling total
     # bench time (round-1 recorded a 3.4x-inflated outlier this way).
-    unstable = [n for n, s in samples.items() if max(s) > 1.5 * min(s)]
+    unstable = [n for n, s in samples.items() if s and max(s) > 1.5 * min(s)]
     if unstable:
         timed_pass(unstable)
-    timings = {name: min(s) for name, s in samples.items()}
+    timings = {name: min(s) for name, s in samples.items() if s}
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        result["errors"] = errors
+        _warn(f"{len(errors)} of {len(registry)} queries failed; total covers the rest")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
