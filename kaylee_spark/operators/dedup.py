@@ -160,6 +160,53 @@ def jaccard_pairs(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Cross-corpus n-gram decontamination: per TRAIN document, the
+    fraction of its distinct word n-gram shingles that appear anywhere
+    in the EVAL corpus — the standard pretraining contamination check
+    (an eval benchmark leaking into the training set shows up as a
+    train doc whose shingles are mostly eval shingles).
+
+    Output: (doc, n_shingles, n_contaminated, contamination, flagged)
+    for every train doc with at least one shingle (docs shorter than
+    ``n`` tokens have no n-grams and no defined overlap fraction).
+
+    Scale shape — a bipartite variant of the jaccard_pairs inverted
+    index, but cheaper: eval benchmarks are tiny relative to a 100 TB
+    train corpus, so the eval shingle set (distinct 8-byte xxhash64
+    keys) is broadcast and the 'join' is a map-side semi-join — the
+    train corpus is scanned ONCE with no shuffle of shingles at all;
+    the only exchange is the per-doc count aggregation, which map-side
+    combines to one row per doc. Set ``broadcast_eval=False`` if the
+    eval side genuinely exceeds broadcast size (falls back to a
+    shuffled semi-join).
+    """
+    tr = hashed_shingles(train, id_col, text_col, n)
+    ev = hashed_shingles(eval_df, id_col, text_col, n).select("sh64").distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    per_doc = tr.join(ev.withColumn("_hit", F.lit(1)), "sh64", "left").groupBy("doc").agg(
+        F.count("*").alias("n_shingles"),
+        F.count("_hit").alias("n_contaminated"),
+    )
+    contamination = (F.col("n_contaminated") / F.col("n_shingles")).cast("double")
+    return per_doc.select(
+        "doc",
+        "n_shingles",
+        "n_contaminated",
+        contamination.alias("contamination"),
+        (contamination >= threshold).alias("flagged"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
@@ -480,13 +527,18 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     (max_hamming+1) chunks; any pair within distance max_hamming
     agrees on at least one chunk, so candidates come from chunk-equal
     buckets (sub-quadratic), then exact popcount verifies.
+
+    The candidate dedup (a pair can surface from several agreeing
+    chunks) shuffles BARE ID PAIRS — 16 bytes/row; signatures are
+    re-attached afterwards from the cached (doc, simhash) frame, so the
+    dominant exchange is half the width of shipping both signatures
+    through the distinct.
     """
     chunks = max_hamming + 1
     width = _SIMHASH_BITS // chunks
     sig = simhash(df, id_col, text_col).cache()
     banded = sig.select(
         "doc",
-        "simhash",
         F.explode(
             F.array(
                 *[
@@ -498,15 +550,21 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
                 ]
             )
         ).alias("cb"),
-    ).select("doc", "simhash", "cb.chunk", "cb.key")
-    a = banded.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk", "key")
-    b = banded.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk", "key")
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    ).select("doc", "cb.chunk", "cb.key")
+    a = banded.select(F.col("doc").alias("doc_a"), "chunk", "key")
+    b = banded.select(F.col("doc").alias("doc_b"), "chunk", "key")
+    candidates = (
         a.join(b, ["chunk", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .distinct()
+    )
+    sig_a = sig.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    sig_b = sig.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        candidates.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")

@@ -24,12 +24,24 @@ from pyspark.sql import functions as F
 _SALT = "__kaylee_salt"
 
 
+def salt_expr(n_salts: int, salt_on: list[str] | str | None = None):
+    """The salt-assignment column used by salted_join (see its
+    docstring for the determinism trade-off between the two forms)."""
+    if salt_on is not None:
+        salt_cols = [salt_on] if isinstance(salt_on, str) else list(salt_on)
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salts))
+    else:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    return salt.cast("int")
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
     on: list[str] | str,
     how: str = "inner",
     n_salts: int = 8,
+    salt_on: list[str] | str | None = None,
 ) -> DataFrame:
     """Equi-join with the skewed probe side split n_salts ways.
 
@@ -39,14 +51,25 @@ def salted_join(
     Supported join types: inner / left / left_semi / left_anti (the
     replicated side must be the non-preserved one — a right or full
     join would null-extend each of the n_salts copies).
+
+    Salt assignment:
+    - ``salt_on=None`` (default): physical row position
+      (monotonically_increasing_id) — cheap, uniform, independent of
+      the key distribution, but NOT stable under task retry or
+      recompute (the id depends on partition layout). Result SETS are
+      identical either way; only which salt a row landed on differs.
+    - ``salt_on=[cols]``: ``pmod(xxhash64(salt_on...), n_salts)`` — a
+      pure function of row content, so retries and recomputes assign
+      identical salts (required when the join feeds a nondeterminism-
+      sensitive sink or a checkpointed incremental job). Pass columns
+      that DISTINGUISH rows sharing a hot join key (e.g. the row's
+      primary key): hashing the join key alone would re-concentrate
+      each hot key onto one salt — exactly the failure being fixed.
     """
     if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
         raise ValueError(f"salted_join supports inner/left/left_semi/left_anti, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
-    # salt by physical row position: cheap, uniform, and independent of
-    # the key distribution (hashing the key would re-concentrate the
-    # hot key on one salt — exactly the failure being fixed)
-    salted = skewed.withColumn(_SALT, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"))
+    salted = skewed.withColumn(_SALT, salt_expr(n_salts, salt_on))
     replicated = other.withColumn(_SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     out = salted.join(replicated, keys + [_SALT], how)
     return out.drop(_SALT)

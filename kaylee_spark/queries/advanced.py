@@ -69,6 +69,7 @@ def a02_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE), 4) AS p95
     FROM lineitem GROUP BY l_returnflag
     """,
+    extra=True,
 )
 def a03_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles, rounded to 4dp on both sides —

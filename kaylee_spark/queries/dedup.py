@@ -120,6 +120,57 @@ def d04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d07_decontamination",
+    oracle="""
+    WITH tsh AS (
+        SELECT DISTINCT doc_id AS doc, gram AS shingle FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS gram
+            FROM documents WHERE doc_id % 20 <> 0
+        )
+    ),
+    esh AS (
+        SELECT DISTINCT gram AS shingle FROM (
+            SELECT UNNEST(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS gram
+            FROM documents WHERE doc_id % 20 = 0
+        )
+    ),
+    scored AS (
+        SELECT t.doc, COUNT(*) AS n_shingles,
+               COUNT(e.shingle) AS n_contaminated
+        FROM tsh t LEFT JOIN esh e ON e.shingle = t.shingle
+        GROUP BY t.doc
+    )
+    SELECT doc, n_shingles, n_contaminated,
+           CAST(n_contaminated AS DOUBLE) / n_shingles AS contamination,
+           CAST(n_contaminated AS DOUBLE) / n_shingles >= 0.5 AS flagged
+    FROM scored
+    """,
+)
+def d07_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus n-gram decontamination: the documents fixture is
+    deterministically split into a train corpus (doc_id % 20 != 0) and
+    a held-out 'eval benchmark' (doc_id % 20 == 0); each train doc is
+    scored by the fraction of its 3-gram shingles present anywhere in
+    the eval corpus. The eval shingle set is broadcast (benchmarks are
+    tiny next to a 100 TB train corpus) so the train side is scanned
+    once with no shingle shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+    )
+
+
 @query("d05_simhash_pairs", oracle=None)
 def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming<=6 via pigeonhole bucketing).

@@ -37,6 +37,7 @@ def m01_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "m02_wordcount_top25",
     oracle=_WORDS_ORACLE + " ORDER BY count DESC, word ASC LIMIT 25",
+    extra=True,
 )
 def m02_wordcount_top25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's exact query incl. the driver-side top-25

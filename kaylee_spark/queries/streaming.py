@@ -10,6 +10,8 @@ natural correctness statement.
 
 from __future__ import annotations
 
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -17,17 +19,16 @@ from kaylee_spark.functions import dec, oracle_dec_sum
 from kaylee_spark.queries import query
 from kaylee_spark.sources import load_table
 
-
-@query(
-    "e01_tumbling_window",
-    oracle=f"""
+_TUMBLING_ORACLE = f"""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            COUNT(*) AS n_events,
            {oracle_dec_sum('value')} AS total_value
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
-    """,
-)
+    """
+
+
+@query("e01_tumbling_window", oracle=_TUMBLING_ORACLE)
 def e01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1h windows per event type (streaming: + watermark)."""
     ev = load_table(spark, sf_dir, "events")
@@ -35,6 +36,50 @@ def e01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), F.sum(dec("value")).cast("double").alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@query("e07_streamed_tumbling", oracle=_TUMBLING_ORACLE)
+def e07_streamed_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured-Streaming execution of e01: the events fixture is
+    staged as time-sliced files, replayed through readStream ->
+    withWatermark -> tumbling window -> availableNow drain into a
+    memory sink, and the drained result is returned. Hash-matches e01's
+    batch oracle because Spark's batch and streaming engines share one
+    window semantics (complete output mode, so the final watermark
+    withholds nothing).
+
+    Timezone discipline: Spark requires event-time watermarks on
+    TIMESTAMP (LTZ), so the stream reads ts as LTZ — the session
+    timezone is pinned to UTC for the eager drain (then restored) so
+    window alignment matches the NTZ oracle even on half-hour-offset
+    sessions, and the emitted LTZ window_start is converted back to
+    TIMESTAMP_NTZ by pure epoch arithmetic (session-tz-independent).
+    """
+    from kaylee_spark import streaming as ST
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        staged = ST.stage_events_dir(spark, sf_dir, n_files=4)
+        try:
+            drained = ST.run_to_memory(
+                ST.tumbling_counts(ST.events_stream(spark, staged)),
+                output_mode="complete",
+            )
+        finally:
+            # the memory sink holds the materialized result; the staged
+            # files are no longer referenced
+            shutil.rmtree(staged, ignore_errors=True)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    return drained.select(
+        F.expr(
+            "timestampadd(MICROSECOND, unix_micros(window_start), TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        ).alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
     )
 
 

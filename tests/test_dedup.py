@@ -97,6 +97,44 @@ def test_connected_components_long_chain_pointer_jump(spark):
     assert got == {i: 0 for i in range(65)}
 
 
+def test_connected_components_2k_chain_stress(spark):
+    """Worst-case topology at depth: a 2048-node chain (diameter 2047)
+    must converge within 16 iterations — pointer jumping gives
+    O(log diameter), so ~11 suffices and 16 leaves margin; plain
+    min-propagation would need 2047 and trip the warning. The absence
+    of the max_iter warning IS the iteration-count assertion."""
+    import warnings as W
+
+    n = 2048
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"])
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        got = {r["doc"]: r["cluster"] for r in D.connected_components(edges, max_iter=16).collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert not any("max_iter" in str(c.message) for c in caught)
+
+
+def test_decontaminate_literal(spark):
+    """Train doc 1 = eval text verbatim -> contamination 1.0, flagged;
+    train doc 2 shares nothing -> 0.0; sub-n-gram doc 3 absent."""
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words in this training document here"),
+            (3, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    rows = {r["doc"]: r for r in D.decontaminate(train, ev, "doc_id", "text", n=3).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["contamination"] == 1.0 and rows[1]["flagged"]
+    assert rows[1]["n_shingles"] == rows[1]["n_contaminated"] == 7
+    assert rows[2]["contamination"] == 0.0 and not rows[2]["flagged"]
+
+
 def test_connected_components_warns_when_unconverged(spark):
     import warnings as W
 

@@ -122,6 +122,34 @@ def test_salted_join_matches_plain_join(spark):
         assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect())), how
 
 
+def test_salted_join_deterministic_salt(spark):
+    """salt_on makes the salt a pure function of row content: the
+    assignment survives repartitioning (a proxy for task retry /
+    recompute, which replays with different partition layouts), the
+    hot key still spreads across several salts, and the join result
+    matches the plain join."""
+    from kaylee_spark.operators.skew import salt_expr, salted_join
+
+    skewed = spark.createDataFrame(
+        [(1, i) for i in range(900)] + [(k, 0) for k in range(2, 102)], ["k", "v"]
+    )
+    dim = spark.createDataFrame([(k, f"name_{k}") for k in range(1, 120)], ["k", "name"])
+
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        plain = skewed.join(dim, "k", how)
+        salted = salted_join(skewed, dim, "k", how=how, n_salts=4, salt_on=["k", "v"])
+        assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect())), how
+
+    # retry-stability: same salt per row under two different layouts
+    expr = salt_expr(4, ["k", "v"])
+    a = {(r["k"], r["v"]): r["s"] for r in skewed.repartition(13).select("k", "v", expr.alias("s")).collect()}
+    b = {(r["k"], r["v"]): r["s"] for r in skewed.coalesce(1).select("k", "v", expr.alias("s")).collect()}
+    assert a == b
+    # the hot key (k=1, 900 distinct v) must spread, not re-concentrate
+    hot_salts = {s for (k, v), s in a.items() if k == 1}
+    assert len(hot_salts) == 4
+
+
 def test_salted_join_rejects_right_join(spark):
     import pytest as _pytest
 
