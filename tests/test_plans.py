@@ -1,0 +1,133 @@
+"""Plan-quality regression tests: assert the PHYSICAL PLAN properties
+the 100 TB design depends on, not just result correctness.
+
+A refactor that silently drops a broadcast hint, breaks predicate
+pushdown, or introduces a cartesian product still returns correct rows
+at fixture scale — these tests are what turns that into a red test.
+Plans are built (analysis + physical planning only), never executed,
+so the whole file costs seconds.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from kaylee_spark.queries import load_all
+from kaylee_spark.sources import load_table
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def test_q01_pushdown_and_pruning(spark, sf_dir, registry):
+    """The flagship agg must push its date filter into the parquet scan
+    and prune unused lineitem columns (7 of 11 used)."""
+    p = plan_of(registry["q01_pricing_summary"].fn(spark, sf_dir))
+    assert re.search(r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", p), p
+    scan_schemas = re.findall(r"ReadSchema: (.*)", p)
+    assert scan_schemas and all("l_partkey" not in s for s in scan_schemas), (
+        "q01 reads l_partkey — column pruning broke"
+    )
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir, registry):
+    """q03/q05 join fact tables to small dims; the dims must arrive as
+    broadcast hash joins, never shuffle both sides."""
+    for q in ("q03_top_orders", "q05_region_revenue"):
+        p = plan_of(registry[q].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in p, f"{q} lost its broadcast join"
+
+
+def test_d07_broadcasts_eval_shingles(spark, sf_dir, registry):
+    """Decontamination must semi-join train shingles against a
+    BROADCAST eval set — shuffling the 100 TB train shingle stream
+    against a tiny benchmark would be the classic scale mistake."""
+    p = plan_of(registry["d07_decontamination"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_s01_broadcasts_queries(spark, sf_dir, registry):
+    """Brute-force top-k: the query vectors are broadcast so the corpus
+    is scanned exactly once with no shuffle of embeddings."""
+    p = plan_of(registry["s01_cosine_topk"].fn(spark, sf_dir))
+    assert "Broadcast" in p, p
+
+
+# every LAZY main-registry query (plan can be built without executing
+# the query; the eager ones — iterative CC, KMeans fit, streaming
+# drain, mapreduce collect — are excluded)
+_LAZY = [
+    "q01_pricing_summary", "q02_min_cost_supplier", "q03_top_orders",
+    "q04_order_priority", "q05_region_revenue", "q07_distinct",
+    "q09_nation_year_profit", "q10_returned_items", "q11_cube",
+    "q13_order_count_distribution", "q15_string_funcs",
+    "q16_customers_no_orders", "q17_above_avg_parts", "q20_set_intersect",
+    "q23_date_trunc", "q25_salted_join", "q26_volume_shipping",
+    "q27_market_share", "w01_rank_orders", "w02_running_total",
+    "w05_range_frame", "e01_tumbling_window", "e02_sliding_window",
+    "e03_session_window", "e04_json_extract", "e05_event_dedup",
+    "d01_exact_dedup", "d03_jaccard_pairs", "d07_decontamination",
+    "t01_lang_stats", "t03_quality_filter", "t04_fingerprint",
+    "a05_pivot", "a08_asof_join", "a09_range_join", "a10_array_agg",
+]
+
+
+def test_no_cartesian_products(spark, sf_dir, registry):
+    """No lazy query may plan a CartesianProduct — the one sanctioned
+    near-cartesian in the engine is the IVF probe crossJoin against
+    BROADCAST centroids (BroadcastNestedLoopJoin, bounded small side),
+    which lives in the eager s04 path."""
+    offenders = []
+    for name in _LAZY:
+        p = plan_of(registry[name].fn(spark, sf_dir))
+        if "CartesianProduct" in p:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_hot_paths_are_codegen(spark, sf_dir, registry):
+    """The relational hot paths must run inside whole-stage codegen
+    (JVM-compiled loops), not interpreted expression evaluation."""
+    # under AQE the pre-execution plan is one opaque AdaptiveSparkPlan
+    # and reports 0 codegen subtrees; build these plans with AQE off —
+    # codegen eligibility is a property of the operators, not of AQE
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name in ("q01_pricing_summary", "q05_region_revenue", "t01_lang_stats"):
+            p = plan_of(registry[name].fn(spark, sf_dir), mode="codegen")
+            m = re.search(r"Found (\d+) WholeStageCodegen subtrees", p)
+            assert m and int(m.group(1)) >= 1, f"{name} fell out of codegen"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_events_scan_prunes_props(spark, sf_dir, registry):
+    """e01 aggregates (ts, event_type, value) — the wide props JSON
+    column must not be read from parquet."""
+    p = plan_of(registry["e01_tumbling_window"].fn(spark, sf_dir))
+    schemas = re.findall(r"ReadSchema: (.*)", p)
+    assert schemas and all("props" not in s for s in schemas), p
+
+
+def test_documents_dedup_scan_prunes_text_after_hash(spark, sf_dir):
+    """exact_dedup must reduce text to a 32-byte hash before its one
+    shuffle: no Exchange in the plan may carry the raw text column."""
+    from kaylee_spark.operators.dedup import exact_dedup
+
+    df = exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+    p = plan_of(df, mode="simple")
+    # the only exchange partitions on the 32-byte hash, computed
+    # map-side by the partial aggregate
+    assert "Exchange hashpartitioning(content_sha" in p, p
