@@ -39,22 +39,26 @@ def e01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("e07_streamed_tumbling", oracle=_TUMBLING_ORACLE)
-def e07_streamed_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRUE Structured-Streaming execution of e01: the events fixture is
-    staged as time-sliced files, replayed through readStream ->
-    withWatermark -> tumbling window -> availableNow drain into a
-    memory sink, and the drained result is returned. Hash-matches e01's
-    batch oracle because Spark's batch and streaming engines share one
-    window semantics (complete output mode, so the final watermark
-    withholds nothing).
+def _ntz(col: str):
+    """LTZ -> TIMESTAMP_NTZ by pure epoch arithmetic: unix_micros reads
+    the stored instant directly, so the conversion is independent of
+    the session timezone at evaluation time."""
+    return F.expr(
+        f"timestampadd(MICROSECOND, unix_micros({col}), TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    ).alias(col)
+
+
+def _drain_staged_stream(spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    """Shared harness for the TRUE Structured-Streaming rows: stage the
+    events fixture as time-sliced files, run ``build(streaming_df)``
+    through an availableNow drain into a memory sink, and return the
+    drained batch frame.
 
     Timezone discipline: Spark requires event-time watermarks on
-    TIMESTAMP (LTZ), so the stream reads ts as LTZ — the session
-    timezone is pinned to UTC for the eager drain (then restored) so
-    window alignment matches the NTZ oracle even on half-hour-offset
-    sessions, and the emitted LTZ window_start is converted back to
-    TIMESTAMP_NTZ by pure epoch arithmetic (session-tz-independent).
+    TIMESTAMP (LTZ), so streams read ts as LTZ — the session timezone
+    is pinned to UTC for the eager drain (then restored) so window
+    alignment matches the NTZ oracles even on half-hour-offset
+    sessions; callers convert emitted LTZ columns back with ``_ntz``.
     """
     from kaylee_spark import streaming as ST
 
@@ -63,24 +67,31 @@ def e07_streamed_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         staged = ST.stage_events_dir(spark, sf_dir, n_files=4)
         try:
-            drained = ST.run_to_memory(
-                ST.tumbling_counts(ST.events_stream(spark, staged)),
-                output_mode="complete",
-            )
+            return build(ST, staged)
         finally:
             # the memory sink holds the materialized result; the staged
             # files are no longer referenced
             shutil.rmtree(staged, ignore_errors=True)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
-    return drained.select(
-        F.expr(
-            "timestampadd(MICROSECOND, unix_micros(window_start), TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-        ).alias("window_start"),
-        "event_type",
-        "n_events",
-        "total_value",
+
+
+@query("e07_streamed_tumbling", oracle=_TUMBLING_ORACLE)
+def e07_streamed_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured-Streaming execution of e01: readStream ->
+    withWatermark -> tumbling window -> availableNow drain into a
+    memory sink; the drained result is returned. Hash-matches e01's
+    batch oracle because Spark's batch and streaming engines share one
+    window semantics (complete output mode, so the final watermark
+    withholds nothing)."""
+    drained = _drain_staged_stream(
+        spark,
+        sf_dir,
+        lambda ST, staged: ST.run_to_memory(
+            ST.tumbling_counts(ST.events_stream(spark, staged)), output_mode="complete"
+        ),
     )
+    return drained.select(_ntz("window_start"), "event_type", "n_events", "total_value")
 
 
 @query(
@@ -104,9 +115,7 @@ def e02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "e03_session_window",
-    oracle="""
+_SESSION_ORACLE = """
     WITH flagged AS (
         SELECT user_id, ts,
                CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -124,8 +133,10 @@ def e02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(ts) + INTERVAL '30 minutes' AS session_end,
            COUNT(*) AS n_events
     FROM numbered GROUP BY user_id, sess_id
-    """,
-)
+    """
+
+
+@query("e03_session_window", oracle=_SESSION_ORACLE)
 def e03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30m gap) per user — Spark's session_window;
     the oracle reproduces its semantics (a gap of exactly 30m starts a
@@ -198,3 +209,49 @@ def e06_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(
         F.count("*").alias("n_events"), F.sum(dec("value")).cast("double").alias("total_value")
     )
+
+
+@query("e08_streamed_session", oracle=_SESSION_ORACLE, extra=True)
+def e08_streamed_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured-Streaming execution of e03: session windows
+    (native gap-merged state store) drained with availableNow in
+    complete mode — hash-matches e03's gaps-and-islands oracle."""
+    drained = _drain_staged_stream(
+        spark,
+        sf_dir,
+        lambda ST, staged: ST.run_to_memory(
+            ST.session_counts(ST.events_stream(spark, staged)), output_mode="complete"
+        ),
+    )
+    return drained.select("user_id", _ntz("session_start"), _ntz("session_end"), "n_events")
+
+
+@query(
+    "e09_streamed_join",
+    oracle="""
+    SELECT l.user_id, l.event_id AS l_event_id, l.ts AS l_ts,
+           r.event_id AS r_event_id, r.ts AS r_ts
+    FROM events l JOIN events r
+      ON r.user_id = l.user_id
+     AND r.ts <= l.ts
+     AND r.ts > l.ts - INTERVAL '30 minutes'
+    """,
+    extra=True,
+)
+def e09_streamed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream interval join: both sides are watermarked
+    streams over the staged events files; the time-bound join condition
+    keeps the state store finite (Spark's bounded-state join shape).
+    Drained availableNow, the emitted matches equal the batch interval
+    self-join — the SQL oracle."""
+    drained = _drain_staged_stream(
+        spark,
+        sf_dir,
+        lambda ST, staged: ST.run_to_memory(
+            ST.stream_stream_join(
+                ST.events_stream(spark, staged), ST.events_stream(spark, staged)
+            ),
+            output_mode="append",
+        ),
+    )
+    return drained.select("user_id", "l_event_id", _ntz("l_ts"), "r_event_id", _ntz("r_ts"))

@@ -56,10 +56,16 @@ def stage_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "_slice", F.ntile(n_files).over(Window.orderBy("ts", "event_id"))
     )
-    for i in range(1, n_files + 1):
-        # sequential writes -> increasing file mtimes -> the streaming
-        # file source replays slices oldest-first
-        ev.filter(F.col("_slice") == i).drop("_slice").coalesce(1).write.mode("append").parquet(out)
+    # persist the sliced frame so the global sort runs ONCE, not once
+    # per slice write (the n_files filter passes below each re-scan it)
+    ev = ev.persist()
+    try:
+        for i in range(1, n_files + 1):
+            # sequential writes -> increasing file mtimes -> the streaming
+            # file source replays slices oldest-first
+            ev.filter(F.col("_slice") == i).drop("_slice").coalesce(1).write.mode("append").parquet(out)
+    finally:
+        ev.unpersist()
     return out
 
 
