@@ -65,41 +65,47 @@ def tokens(text_col: str = "text") -> Column:
     return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+def _gram_array(text_col: str, n: int) -> Column:
+    """array of word n-grams of one document, duplicates removed.
 
-    Built-ins only: slice+concat_ws over the token array, exploded.
+    ``array_distinct`` BEFORE the explode is the load-bearing choice:
+    a document's shingles all live in its own row, so per-doc
+    distinctness is a row-local computation — no shuffle. (An explode
+    followed by DataFrame .distinct() computes the same set through a
+    full exchange of the shingle stream, which at 100 TB is the single
+    largest avoidable shuffle in the dedup family.)
     """
     toks = tokens(text_col)
     # sequence(1, k) descends when k < 1, so guard short docs explicitly
     idx = F.when(F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))).otherwise(
         F.array().cast("array<int>")
     )
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return (
-        df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("shingle"))
-        .distinct()
+    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built-ins only: slice+concat_ws over the token array, deduped
+    row-locally (array_distinct), exploded. Shuffle-free.
+    """
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(_gram_array(text_col, n)).alias("shingle")
     )
 
 
 def hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct (doc, xxhash64(shingle)) pairs.
+    """Distinct (doc, xxhash64(shingle)) pairs, computed shuffle-free
+    (see _gram_array).
 
-    Hashing BEFORE the distinct means every shuffle in the dedup
-    pipeline — the distinct itself, the inverted-index self-join, the
-    minhash aggregation — carries an 8-byte key instead of the n-gram
-    string (~4x smaller at n=3). Collision analysis in jaccard_pairs.
+    Hashing at the source means every downstream shuffle in the dedup
+    pipeline — the inverted-index self-join, the minhash aggregation —
+    carries an 8-byte key instead of the n-gram string (~4x smaller at
+    n=3). Collision analysis in jaccard_pairs.
     """
-    toks = tokens(text_col)
-    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    return (
-        df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("g"))
-        .select("doc", F.xxhash64("g").alias("sh64"))
-        .distinct()
-    )
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(_gram_array(text_col, n)).alias("g")
+    ).select("doc", F.xxhash64("g").alias("sh64"))
 
 
 def jaccard_pairs(

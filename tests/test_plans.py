@@ -121,6 +121,19 @@ def test_events_scan_prunes_props(spark, sf_dir, registry):
     assert schemas and all("props" not in s for s in schemas), p
 
 
+def test_shingling_is_shuffle_free(spark, sf_dir):
+    """Per-doc shingle distinctness is row-local (array_distinct before
+    the explode) — the shingle stream must reach downstream consumers
+    without ANY exchange. A regression to a global .distinct() would
+    re-shuffle the full (doc, shingle) stream, the largest avoidable
+    exchange in the dedup family at 100 TB."""
+    from kaylee_spark.operators.dedup import hashed_shingles
+
+    df = hashed_shingles(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    p = plan_of(df, mode="simple")
+    assert "Exchange" not in p, p
+
+
 def test_documents_dedup_scan_prunes_text_after_hash(spark, sf_dir):
     """exact_dedup must reduce text to a 32-byte hash before its one
     shuffle: no Exchange in the plan may carry the raw text column."""
