@@ -156,6 +156,41 @@ def stream_dedup(events: DataFrame, keys: list[str] | None = None, watermark: st
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    partition_by: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Checkpointed parquet file sink — the durable landing zone of a
+    streaming pipeline, with END-TO-END EXACTLY-ONCE semantics: the
+    file source is replayable, offsets + file-commit metadata live in
+    the ``checkpoint`` dir (WAL + _spark_metadata), so a restart after
+    any crash or a re-run of a fully-drained stream resumes from the
+    recorded offsets and never re-emits rows already committed —
+    readers of ``path`` see each input row exactly once. This is the
+    property that makes incremental 100 TB ingestion restartable; the
+    memory sink (run_to_memory) is for verification only.
+
+    Returns the started StreamingQuery; with ``available_now`` the
+    caller should ``awaitTermination()`` (drain-batch semantics), else
+    it runs continuously until stopped.
+    """
+    w = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def run_to_memory(stream_df: DataFrame, output_mode: str = "append", name: str | None = None) -> DataFrame:
     """Drain the stream with availableNow into a memory sink; returns
     the result as a batch DataFrame (test/verification helper)."""

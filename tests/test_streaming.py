@@ -108,6 +108,39 @@ def test_stateful_running_totals_equals_batch(spark, events_dir):
         assert got[uid][1] == pytest.approx(total, rel=1e-9)
 
 
+def test_file_sink_exactly_once_on_restart(spark, events_dir, tmp_path):
+    """The checkpointed parquet sink must be exactly-once across
+    restarts: drain, restart the same (source, checkpoint, sink)
+    triple, and the restarted query must commit NOTHING new — then
+    appending one late file and restarting again must emit exactly
+    that file's rows. This is the recovery contract a 100 TB
+    incremental ingest depends on."""
+    src = str(tmp_path / "src")  # private copy: the late-file append
+    shutil.copytree(events_dir, src)  # must not mutate the shared fixture
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = ST.stream_to_parquet(
+            ST.events_stream(spark, src, files_per_trigger=2), out, ckpt
+        )
+        q.awaitTermination()
+
+    n_src = _batch_events(spark, src).count()
+    drain()
+    first = spark.read.parquet(out).count()
+    assert first == n_src
+    drain()  # restart with nothing new: no duplicates
+    assert spark.read.parquet(out).count() == n_src
+    # late-arriving file: restart picks up exactly its rows
+    late = spark.createDataFrame(
+        [(10**9, "2030-01-01 00:00:00", 1, "late", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    late.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert spark.read.parquet(out).count() == n_src + 1
+
+
 def test_sliding_stream_equals_batch(spark, events_dir):
     streamed = ST.run_to_memory(ST.sliding_counts(ST.events_stream(spark, events_dir)), output_mode="complete")
     batch = ST.sliding_counts(_batch_events(spark, events_dir), watermark="0 seconds")
