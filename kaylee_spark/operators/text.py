@@ -26,6 +26,24 @@ def tokens(text_col="text") -> Column:
     return F.filter(F.split(c, " "), lambda t: t != "")
 
 
+def normalize_text(text_col="text") -> Column:
+    """Canonical text form for fuzzy-exact dedup (the C4/RefinedWeb
+    normalization step): lowercase, strip everything but [a-z0-9 ],
+    collapse whitespace runs, trim. Two docs differing only in case,
+    punctuation, or spacing normalize to the same string, so exact
+    dedup on the normalized form catches the near-misses content
+    hashing is blind to — at a fraction of MinHash's cost.
+
+    Pure codegen'd expression (lower + two regexp_replace) — runs at
+    scan speed, no shuffle of its own; the regexes use only character
+    classes so Spark (Java regex) and the DuckDB oracle ('g' flag)
+    agree byte-for-byte.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    cleaned = F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(cleaned, " +", " "))
+
+
 def token_count(text_col="text") -> Column:
     """Whitespace token count (the BPE-ish regex variant below)."""
     return F.size(tokens(text_col)).cast("bigint")

@@ -246,3 +246,29 @@ def t08_top_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kaylee_spark.operators.text import top_ngram_fraction
 
     return top_ngram_fraction(load_table(spark, sf_dir, "documents"), "doc_id", "text", n=2)
+
+
+@query(
+    "t09_normalized_dedup",
+    oracle="""
+    SELECT sha256(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS content_sha,
+           MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+    extra=True,
+)
+def t09_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-exact dedup: exact dedup keyed on the NORMALIZED text
+    (lowercase, punctuation stripped, whitespace collapsed — the
+    C4/RefinedWeb canonicalization), catching near-misses raw content
+    hashing is blind to at a fraction of MinHash's cost. Same one-
+    shuffle shape as d01: normalization + sha256 are codegen'd scan-
+    side, only the 32-byte key rides the exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2(T.normalize_text("text"), 256).alias("content_sha"), "doc_id")
+        .groupBy("content_sha")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("dup_count"))
+    )

@@ -122,6 +122,20 @@ def test_salted_join_matches_plain_join(spark):
         assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect())), how
 
 
+def test_normalize_text(spark):
+    """Case/punctuation/spacing variants normalize to one canonical
+    form; distinct content stays distinct."""
+    from kaylee_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "HELLO -- WORLD"), (4, "goodbye world")],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["n"] for r in df.select("id", normalize_text("text").alias("n")).collect()}
+    assert got[1] == got[2] == got[3] == "hello world"
+    assert got[4] == "goodbye world"
+
+
 def test_salted_join_deterministic_salt(spark):
     """salt_on makes the salt a pure function of row content: the
     assignment survives repartitioning (a proxy for task retry /
