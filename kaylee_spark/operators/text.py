@@ -26,6 +26,31 @@ def tokens(text_col="text") -> Column:
     return F.filter(F.split(c, " "), lambda t: t != "")
 
 
+#: PII patterns applied in order by redact_pii. Deliberately restricted
+#: to syntax Java regex and RE2 (the DuckDB oracle) interpret
+#: identically: character classes, bounded quantifiers, non-capturing
+#: groups, \b — no backrefs, no lookaround.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-\s.]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(text_col="text") -> Column:
+    """Replace emails, IPv4 addresses, and phone-like digit runs with
+    typed placeholder tokens — the standard scrub before training-data
+    release. A chain of codegen'd regexp_replace calls: runs at scan
+    speed, no Python, no shuffle. Order matters: emails first (their
+    local part may contain digit runs), then IPs (dotted digits would
+    otherwise match the phone pattern), then phones.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for _name, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def normalize_text(text_col="text") -> Column:
     """Canonical text form for fuzzy-exact dedup (the C4/RefinedWeb
     normalization step): lowercase, strip everything but [a-z0-9 ],

@@ -272,3 +272,37 @@ def t09_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("content_sha")
         .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("dup_count"))
     )
+
+
+@query(
+    "t10_pii_redaction",
+    oracle=r"""
+    WITH red AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                   '\+?[0-9][0-9()\-\s.]{7,}[0-9]', '<PHONE>', 'g') AS redacted,
+               text
+        FROM documents
+    )
+    SELECT doc_id, sha256(redacted) AS redacted_sha, (redacted <> text) AS changed
+    FROM red
+    """,
+    extra=True,
+)
+def t10_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails/IPs/phone-runs -> typed placeholders) hashed
+    per doc — the hash gate proves Spark's Java-regex redaction and
+    DuckDB's RE2 redaction are byte-identical, which is what makes the
+    restricted PII_PATTERNS dialect (operators/text.py) trustworthy.
+    Literal redaction behavior is unit-tested on planted PII."""
+    docs = load_table(spark, sf_dir, "documents")
+    red = T.redact_pii("text")
+    return docs.select(
+        "doc_id",
+        F.sha2(red, 256).alias("redacted_sha"),
+        (red != F.col("text")).alias("changed"),
+    )

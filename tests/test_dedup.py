@@ -135,6 +135,21 @@ def test_decontaminate_literal(spark):
     assert rows[2]["contamination"] == 0.0 and not rows[2]["flagged"]
 
 
+def test_decontaminate_shuffled_fallback_equals_broadcast(spark):
+    """broadcast_eval=False (the oversized-eval degradation path) must
+    produce exactly the broadcast result."""
+    train = spark.createDataFrame(
+        [(i, f"shared prefix words here doc {i} unique tail") for i in range(1, 8)],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(100, "shared prefix words here doc")], ["doc_id", "text"])
+    a = sorted(map(tuple, D.decontaminate(train, ev, "doc_id", "text").collect()))
+    b = sorted(
+        map(tuple, D.decontaminate(train, ev, "doc_id", "text", broadcast_eval=False).collect())
+    )
+    assert a == b and len(a) == 7
+
+
 def test_connected_components_warns_when_unconverged(spark):
     import warnings as W
 

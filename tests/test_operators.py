@@ -136,6 +136,27 @@ def test_normalize_text(spark):
     assert got[4] == "goodbye world"
 
 
+def test_redact_pii(spark):
+    """Planted PII of every pattern class is replaced with its typed
+    placeholder; clean text passes through unchanged."""
+    from kaylee_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact jane.doe+spam@example.co.uk for info"),
+            (2, "server at 192.168.001.1 went down"),
+            (3, "call +1 (555) 123-4567 now"),
+            (4, "no pii in this sentence at all"),
+        ],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["r"] for r in df.select("id", redact_pii("text").alias("r")).collect()}
+    assert got[1] == "contact <EMAIL> for info"
+    assert got[2] == "server at <IP> went down"
+    assert got[3] == "call <PHONE> now"
+    assert got[4] == "no pii in this sentence at all"
+
+
 def test_salted_join_deterministic_salt(spark):
     """salt_on makes the salt a pure function of row content: the
     assignment survives repartitioning (a proxy for task retry /
