@@ -809,14 +809,16 @@ def q25_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks. The salt splits each hot probe key n_salts ways at the cost
     of replicating the small side; here it demonstrates the rewrite is
     semantics-preserving (fixtures aren't skewed — the skewed-input
-    equivalence test lives in tests/test_operators.py).
+    equivalence test lives in tests/test_operators.py). Uses the
+    DETERMINISTIC salt (salt_on: pmod(xxhash64(row id cols), n)) so the
+    driver row also covers the retry-stable assignment path.
     """
     from kaylee_spark.operators.skew import salted_join
 
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
     return (
-        salted_join(li, sup, "l_suppkey", how="inner", n_salts=4)
+        salted_join(li, sup, "l_suppkey", how="inner", n_salts=4, salt_on=["l_orderkey", "l_linenumber"])
         .groupBy("s_nationkey")
         .agg(dec_sum("l_extendedprice").alias("revenue"), F.count("*").alias("n_items"))
     )

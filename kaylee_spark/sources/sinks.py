@@ -17,7 +17,11 @@ Scale guidance encoded here:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
 
 
 def write_parquet(
@@ -38,6 +42,40 @@ def write_parquet(
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)
     w.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into ~target-size files; returns the
+    new file count.
+
+    The operational complement of a streaming sink: every micro-batch
+    commit leaves one file per (batch, partition), and at 100 TB a
+    landing zone degrades into millions of KB-sized files whose
+    open/footer overhead dominates scan time. Compaction reads the
+    directory once, repartitions to ceil(bytes / target), and swaps
+    directories.
+
+    The swap here (write temp dir -> remove old -> rename) is the
+    LOCAL-FILESYSTEM shape and is not atomic for concurrent readers;
+    on object storage at scale, write to a NEW location and flip the
+    catalog/manifest pointer instead — same dataflow, different commit.
+    Readers mid-swap are the reason real deployments use table formats
+    with snapshot isolation for this.
+    """
+    total_bytes = sum(
+        e.stat().st_size for e in os.scandir(path) if e.name.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:

@@ -81,3 +81,24 @@ def test_read_json_tolerant_quarantines_corrupt_lines(spark, tmp_path):
     assert {(r.id, r.v) for r in good.collect()} == {(1, "ok"), (2, "fine")}
     assert bad.count() == 2
     assert all(r.id is None for r in bad.collect())
+
+
+def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
+    """A many-small-files directory (streaming-sink shape) compacts to
+    the computed file count with byte-identical content."""
+    import os
+
+    from kaylee_spark.sources import load_table
+    from kaylee_spark.sources.sinks import compact_parquet
+
+    out = str(tmp_path / "landing")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(16).write.mode("overwrite").parquet(out)
+    n_before = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    assert n_before == 16
+    before = sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    n_target = compact_parquet(spark, out, target_file_bytes=1 << 30)
+    n_after = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    assert n_target == n_after == 1
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
