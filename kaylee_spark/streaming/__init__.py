@@ -191,6 +191,37 @@ def stream_to_parquet(
     return w.start()
 
 
+def stream_foreach_batch(
+    stream_df: DataFrame,
+    batch_fn,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Checkpointed foreachBatch sink — the exactly-once bridge to any
+    BATCH writer (JDBC, custom formats, multi-table fan-out) that has
+    no native streaming sink.
+
+    ``batch_fn(batch_df, batch_id)`` runs once per micro-batch.
+    Spark's guarantee here is at-least-once on batch_fn (a crash after
+    the write but before the checkpoint commit replays the SAME
+    batch_id with the SAME data), so end-to-end exactly-once requires
+    batch_fn to be IDEMPOTENT PER batch_id: overwrite a
+    batch_id-keyed partition / use `INSERT ... ON CONFLICT` keyed on
+    batch_id / check a committed-ids table — then replays are no-ops.
+    The restart test encodes exactly this pattern with a
+    batch_id-partitioned parquet overwrite.
+
+    Returns the started StreamingQuery.
+    """
+    w = (
+        stream_df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def run_to_memory(stream_df: DataFrame, output_mode: str = "append", name: str | None = None) -> DataFrame:
     """Drain the stream with availableNow into a memory sink; returns
     the result as a batch DataFrame (test/verification helper)."""

@@ -141,6 +141,39 @@ def test_file_sink_exactly_once_on_restart(spark, events_dir, tmp_path):
     assert spark.read.parquet(out).count() == n_src + 1
 
 
+def test_foreach_batch_idempotent_restart(spark, events_dir, tmp_path):
+    """foreachBatch with a batch_id-keyed overwrite is exactly-once
+    across restarts: re-running the drained triple writes nothing new,
+    and a replayed batch_id would overwrite its own partition rather
+    than duplicate it."""
+    src = str(tmp_path / "src")
+    shutil.copytree(events_dir, src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def write_batch(batch_df, batch_id):
+        # idempotence pattern: each batch owns its partition; a replay
+        # of the same batch_id overwrites, never appends
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(out))
+
+    def drain():
+        q = ST.stream_foreach_batch(
+            ST.events_stream(spark, src, files_per_trigger=2), write_batch, ckpt
+        )
+        q.awaitTermination()
+
+    n_src = _batch_events(spark, src).count()
+    drain()
+    result = spark.read.parquet(out)
+    assert result.count() == n_src
+    assert result.select("batch_id").distinct().count() == 2  # 4 files / 2 per trigger
+    drain()  # restart: no new batches, no duplicates
+    assert spark.read.parquet(out).count() == n_src
+
+
 def test_sliding_stream_equals_batch(spark, events_dir):
     streamed = ST.run_to_memory(ST.sliding_counts(ST.events_stream(spark, events_dir)), output_mode="complete")
     batch = ST.sliding_counts(_batch_events(spark, events_dir), watermark="0 seconds")
