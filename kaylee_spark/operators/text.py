@@ -37,6 +37,47 @@ PII_PATTERNS = (
 )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed token windows with overlap — the
+    standard context-window prep for LLM training/embedding: (doc,
+    chunk_idx, chunk_text, n_tokens), windows starting every
+    ``chunk_tokens - overlap`` tokens so consecutive chunks share
+    ``overlap`` tokens of context.
+
+    Row-local and shuffle-free: the token array, window starts, and
+    slices are all array expressions on the document's own row, then
+    one explode. A doc shorter than a window yields its whole text as
+    chunk 0; the trailing window is allowed to be short. At 100 TB the
+    output rides whatever shuffle the CONSUMER needs — chunking itself
+    adds none.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    step = chunk_tokens - overlap
+    toks = tokens(text_col)
+    # 1-based window starts: 1, 1+step, ... while start <= size - overlap
+    # (a final window must contain at least one NEW token past the
+    # previous window's overlap); degenerate short/empty docs get [1].
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - F.lit(overlap), F.lit(1)), F.lit(step)
+    )
+    win = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, chunk_tokens)))
+    return df.select(
+        F.col(id_col).alias("doc"), F.posexplode(win).alias("chunk_idx", "chunk_text")
+    ).select(
+        "doc",
+        "chunk_idx",
+        "chunk_text",
+        F.size(F.filter(F.split("chunk_text", " "), lambda t: t != "")).alias("n_tokens"),
+    )
+
+
 def redact_pii(text_col="text") -> Column:
     """Replace emails, IPv4 addresses, and phone-like digit runs with
     typed placeholder tokens — the standard scrub before training-data

@@ -306,3 +306,31 @@ def t10_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(red, 256).alias("redacted_sha"),
         (red != F.col("text")).alias("changed"),
     )
+
+
+@query(
+    "t11_doc_chunking",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST((s - 1) // 48 AS INT) AS chunk_idx,
+               array_to_string(tk[s:s + 63], ' ') AS chunk_text
+        FROM toks, UNNEST(generate_series(1, greatest(len(tk) - 16, 1), 48)) AS u(s)
+    )
+    SELECT doc_id AS doc, chunk_idx, chunk_text,
+           CAST(len(list_filter(string_split(chunk_text, ' '), t -> t <> '')) AS INT) AS n_tokens
+    FROM chunks
+    """,
+    extra=True,
+)
+def t11_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token windows, 16-token overlap
+    (48-token stride). Row-local array ops + one explode — chunking
+    itself is shuffle-free; the oracle mirrors the window algebra with
+    DuckDB list slicing (end-inclusive [s : s+63])."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)

@@ -136,6 +136,33 @@ def test_normalize_text(spark):
     assert got[4] == "goodbye world"
 
 
+def test_chunk_documents(spark):
+    """Window/overlap algebra: 10 tokens at chunk=4/overlap=1 (stride
+    3) -> starts 1,4,7 -> chunks of 4,4,4 tokens sharing one token of
+    context; short and empty docs yield exactly one chunk."""
+    import pytest as _pytest
+
+    from kaylee_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2, "a b"), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc"], []).append((r["chunk_idx"], r["chunk_text"], r["n_tokens"]))
+    assert by_doc[1] == [
+        (0, "t1 t2 t3 t4", 4),
+        (1, "t4 t5 t6 t7", 4),
+        (2, "t7 t8 t9 t10", 4),
+    ]
+    assert by_doc[2] == [(0, "a b", 2)]
+    assert by_doc[3] == [(0, "", 0)]
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
 def test_redact_pii(spark):
     """Planted PII of every pattern class is replaced with its typed
     placeholder; clean text passes through unchanged."""
