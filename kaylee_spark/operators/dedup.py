@@ -166,6 +166,34 @@ def jaccard_pairs(
     )
 
 
+def incremental_exact_dedup(
+    increment: DataFrame,
+    text_col: str,
+    id_col: str,
+    seen_hashes: DataFrame,
+    hash_col: str = "content_sha",
+) -> DataFrame:
+    """Dedup a NEW data increment against an already-ingested corpus —
+    the daily-ingest shape: full-corpus re-dedup at 100 TB costs a
+    100 TB scan per day, while this touches only the increment plus an
+    anti-join against the (hash-only, 32 bytes/row) seen-set.
+
+    Two stages, both on hashes: (1) dedup WITHIN the increment
+    (min-id winner, same semantics as exact_dedup), (2) left_anti
+    against ``seen_hashes`` drops content the corpus already has. The
+    seen-set is the running output of prior ingests — exactly what
+    `exact_dedup(...).select(hash_col)` of the corpus produces — and
+    anti-joins shuffle only hashes, never text.
+
+    Output: one surviving (hash, id, dup_count) row per NEW-to-the-
+    corpus content item in the increment.
+    """
+    within = exact_dedup(increment, text_col, id_col)
+    return within.join(
+        seen_hashes.select(F.col(hash_col).alias("content_sha")), "content_sha", "left_anti"
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

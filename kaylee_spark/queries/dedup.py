@@ -227,3 +227,31 @@ def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same computation as a DuckDB recursive CTE.
     """
     return D.dedup_clusters(load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5)
+
+
+@query(
+    "d08_incremental_dedup",
+    oracle="""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+    increment AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+    within AS (
+        SELECT sha256(text) AS content_sha, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+        FROM increment GROUP BY sha256(text)
+    )
+    SELECT w.content_sha, w.doc_id, w.dup_count
+    FROM within w
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE sha256(c.text) = w.content_sha)
+    """,
+    extra=True,
+)
+def d08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the doc_id%10==0 slice plays the
+    daily increment, the rest the already-ingested corpus; survivors
+    are increment content items (min-id within the increment) whose
+    hash the corpus has never seen. Anti-join on 32-byte hashes — text
+    never shuffles, the corpus contributes only its hash set."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    increment = docs.filter(F.col("doc_id") % 10 == 0)
+    seen = corpus.select(D.content_hash("text").alias("content_sha"))
+    return D.incremental_exact_dedup(increment, "text", "doc_id", seen)

@@ -150,6 +150,21 @@ def test_decontaminate_shuffled_fallback_equals_broadcast(spark):
     assert a == b and len(a) == 7
 
 
+def test_incremental_exact_dedup(spark):
+    """Within-increment dups collapse to min-id; content the corpus
+    already holds is dropped; genuinely new content survives."""
+    seen = spark.createDataFrame([("old doc",)], ["text"]).select(
+        D.content_hash("text").alias("content_sha")
+    )
+    inc = spark.createDataFrame(
+        [(10, "old doc"), (11, "new doc"), (12, "new doc"), (13, "other new")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["dup_count"] for r in
+           D.incremental_exact_dedup(inc, "text", "doc_id", seen).collect()}
+    assert got == {11: 2, 13: 1}
+
+
 def test_connected_components_warns_when_unconverged(spark):
     import warnings as W
 
