@@ -62,3 +62,33 @@ def test_wordcount_matches_python_counter(spark, texts):
     got = {r["word"]: r["count"] for r in word_count(spark, df).collect()}
     want = Counter(w for t in (texts or [""]) for w in t.split() if w)
     assert got == dict(want)
+
+
+@SPARK_SETTINGS
+@given(
+    n_words=st.integers(min_value=0, max_value=60),
+    chunk=st.integers(min_value=2, max_value=12),
+    overlap=st.integers(min_value=0, max_value=6),
+)
+def test_chunk_reconstruction(spark, n_words, chunk, overlap):
+    """Lossless-coverage law: dropping each non-first chunk's first
+    `overlap` tokens and concatenating reconstructs the document
+    exactly — no token lost, none duplicated, for ANY (chunk, overlap)
+    with overlap < chunk."""
+    from hypothesis import assume
+
+    from kaylee_spark.operators.text import chunk_documents
+
+    assume(overlap < chunk)
+    words = [f"w{i}" for i in range(n_words)]
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, "doc_id", "text", chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert rows[0]["chunk_idx"] == 0
+    rebuilt = []
+    for r in rows:
+        toks = [t for t in r["chunk_text"].split(" ") if t]
+        rebuilt.extend(toks if r["chunk_idx"] == 0 else toks[overlap:])
+    assert rebuilt == words, (chunk, overlap, [r["chunk_text"] for r in rows])
