@@ -30,3 +30,36 @@ def test_results_identical_without_broadcast_or_aqe(spark, sf_dir, name):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     assert got == want
+
+
+@pytest.mark.parametrize("name", ["d07_decontamination", "q25_salted_join", "d08_incremental_dedup"])
+def test_round5_results_identical_without_broadcast_or_aqe(spark, sf_dir, name):
+    fn = REG[name].fn
+    want = _rows(fn(spark, sf_dir))
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        got = _rows(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert got == want
+
+
+def test_streamed_tumbling_timezone_independent(spark, sf_dir):
+    """e07 must equal e01's batch result even when the session runs on
+    a half-hour-offset timezone — the drain pins UTC internally and the
+    emitted window_start converts back to NTZ by epoch arithmetic, so
+    no session tz can shift window boundaries (the classic LTZ
+    streaming bug this guards against)."""
+    want = _rows(REG["e01_tumbling_window"].fn(spark, sf_dir))
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        got = _rows(REG["e07_streamed_tumbling"].fn(spark, sf_dir))
+        assert spark.conf.get("spark.sql.session.timeZone") == "Asia/Kolkata"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert got == want
