@@ -100,6 +100,33 @@ def read_json(spark: SparkSession, path: str, **options) -> DataFrame:
     return spark.read.options(**options).json(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC columnar source (bundled with Spark; same pushdown/pruning
+    machinery as parquet — PushedFilters/ReadSchema reach the scan).
+    The interchange format when upstream lives in a Hive/ORC world."""
+    return spark.read.options(**options).orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None, recursive: bool = False
+) -> DataFrame:
+    """Raw-file source: one row per file with (path, modificationTime,
+    length, content binary) — the INGEST path for multimodal corpora
+    (image/audio/video files on a store become a binary column + typed
+    metadata, then flow through operators/multimodal.py's mapInPandas
+    plumbing). ``glob`` filters by filename (e.g. "*.jpg") at LISTING
+    time, before any read. At 100 TB pair with
+    spark.sql.files.maxPartitionBytes so many small files coalesce
+    into sane tasks rather than one task per file.
+    """
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    if recursive:
+        r = r.option("recursiveFileLookup", "true")
+    return r.load(path)
+
+
 def read_json_tolerant(
     spark: SparkSession, path: str, schema: str, corrupt_col: str = "_corrupt_record", **options
 ) -> DataFrame:

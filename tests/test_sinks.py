@@ -102,3 +102,38 @@ def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
     n_after = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
     assert n_target == n_after == 1
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC round-trips the lineitem slice and the read plan carries the
+    same pushdown/pruning as parquet."""
+    from kaylee_spark.sources import load_table, read_orc
+
+    p = str(tmp_path / "orc")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    li.write.mode("overwrite").orc(p)
+    back = read_orc(spark, p)
+    assert back.count() == li.count()
+    plan = back.filter("l_returnflag = 'R'")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan and "l_returnflag" in plan
+
+
+def test_binary_files_source(spark, tmp_path):
+    """binaryFile ingest: one row per file, glob filtering at listing
+    time, content readable as bytes — the multimodal ingest path."""
+    from kaylee_spark.sources import read_binary_files
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "a.jpg").write_bytes(b"\xff\xd8fakejpeg-a")
+    (d / "b.jpg").write_bytes(b"\xff\xd8fakejpeg-b")
+    (d / "c.txt").write_text("not an image")
+    df = read_binary_files(spark, str(d), glob="*.jpg")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 2
+    assert all(bytes(r["content"]).startswith(b"\xff\xd8") for r in rows)
+    assert {r["length"] for r in rows} == {12}
