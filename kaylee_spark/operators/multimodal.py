@@ -104,6 +104,50 @@ def synth_media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+#: filename-extension -> (modality, mime) for the file-ingest path
+_EXT_MODALITY = {
+    "jpg": ("image", "image/jpeg"), "jpeg": ("image", "image/jpeg"),
+    "png": ("image", "image/png"), "gif": ("image", "image/gif"),
+    "wav": ("audio", "audio/wav"), "mp3": ("audio", "audio/mpeg"),
+    "flac": ("audio", "audio/flac"),
+    "mp4": ("video", "video/mp4"), "mkv": ("video", "video/x-matroska"),
+    "webm": ("video", "video/webm"),
+}
+
+
+def media_from_files(spark, path: str, glob: str | None = None, recursive: bool = False) -> DataFrame:
+    """REAL ingest path for a multimodal corpus: a directory of media
+    files becomes the engine's media schema (media_id, modality,
+    payload, meta) via the binaryFile source — one row per file, glob
+    filtered at listing time, payload never decoded until an operator
+    asks. Modality/mime derive from the extension; width/height/
+    duration stay null until a (codec-dependent) probe fills them.
+    media_id is xxhash64(path) — stable across re-listing, and joins
+    as an 8-byte key instead of the path string.
+    """
+    from kaylee_spark.sources import read_binary_files
+
+    files = read_binary_files(spark, path, glob=glob, recursive=recursive)
+    ext = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
+    modality = ext
+    mime = ext
+    for e, (mod, mm) in _EXT_MODALITY.items():
+        modality = F.when(ext == e, mod).otherwise(modality)
+        mime = F.when(ext == e, mm).otherwise(mime)
+    return files.select(
+        F.xxhash64("path").alias("media_id"),
+        modality.alias("modality"),
+        F.col("content").alias("payload"),
+        F.struct(
+            mime.alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.col("length").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """Decode + feature-extract over Arrow batches (mapInPandas).
 

@@ -288,3 +288,24 @@ def test_top_ngram_fraction(spark):
     assert got[1] == 1.0
     assert abs(got[2] - 1 / 3) < 1e-12
     assert 3 not in got
+
+
+def test_media_from_files(spark, tmp_path):
+    """File-directory ingest lands in the same media schema the
+    mapInPandas operators consume; feature extraction runs on it."""
+    from kaylee_spark.operators.multimodal import extract_features, media_from_files
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "x.jpg").write_bytes(b"\xff\xd8img-bytes")
+    (d / "y.wav").write_bytes(b"RIFFaudio-bytes")
+    (d / "notes.txt").write_text("skip me")
+
+    media = media_from_files(spark, str(d), glob="*.{jpg,wav}")
+    rows = {r["modality"]: r for r in media.collect()}
+    assert set(rows) == {"image", "audio"}
+    assert rows["image"]["meta"]["mime"] == "image/jpeg"
+    assert rows["audio"]["meta"]["n_bytes"] == 15
+    assert bytes(rows["image"]["payload"]).startswith(b"\xff\xd8")
+    feats = extract_features(media, dim=4)
+    assert feats.count() == 2 and len(feats.first()["features"]) == 4
