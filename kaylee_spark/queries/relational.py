@@ -920,3 +920,72 @@ def q27_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("asia_share")
         )
     )
+
+
+@query(
+    "q28_multi_supplier_orders",
+    oracle="""
+    SELECT s_nationkey, COUNT(DISTINCT l1.l_orderkey) AS n_shared_orders
+    FROM lineitem l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY s_nationkey
+    """,
+    extra=True,
+)
+def q28_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with an inequality on the correlated table
+    (the TPC-H Q21 family): per supplier nation, orders the supplier
+    shared with at least one OTHER supplier. The exists compiles to a
+    left-semi self-join on (orderkey, suppkey<>suppkey) — equi on the
+    order key, inequality as residual; no driver-side subquery loop."""
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", "l_suppkey")
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    shared = l1.join(
+        l2, (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2), "left_semi"
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    return (
+        shared.join(F.broadcast(sup), "l_suppkey")
+        .groupBy("s_nationkey")
+        .agg(F.count_distinct("l_orderkey").alias("n_shared_orders"))
+    )
+
+
+@query(
+    "q29_top_revenue_suppliers",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey, {oracle_dec_sum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    extra=True,
+)
+def q29_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery over a DERIVED aggregate (the TPC-H Q15 'top
+    supplier view' family): revenue per supplier, keep the max.
+    Decimal accumulation makes the max tie-exact across engines; the
+    scalar max compiles to a 1-row broadcast join against the reused
+    aggregate, not a second scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("m"))
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey"), F.col("s_name")
+    )
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == F.col("m"))
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
