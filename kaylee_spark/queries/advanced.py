@@ -87,9 +87,9 @@ def a03_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT c_mktsegment,
            COUNT(*) AS n,
-           {oracle_dec_sum('c_acctbal')} AS s1,
-           {oracle_dec_sum('c_acctbal * c_acctbal')} AS s2,
-           CAST(({oracle_dec_sum('c_acctbal * c_acctbal')} - {oracle_dec_sum('c_acctbal')} * {oracle_dec_sum('c_acctbal')} / COUNT(*)) / (COUNT(*) - 1) AS DOUBLE) AS variance
+           ROUND({oracle_dec_sum('c_acctbal')}, 2) AS s1,
+           ROUND({oracle_dec_sum('c_acctbal * c_acctbal')}, 2) AS s2,
+           ROUND(CAST(({oracle_dec_sum('c_acctbal * c_acctbal')} - {oracle_dec_sum('c_acctbal')} * {oracle_dec_sum('c_acctbal')} / COUNT(*)) / (COUNT(*) - 1) AS DOUBLE), 4) AS variance
     FROM customer GROUP BY c_mktsegment
     """,
     extra=True,
@@ -101,6 +101,13 @@ def a04_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-match any oracle; accumulating the two moments in decimal is
     order-independent, then the final double arithmetic is identical
     on both engines. Same one-pass shape as Spark's native m2 method.
+
+    Both sides ROUND the emitted moments (2dp) and variance (4dp):
+    once the exact decimal sum exceeds ~2^33 (sum-of-squares does at
+    sf0.1), its 6dp quantum is FINER than double ulp spacing and the
+    decimal->double conversion may differ by one ulp between engines
+    (caught at sf0.1, round 5) — the same last-ulp divergence a03
+    rounds away for percentile interpolation.
     """
     cust = load_table(spark, sf_dir, "customer")
     s1 = F.sum(dec("c_acctbal")).cast("double")
@@ -108,9 +115,9 @@ def a04_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count("*")
     return cust.groupBy("c_mktsegment").agg(
         n.alias("n"),
-        s1.alias("s1"),
-        s2.alias("s2"),
-        ((s2 - s1 * s1 / n) / (n - F.lit(1))).cast("double").alias("variance"),
+        F.round(s1, 2).alias("s1"),
+        F.round(s2, 2).alias("s2"),
+        F.round(((s2 - s1 * s1 / n) / (n - F.lit(1))).cast("double"), 4).alias("variance"),
     )
 
 
