@@ -37,23 +37,34 @@ def dec(col) -> Column:
 
 
 def dec_sum(col) -> Column:
-    """Order-independent SUM over a double column, returned as double."""
-    return F.sum(dec(col)).cast("double")
+    """Order-independent SUM over a double column, returned as double.
+
+    The sum is ROUNDED TO CENTS (scale 2) while still exact decimal,
+    BEFORE the double cast: once a scale-6 sum exceeds ~2^33 its 1e-6
+    quantum is finer than double ulp spacing and the decimal->double
+    conversion may legitimately differ by one ulp between engines
+    (Spark's single BigDecimal conversion vs DuckDB's int128/10^k
+    float path) — caught at sf0.1/sf1-synthetic in round 5. At scale 2
+    the quantum stays coarser than ulp spacing up to ~10^13, so the
+    conversion is bit-identical through any realistic money sum.
+    """
+    return F.round(F.sum(dec(col)), 2).cast("double")
 
 
 def dec_avg(col) -> Column:
-    """Order-independent AVG: exact decimal sum / count, in doubles."""
-    return (F.sum(dec(col)).cast("double") / F.count(dec(col))).cast("double")
+    """Order-independent AVG: cent-rounded exact decimal sum / count,
+    in doubles (lockstep with oracle_dec_avg)."""
+    return (F.round(F.sum(dec(col)), 2).cast("double") / F.count(dec(col))).cast("double")
 
 
 def oracle_dec_sum(expr: str) -> str:
     """DuckDB SQL equivalent of dec_sum (keep in lockstep with dec_sum)."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(24,6))) AS DOUBLE)"
+    return f"CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(24,6))), 2) AS DOUBLE)"
 
 
 def oracle_dec_avg(expr: str) -> str:
     return (
-        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(24,6))) AS DOUBLE)"
+        f"CAST(CAST(ROUND(SUM(CAST(({expr}) AS DECIMAL(24,6))), 2) AS DOUBLE)"
         f" / COUNT(CAST(({expr}) AS DECIMAL(24,6))) AS DOUBLE)"
     )
 

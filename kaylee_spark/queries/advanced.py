@@ -87,8 +87,8 @@ def a03_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT c_mktsegment,
            COUNT(*) AS n,
-           ROUND({oracle_dec_sum('c_acctbal')}, 2) AS s1,
-           ROUND({oracle_dec_sum('c_acctbal * c_acctbal')}, 2) AS s2,
+           {oracle_dec_sum('c_acctbal')} AS s1,
+           {oracle_dec_sum('c_acctbal * c_acctbal')} AS s2,
            ROUND(CAST(({oracle_dec_sum('c_acctbal * c_acctbal')} - {oracle_dec_sum('c_acctbal')} * {oracle_dec_sum('c_acctbal')} / COUNT(*)) / (COUNT(*) - 1) AS DOUBLE), 4) AS variance
     FROM customer GROUP BY c_mktsegment
     """,
@@ -101,22 +101,19 @@ def a04_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-match any oracle; accumulating the two moments in decimal is
     order-independent, then the final double arithmetic is identical
     on both engines. Same one-pass shape as Spark's native m2 method.
-
-    Both sides ROUND the emitted moments (2dp) and variance (4dp):
-    once the exact decimal sum exceeds ~2^33 (sum-of-squares does at
-    sf0.1), its 6dp quantum is FINER than double ulp spacing and the
-    decimal->double conversion may differ by one ulp between engines
-    (caught at sf0.1, round 5) — the same last-ulp divergence a03
-    rounds away for percentile interpolation.
+    dec_sum's cent-rounding (see kaylee_spark/functions) is what keeps
+    the moments' decimal->double conversion bit-identical at scale —
+    the unrounded form diverged by one ulp at sf0.1 (round-5 catch);
+    variance additionally rounds to 4dp like a03's interpolation.
     """
     cust = load_table(spark, sf_dir, "customer")
-    s1 = F.sum(dec("c_acctbal")).cast("double")
-    s2 = F.sum(dec(F.col("c_acctbal") * F.col("c_acctbal"))).cast("double")
+    s1 = dec_sum("c_acctbal")
+    s2 = dec_sum(F.col("c_acctbal") * F.col("c_acctbal"))
     n = F.count("*")
     return cust.groupBy("c_mktsegment").agg(
         n.alias("n"),
-        F.round(s1, 2).alias("s1"),
-        F.round(s2, 2).alias("s2"),
+        s1.alias("s1"),
+        s2.alias("s2"),
         F.round(((s2 - s1 * s1 / n) / (n - F.lit(1))).cast("double"), 4).alias("variance"),
     )
 

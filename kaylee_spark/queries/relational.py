@@ -63,8 +63,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dec_sum("l_quantity").alias("sum_qty"),
         dec_sum("l_extendedprice").alias("sum_base_price"),
-        F.sum(dec(disc_price)).cast("double").alias("sum_disc_price"),
-        F.sum(dec(charge)).cast("double").alias("sum_charge"),
+        dec_sum(disc_price).alias("sum_disc_price"),
+        dec_sum(charge).alias("sum_charge"),
         dec_avg("l_quantity").alias("avg_qty"),
         dec_avg("l_extendedprice").alias("avg_price"),
         dec_avg("l_discount").alias("avg_disc"),
@@ -101,7 +101,7 @@ def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 25)
         )
         .agg(
-            F.sum(dec(F.col("l_extendedprice") * F.col("l_discount"))).cast("double").alias("revenue"),
+            dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -163,7 +163,7 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -199,7 +199,7 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
@@ -309,7 +309,7 @@ def q19_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), cond)
         .groupBy("p_brand")
         .agg(
-            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue"),
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -550,7 +550,7 @@ def q14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
         .agg(
-            F.sum(dec(urgent)).cast("double").alias("urgent_revenue"),
+            dec_sum(urgent).alias("urgent_revenue"),
             dec_sum("o_totalprice").alias("total_revenue"),
             F.count(F.when(F.col("o_orderstatus") == "F", F.lit(1))).alias("n_finished"),
         )
@@ -743,7 +743,7 @@ def q09_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("sum_profit"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_profit"))
     )
 
 
@@ -787,7 +787,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -868,7 +868,7 @@ def q26_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("double").alias("revenue"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 

@@ -15,7 +15,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kaylee_spark.functions import dec, oracle_dec_sum
+from kaylee_spark.functions import dec_sum, oracle_dec_sum
 from kaylee_spark.queries import query
 from kaylee_spark.sources import load_table
 
@@ -34,7 +34,7 @@ def e01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.sum(dec("value")).cast("double").alias("total_value"))
+        .agg(F.count("*").alias("n_events"), dec_sum("value").alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
 
@@ -110,7 +110,7 @@ def e02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
-        .agg(F.count("*").alias("n_events"), F.sum(dec("value")).cast("double").alias("total_value"))
+        .agg(F.count("*").alias("n_events"), dec_sum("value").alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
     )
 
@@ -171,7 +171,7 @@ def e04_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").cast("int")
     return (
         ev.groupBy((k % 10).alias("k_bucket"))
-        .agg(F.count("*").alias("n_events"), F.sum(dec("value")).cast("double").alias("total_value"))
+        .agg(F.count("*").alias("n_events"), dec_sum("value").alias("total_value"))
     )
 
 
@@ -207,7 +207,7 @@ def e06_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_streaming.py."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.count("*").alias("n_events"), F.sum(dec("value")).cast("double").alias("total_value")
+        F.count("*").alias("n_events"), dec_sum("value").alias("total_value")
     )
 
 

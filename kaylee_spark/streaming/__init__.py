@@ -27,7 +27,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kaylee_spark.functions import dec
+from kaylee_spark.functions import dec_sum
 from kaylee_spark.sources import load_table
 
 # ts is LTZ here (not NTZ like the batch fixture loader): Spark's
@@ -84,7 +84,7 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.sum(dec("value")).cast("double").alias("total_value"))
+        .agg(F.count("*").alias("n_events"), dec_sum("value").alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
 
@@ -93,7 +93,7 @@ def sliding_counts(events: DataFrame, window: str = "1 hour", slide: str = "15 m
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"))
-        .agg(F.count("*").alias("n_events"), F.sum(dec("value")).cast("double").alias("total_value"))
+        .agg(F.count("*").alias("n_events"), dec_sum("value").alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
     )
 
