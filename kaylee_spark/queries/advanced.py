@@ -188,7 +188,7 @@ def a07_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT n_name,
                COUNT(DISTINCT c_custkey) AS n_customers,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,6))), 2) AS DOUBLE) AS revenue
         FROM customer JOIN nation ON c_nationkey = n_nationkey
                       JOIN orders ON o_custkey = c_custkey
         WHERE o_orderstatus = 'F'

@@ -111,7 +111,7 @@ def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q08_nation_having",
     oracle="""
     SELECT c_nationkey, COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE) AS total_acctbal
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(24,6))), 2) AS DOUBLE) AS total_acctbal
     FROM customer
     GROUP BY c_nationkey
     HAVING COUNT(*) >= 3
@@ -506,7 +506,7 @@ def q11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_rollup",
     oracle="""
     SELECT r_name, n_name, COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE) AS total_bal
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(24,6))), 2) AS DOUBLE) AS total_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
                   JOIN region ON n_regionkey = r_regionkey
     GROUP BY ROLLUP (r_name, n_name)
@@ -877,10 +877,10 @@ def q26_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
            CAST(
-             CAST(SUM(CASE WHEN r_name = 'ASIA'
+             CAST(ROUND(SUM(CASE WHEN r_name = 'ASIA'
                       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))
-                      ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
-             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+                      ELSE CAST(0 AS DECIMAL(24,6)) END), 2) AS DOUBLE)
+             / CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))), 2) AS DOUBLE)
            AS DOUBLE) AS asia_share
     FROM lineitem
       JOIN orders ON o_orderkey = l_orderkey
@@ -915,8 +915,8 @@ def q27_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (
-                F.sum(F.when(F.col("r_name") == "ASIA", disc).otherwise(zero)).cast("double")
-                / F.sum(disc).cast("double")
+                F.round(F.sum(F.when(F.col("r_name") == "ASIA", disc).otherwise(zero)), 2).cast("double")
+                / F.round(F.sum(disc), 2).cast("double")
             ).cast("double").alias("asia_share")
         )
     )
