@@ -1,0 +1,87 @@
+"""Synthetic-scale correctness probe: multiply the single-table
+fixtures by N and run the decimal-heavy oracles at a scale the driver
+never tests.
+
+Round-5 history: this probe (x10 on sf0.1 ≈ sf1) caught the
+decimal->double conversion divergence on q01's sum_charge that no
+shipped fixture was big enough to trigger — once a scale-6 decimal
+sum's unscaled value exceeds 2^53, Spark's BigDecimal conversion and
+DuckDB's int128/10^k float path can differ by one ulp. Run it again
+whenever the decimal/aggregate helpers change.
+
+Usage: python tools/scale_probe.py [base_sf_dir] [multiplier]
+(defaults: /root/testdata/sf0.1 x10; builds /tmp/kaylee_scale_probe)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: tables worth multiplying (fact tables the money/time aggs scan)
+MULTIPLIED = ("lineitem", "customer", "events")
+
+#: single-table group-by queries whose semantics survive row
+#: multiplication (counts/sums scale by N; no cross-table joins to
+#: desynchronize); q27/a07 etc. join unmultiplied dims and are instead
+#: covered by the ROUND-lockstep they share with these.
+PROBE_QUERIES = (
+    "q01_pricing_summary",
+    "q06_revenue_forecast",
+    "q08_nation_having",
+    "q14_conditional_agg",
+    "q23_date_trunc",
+    "a04_stat_moments",
+    "a05_pivot",
+    "e01_tumbling_window",
+    "e02_sliding_window",
+    "t01_lang_stats",
+)
+
+
+def build(base: str, out: str, multiplier: int) -> None:
+    from pyspark.sql import functions as F
+
+    from kaylee_spark.session import get_spark
+    from kaylee_spark.sources import TABLES
+
+    spark = get_spark("scale_probe", cpus=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(out, exist_ok=True)
+    for t in MULTIPLIED:
+        dst = f"{out}/{t}.parquet"
+        if os.path.lexists(dst):
+            (shutil.rmtree if os.path.isdir(dst) else os.remove)(dst)
+        df = spark.read.parquet(f"{base}/{t}.parquet")
+        big = df.crossJoin(
+            spark.range(multiplier).select(F.col("id").alias("_copy"))
+        ).drop("_copy")
+        # single FILE, not a directory: DuckDB's view creation reads
+        # '<path>' exactly like the shipped fixtures
+        tmp = f"{out}/_tmp_{t}"
+        big.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], dst)
+        shutil.rmtree(tmp)
+        print(f"built {t} x{multiplier}")
+    for t in TABLES:
+        dst = f"{out}/{t}.parquet"
+        if not os.path.lexists(dst):
+            os.symlink(f"{base}/{t}.parquet", dst)
+
+
+def main() -> int:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    multiplier = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    out = "/tmp/kaylee_scale_probe"
+    build(base, out, multiplier)
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)), "check_oracle.py")
+    return subprocess.call([sys.executable, tool, out, *PROBE_QUERIES])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
