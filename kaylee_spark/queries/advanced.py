@@ -412,3 +412,38 @@ def a14_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
         F.min(F.sha2(F.col("payload"), 256)).alias("min_sha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface (LATERAL table function)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a15_udtf_tokenize",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        FROM documents
+    )
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, tk[i] AS token,
+           CAST(len(tk[i]) AS INT) AS n_chars
+    FROM toks, UNNEST(generate_series(1, len(tk))) AS u(i)
+    """,
+    extra=True,
+)
+def a15_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via SQL LATERAL join: the reference's mapfn contract
+    (one record -> N records, `/root/reference/kaylee/client.py:190-202`)
+    as a first-class SQL table function. The hash gate proves the
+    Python generator's emission order/content matches the pure SQL
+    unnest algebra. Hot paths should use the codegen twin
+    (posexplode(split(...))) — see functions/udtfs.py module doc."""
+    from kaylee_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("a15_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token, t.n_chars "
+        "FROM a15_docs d, LATERAL tokenize_pos(d.text) t"
+    )
