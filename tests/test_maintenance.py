@@ -1,0 +1,89 @@
+"""Snapshot upsert/merge: replace, delete, versioning, determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kaylee_spark.operators.maintenance import upsert_snapshot
+
+
+def _snap(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_upsert_replaces_and_inserts(spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    updates = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
+    out = upsert_snapshot(base, updates, keys="k")
+    assert _snap(out) == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_upsert_tombstone_deletes_key(spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    updates = spark.createDataFrame(
+        [(2, "B", False), (3, "ignored", True)], ["k", "v", "del"]
+    )
+    out = upsert_snapshot(base, updates, keys="k", tombstone_col="del")
+    assert _snap(out) == {(1, "a"), (2, "B")}
+
+
+def test_upsert_versioned_last_writer_wins(spark):
+    base = spark.createDataFrame([(1, "a")], ["k", "v"])
+    # three versions of key 1 in one batch, out of order
+    updates = spark.createDataFrame(
+        [(1, "v2", 2), (1, "v3", 3), (1, "v1", 1)], ["k", "v", "version"]
+    )
+    out = upsert_snapshot(base, updates, keys="k", version_col="version")
+    assert _snap(out) == {(1, "v3")}
+
+
+def test_upsert_versioned_with_tombstone(spark):
+    base = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    # key 1: latest version is a delete; key 2: latest is a revive
+    updates = spark.createDataFrame(
+        [(1, "x", 1, False), (1, "y", 2, True), (2, "B1", 1, True), (2, "B2", 2, False)],
+        ["k", "v", "version", "del"],
+    )
+    out = upsert_snapshot(
+        base, updates, keys="k", version_col="version", tombstone_col="del"
+    )
+    assert _snap(out) == {(2, "B2")}
+
+
+def test_upsert_duplicate_version_deterministic(spark):
+    """Equal versions resolve by the carried-column total order, so
+    repeated runs (and retried tasks) pick the same winner."""
+    base = spark.createDataFrame([], "k int, v string")
+    updates = spark.createDataFrame(
+        [(1, "alpha", 7), (1, "zeta", 7)], ["k", "v", "version"]
+    )
+    winners = {
+        _snap(upsert_snapshot(base, updates, keys="k", version_col="version")).pop()
+        for _ in range(3)
+    }
+    assert winners == {(1, "zeta")}  # max over the ordering struct
+
+
+def test_upsert_composite_key_and_missing_column(spark):
+    base = spark.createDataFrame([(1, 10, "a"), (1, 20, "b")], ["k1", "k2", "v"])
+    updates = spark.createDataFrame([(1, 20, "B")], ["k1", "k2", "v"])
+    out = upsert_snapshot(base, updates, keys=["k1", "k2"])
+    assert _snap(out) == {(1, 10, "a"), (1, 20, "B")}
+
+    bad = spark.createDataFrame([(1, 20)], ["k1", "k2"])
+    with pytest.raises(ValueError, match="missing base columns"):
+        upsert_snapshot(base, bad, keys=["k1", "k2"])
+
+
+def test_upsert_idempotent_reapplication(spark):
+    """Applying the same change batch twice yields the same snapshot —
+    the merge is a pure function of (base, updates)."""
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(20)], ["k", "v"])
+    updates = spark.createDataFrame(
+        [(5, "V5", False), (7, "", True)], ["k", "v", "del"]
+    )
+    once = upsert_snapshot(base, updates, keys="k", tombstone_col="del")
+    twice = upsert_snapshot(once, updates, keys="k", tombstone_col="del")
+    assert _snap(once) == _snap(twice)
+    assert (5, "V5") in _snap(once) and all(r[0] != 7 for r in _snap(once))
