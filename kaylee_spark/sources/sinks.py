@@ -111,3 +111,36 @@ def write_bucketed_table(
     if path:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table)
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str] | str,
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout for min/max data skipping.
+
+    ``repartitionByRange(sort_cols)`` range-partitions the data (one
+    sampled range boundary set, one shuffle), then
+    ``sortWithinPartitions`` orders rows inside each file WITHOUT any
+    global single-partition sort. The result: every file (and every
+    row group inside it) covers a narrow, near-disjoint slice of the
+    sort key's domain, so parquet footer min/max statistics let a
+    point or range predicate skip whole row groups — at 100 TB a
+    selective scan touches the few files whose range intersects the
+    predicate instead of all of them. This is the single-column
+    special case of Z-ordering; asserted real (disjoint file ranges +
+    fewer row groups scanned) in tests/test_sinks.py.
+
+    Cluster by what you FILTER by (event date, language, source
+    domain), partitionBy what you prune coarsely; the two compose.
+    """
+    cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -137,3 +137,54 @@ def test_binary_files_source(spark, tmp_path):
     assert len(rows) == 2
     assert all(bytes(r["content"]).startswith(b"\xff\xd8") for r in rows)
     assert {r["length"] for r in rows} == {12}
+
+
+def test_write_sorted_parquet_enables_data_skipping(spark, sf_dir, tmp_path):
+    """Range-clustered layout: file-level min/max stats must slice the
+    key domain into near-disjoint ranges so a selective predicate can
+    skip almost every file, and Spark must push the predicate down to
+    the parquet reader that consumes those stats."""
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "orders_sorted")
+    orders = load_table(spark, sf_dir, "orders")
+    sinks.write_sorted_parquet(orders, out, "o_orderkey", n_files=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+
+    import os
+
+    ranges = []
+    for name in os.listdir(out):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, name)).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("o_orderkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 8
+    # files are range-disjoint: sorted by min, each file starts after
+    # the previous one ends
+    ranges.sort()
+    for (_, prev_max), (cur_min, _) in zip(ranges, ranges[1:]):
+        assert cur_min > prev_max
+
+    # a narrow range predicate intersects exactly one file's range
+    lo, hi = ranges[3][0], min(ranges[3][0] + 5, ranges[3][1])
+    touched = sum(1 for mn, mx in ranges if not (hi < mn or lo > mx))
+    assert touched == 1
+
+    # and Spark pushes that predicate into the scan (PushedFilters),
+    # so the reader actually consults the stats that make skipping real
+    plan = (
+        back.filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters:" in plan and "GreaterThanOrEqual(o_orderkey" in plan
