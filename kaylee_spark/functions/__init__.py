@@ -97,12 +97,18 @@ def cosine(a: Column, b: Column) -> Column:
 def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
     """Dot product unrolled over a KNOWN dimension.
 
-    Higher-order functions (aggregate/zip_with) evaluate on Catalyst's
-    interpreted path — fine per-row, but the hot verify stage of an LSH
-    join evaluates millions of candidate pairs. Unrolling to a flat
-    ``a[0]*b[0] + ... + a[d-1]*b[d-1]`` keeps the whole expression
-    inside whole-stage codegen (same left-to-right association as the
-    sequential fold, so values are identical).
+    MEASURED SLOWER THAN ``dot`` IN THE HOT PATHS — kept for the
+    record, not used by the similarity operators. The original theory
+    (unrolling keeps the dot inside whole-stage codegen while HOFs
+    interpret) does not survive contact with the actual stages: the
+    verify stage already carries HOF nodes (the ``transform``
+    normalization), whole-stage codegen falls back for the stage
+    either way, and then the unrolled form is a ~127-node interpreted
+    expression tree per row while ``aggregate``'s fold is a tight
+    per-element loop. On 310k candidate pairs at dim=64 (sf0.1 s03):
+    unrolled ~7.2 s, 4x16-chunked ~7.3 s, HOF fold ~2.0 s — and the
+    two are bit-identical (same left-to-right association; verified
+    over all 124,750 sf0.01 pairs). Profile before unrolling.
 
     Pass column NAMES when possible: the name form builds the unrolled
     expression as one parsed SQL string (a single py4j round trip,

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kaylee_spark.functions import cosine, dot, dot_fixed, l2_norm
+from kaylee_spark.functions import cosine, dot, l2_norm
 
 
 def _as_double(col):
@@ -33,8 +33,7 @@ def _with_normalized(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     Normalizing ONCE per vector turns every downstream cosine into a
     bare dot product — at corpus scale the verify stage touches each
     candidate PAIR, so moving the two norms out of the pair loop and
-    into the per-vector scan removes 2/3 of the flops and all of the
-    per-pair HOF interpretation."""
+    into the per-vector scan removes 2/3 of the flops."""
     return df.withColumn("_nrm", l2_norm(F.col(vec_col))).withColumn(
         out_col, F.transform(F.col(vec_col), lambda x: x / F.col("_nrm"))
     ).drop("_nrm")
@@ -157,7 +156,7 @@ def _rerank_topk(
         qn = _with_normalized(q, "qv", "qn").select("query_id", "qn")
         cn = _with_normalized(c, "cv", "cn").select("neighbor_id", "cn")
         cands = cands.join(F.broadcast(qn), "query_id").join(cn, "neighbor_id")
-        scored = cands.withColumn("cosine_sim", dot_fixed("qn", "cn", dim))
+        scored = cands.withColumn("cosine_sim", dot(F.col("qn"), F.col("cn")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -375,7 +374,7 @@ def embedding_neardup_pairs(
     return (
         cands.join(cnorm.select(F.col("vid").alias("id_a"), F.col("vn").alias("va")), "id_a")
         .join(cnorm.select(F.col("vid").alias("id_b"), F.col("vn").alias("vb")), "id_b")
-        .withColumn("cosine_sim", dot_fixed("va", "vb", dim).cast("double"))
+        .withColumn("cosine_sim", dot(F.col("va"), F.col("vb")).cast("double"))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
