@@ -44,28 +44,33 @@ def stage_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     event time and the watermark advances monotonically — the realistic
     arrival order. (A plain repartition would round-robin rows: every
     file spans the full range, batch 1 slams the watermark to the end,
-    and all later batches arrive 'late'.)"""
-    from pyspark.sql import Window
+    and all later batches arrive 'late'.)
 
+    Slice boundaries come from one quantile aggregation over ts and
+    each slice is an independent parallel range-filtered write — no
+    global sort anywhere, so this staging shape survives any input
+    size (an earlier ntile-over-global-Window version funneled the
+    whole fixture through one sort partition). Slice sizes are only
+    approximately equal (boundary ties stay in one slice), which is
+    all replay needs.
+    """
     out = os.path.join(tempfile.gettempdir(), f"kaylee_events_{uuid.uuid4().hex[:8]}")
-    # global-order ntile = single-partition sort: acceptable ONLY
-    # because this is test/staging plumbing over a fixture slice — at
-    # scale you'd slice by time range (filter on ts buckets), which is
-    # embarrassingly parallel. Never ship a global-order window in a
-    # production path.
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "_slice", F.ntile(n_files).over(Window.orderBy("ts", "event_id"))
-    )
-    # persist the sliced frame so the global sort runs ONCE, not once
-    # per slice write (the n_files filter passes below each re-scan it)
-    ev = ev.persist()
-    try:
-        for i in range(1, n_files + 1):
-            # sequential writes -> increasing file mtimes -> the streaming
-            # file source replays slices oldest-first
-            ev.filter(F.col("_slice") == i).drop("_slice").coalesce(1).write.mode("append").parquet(out)
-    finally:
-        ev.unpersist()
+    ev = load_table(spark, sf_dir, "events")
+    fracs = [i / n_files for i in range(1, n_files)]
+    bounds = ev.select(
+        F.percentile_approx("ts", fracs, 10_000).alias("b")
+    ).first()["b"]
+    edges = [None, *bounds, None]
+    for i in range(n_files):
+        lo, hi = edges[i], edges[i + 1]
+        sl = ev
+        if lo is not None:
+            sl = sl.filter(F.col("ts") > F.lit(lo))
+        if hi is not None:
+            sl = sl.filter(F.col("ts") <= F.lit(hi))
+        # sequential writes -> increasing file mtimes -> the streaming
+        # file source replays slices oldest-first
+        sl.coalesce(1).write.mode("append").parquet(out)
     return out
 
 
