@@ -447,3 +447,42 @@ def a15_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.pos, t.token, t.n_chars "
         "FROM a15_docs d, LATERAL tokenize_pos(d.text) t"
     )
+
+
+@query(
+    "a16_fuzzy_join",
+    oracle="""
+    WITH corrupted AS (
+        SELECT c_custkey AS probe_key,
+               concat(substr(c_name, 1, 9), 'Z', substr(c_name, 11)) AS probe_name
+        FROM customer
+    )
+    SELECT probe_key, probe_name, c_custkey AS match_key, c_name AS match_name,
+           CAST(levenshtein(probe_name, c_name) AS INT) AS edit_distance
+    FROM corrupted, customer
+    WHERE levenshtein(probe_name, c_name) <= 1
+    """,
+    extra=True,
+)
+def a16_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance join (entity resolution): every customer name is
+    deterministically corrupted (one substituted character) and
+    fuzzy-joined back against the clean names at levenshtein <= 1 —
+    q-gram candidate buckets + threshold-levenshtein verify, never a
+    cross join (operators/joins.py fuzzy_join). The DuckDB oracle IS
+    the brute-force cross join, so the hash gate proves the q-gram
+    filter loses no pairs."""
+    from kaylee_spark.operators.joins import fuzzy_join
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    probes = cust.select(
+        F.col("c_custkey").alias("probe_key"),
+        F.concat(
+            F.substring("c_name", 1, 9), F.lit("Z"), F.expr("substr(c_name, 11)")
+        ).alias("probe_name"),
+    )
+    targets = cust.select(
+        F.col("c_custkey").alias("match_key"), F.col("c_name").alias("match_name")
+    )
+    out = fuzzy_join(probes, targets, "probe_name", "match_name", max_dist=1, q=3)
+    return out.withColumn("edit_distance", F.col("edit_distance").cast("int"))
