@@ -75,3 +75,37 @@ def train_eval_split(
     bucket = _hash_bucket(key, seed)
     threshold = int(eval_fraction * _BUCKETS)
     return df.filter(bucket >= threshold), df.filter(bucket < threshold)
+
+
+def weighted_sample_k(
+    df: DataFrame, key: str, weight_col: str, k: int, seed: int = 42
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement, exactly k rows
+    (or all rows with positive weight, if fewer).
+
+    Efraimidis–Spirakis A-ES: each row scores u^(1/w) where u is the
+    seeded-hash uniform of its key and w its weight; the k largest
+    scores ARE a weighted sample without replacement. With all weights
+    equal it degrades to a uniform exact-k sample (the distributed,
+    deterministic replacement for driver-side reservoir sampling).
+
+    Scale shape: the score is one codegen'd expression and the top-k is
+    TakeOrderedAndProject — per-partition heaps of size k, then a
+    single k-row merge on the driver; no global sort, no shuffle of the
+    data. Rows with weight <= 0 or null are excluded (selection
+    probability zero). Ties (identical key hash AND weight) break on
+    the key itself, so the sample is a pure function of (data, seed) —
+    stable under retries, partitioning, and cluster size, same contract
+    as everything else in this module.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    u = (_hash_bucket(key, seed) + F.lit(0.5)) / F.lit(_BUCKETS)
+    score = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_es_score", score)
+        .orderBy(F.desc("_es_score"), F.col(key))
+        .limit(k)
+        .drop("_es_score")
+    )

@@ -52,3 +52,40 @@ def test_train_eval_split_disjoint_exhaustive_stable(spark, sf_dir):
     sub = docs.limit(100)
     t2, e2 = train_eval_split(sub, "doc_id", eval_fraction=0.2)
     assert _ids(t2) <= t and _ids(e2) <= e
+
+
+def test_weighted_sample_k_deterministic_and_exact_k(spark):
+    from kaylee_spark.operators.sampling import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(f"k{i}", float(1 + i % 5)) for i in range(500)], ["key", "w"]
+    )
+    a = {r["key"] for r in weighted_sample_k(df, "key", "w", 50).collect()}
+    b = {r["key"] for r in weighted_sample_k(df.repartition(13), "key", "w", 50).collect()}
+    assert len(a) == 50
+    assert a == b  # partition-invariant, retry-stable
+    c = {r["key"] for r in weighted_sample_k(df, "key", "w", 50, seed=7).collect()}
+    assert a != c  # seed actually matters
+
+
+def test_weighted_sample_k_respects_weights(spark):
+    """Heavy keys (w=20) must dominate a k=100 sample over light keys
+    (w=1) at equal population. Deterministic given the seed, so the
+    assertion is stable, not flaky."""
+    from kaylee_spark.operators.sampling import weighted_sample_k
+
+    rows = [(f"h{i}", 20.0) for i in range(300)] + [(f"l{i}", 1.0) for i in range(300)]
+    df = spark.createDataFrame(rows, ["key", "w"])
+    got = [r["key"] for r in weighted_sample_k(df, "key", "w", 100).collect()]
+    heavy = sum(1 for kk in got if kk.startswith("h"))
+    assert heavy > 75  # expectation ~95; far above the 50/50 null
+
+
+def test_weighted_sample_k_excludes_nonpositive_and_caps(spark):
+    from kaylee_spark.operators.sampling import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 0.0), ("c", -2.0), ("d", None)], ["key", "w"]
+    )
+    got = {r["key"] for r in weighted_sample_k(df, "key", "w", 10).collect()}
+    assert got == {"a"}  # only the positive-weight row; fewer than k is fine
