@@ -109,3 +109,86 @@ def weighted_sample_k(
         .limit(k)
         .drop("_es_score")
     )
+
+
+def stratified_sample_k(
+    df: DataFrame, key: str, strata_col: str, k: int, seed: int = 42
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (balanced mixes:
+    k docs per language/source, k examples per label).
+
+    Rank within each stratum by the seeded key hash and keep the top
+    k — one shuffle keyed on the stratum, per-stratum parallel, no
+    global sort. Strata with fewer than k rows keep all of them. Same
+    determinism contract as the rest of the module: pure function of
+    (data, seed).
+
+    Skew note: a hot stratum funnels through one task here (window
+    rank). For exact-k that is inherent (k-selection needs the
+    stratum's candidates together); when approximate per-stratum rates
+    suffice, use ``stratified_sample`` (scan-speed, no shuffle).
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = Window.partitionBy(strata_col).orderBy(
+        _hash_bucket(key, seed).asc(), F.col(key).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def take_until_budget(
+    df: DataFrame,
+    strata_col: str,
+    order_col: str,
+    cost_col: str,
+    budget,
+) -> DataFrame:
+    """Per-stratum budgeted prefix: walk each stratum in ``order_col``
+    order and keep rows while the running ``cost_col`` total stays
+    under ``budget`` — the corpus-mixing primitive ("300B tokens of
+    web, 50B of code, 30B per long-tail language").
+
+    ``budget`` is a number (same budget per stratum) or a dict mapping
+    stratum value -> budget (missing strata get 0 and drop out). A row
+    is kept iff the budget was not yet exhausted when it started, so
+    the output may overshoot by at most one document per stratum —
+    deterministic, and the bounded-overshoot contract every token-
+    budget mix uses in practice (dropping the straddling doc instead
+    is a one-character change to the filter).
+
+    One shuffle keyed on the stratum; the cumulative sum is a running
+    ROWS-frame window, per-stratum parallel. Deterministic for a
+    deterministic (strata, order) pair — use a stable order column
+    (doc id, content hash), not arrival order.
+    """
+    from pyspark.sql import Window
+
+    if isinstance(budget, dict):
+        b = None
+        for value, amount in budget.items():
+            cond = F.when(F.col(strata_col) == F.lit(value), F.lit(float(amount)))
+            b = cond if b is None else b.when(
+                F.col(strata_col) == F.lit(value), F.lit(float(amount))
+            )
+        if b is None:
+            raise ValueError("budget dict must not be empty")
+        budget_expr = b.otherwise(F.lit(0.0))
+    else:
+        budget_expr = F.lit(float(budget))
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(cost_col)).over(w)
+    return (
+        df.withColumn("_cum", cum)
+        .filter(F.col("_cum") - F.col(cost_col) < budget_expr)
+        .drop("_cum")
+    )

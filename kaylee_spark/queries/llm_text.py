@@ -334,3 +334,43 @@ def t11_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB list slicing (end-inclusive [s : s+63])."""
     docs = load_table(spark, sf_dir, "documents")
     return T.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+
+
+@query(
+    "t12_token_budget_mix",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM toks
+    )
+    SELECT doc_id, lang, n_tokens FROM cum
+    WHERE c - n_tokens < CASE lang WHEN 'en' THEN 5000.0 WHEN 'de' THEN 1500.0
+                                   WHEN 'zh' THEN 2000.0 ELSE 0.0 END
+    """,
+    extra=True,
+)
+def t12_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing under per-language token budgets: keep each
+    language's doc_id-ordered prefix until its budget is spent
+    (languages without a budget drop out) — the data-mixing primitive
+    of pretraining recipes, as one per-stratum running-sum window
+    (operators/sampling.py take_until_budget)."""
+    from kaylee_spark.operators.sampling import take_until_budget
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return take_until_budget(
+        docs, "lang", "doc_id", "n_tokens", {"en": 5000, "de": 1500, "zh": 2000}
+    )

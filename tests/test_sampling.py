@@ -89,3 +89,36 @@ def test_weighted_sample_k_excludes_nonpositive_and_caps(spark):
     )
     got = {r["key"] for r in weighted_sample_k(df, "key", "w", 10).collect()}
     assert got == {"a"}  # only the positive-weight row; fewer than k is fine
+
+
+def test_stratified_sample_k_exact_k_and_deterministic(spark):
+    from collections import Counter
+
+    from kaylee_spark.operators.sampling import stratified_sample_k
+
+    rows = [(f"k{i}", "big") for i in range(200)] + [(f"s{i}", "tiny") for i in range(3)]
+    df = spark.createDataFrame(rows, ["key", "stratum"])
+    out = stratified_sample_k(df, "key", "stratum", 10)
+    counts = Counter(r["stratum"] for r in out.collect())
+    assert counts == {"big": 10, "tiny": 3}  # under-k strata keep all
+    again = stratified_sample_k(df.repartition(7), "key", "stratum", 10)
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+
+
+def test_take_until_budget_prefix_semantics(spark):
+    from kaylee_spark.operators.sampling import take_until_budget
+
+    rows = [
+        ("a", 1, 60), ("a", 2, 60), ("a", 3, 60),   # starts at 0, 60, 120
+        ("b", 1, 500),                              # first row always starts in-budget
+        ("c", 1, 10),                               # no budget entry -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["stratum", "ord", "cost"])
+    out = take_until_budget(df, "stratum", "ord", "cost", {"a": 100, "b": 100})
+    got = {(r["stratum"], r["ord"]) for r in out.collect()}
+    # a3 starts at 120 >= 100; b1 overshoots but STARTED in budget
+    assert got == {("a", 1), ("a", 2), ("b", 1)}
+    # scalar budget applies to every stratum
+    out2 = take_until_budget(df, "stratum", "ord", "cost", 50)
+    got2 = {(r["stratum"], r["ord"]) for r in out2.collect()}
+    assert got2 == {("a", 1), ("b", 1), ("c", 1)}
