@@ -255,3 +255,34 @@ def e09_streamed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return drained.select("user_id", "l_event_id", _ntz("l_ts"), "r_event_id", _ntz("r_ts"))
+
+
+@query(
+    "e10_stream_static_enrich",
+    oracle=f"""
+    SELECT c.c_mktsegment, COUNT(*) AS n_events,
+           {oracle_dec_sum('e.value')} AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    """,
+    extra=True,
+)
+def e10_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-static enrichment: the event stream joins a STATIC
+    dimension (customer) micro-batch by micro-batch — Spark re-plans
+    the static side per batch, so at scale the dim is a broadcast into
+    each batch with no streaming state at all (the idiomatic enrich
+    shape; state-store cost is zero because only the stream side is
+    unbounded). Aggregated per market segment in complete mode, the
+    drain equals the batch join — the SQL oracle."""
+
+    def build(ST, staged):
+        stream = ST.events_stream(spark, staged)
+        dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        enriched = stream.join(dim, stream.user_id == dim.c_custkey)
+        agg = enriched.groupBy("c_mktsegment").agg(
+            F.count("*").alias("n_events"), dec_sum("value").alias("total_value")
+        )
+        return ST.run_to_memory(agg, output_mode="complete")
+
+    return _drain_staged_stream(spark, sf_dir, build)
