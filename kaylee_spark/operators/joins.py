@@ -122,25 +122,41 @@ def fuzzy_join(
     ``levenshtein(left_col, right_col) <= max_dist``, as an EXACT
     result without a cross join.
 
-    Candidate generation is the classic q-gram count filter: a string
-    of length L carries L-q+1 overlapping q-grams and one edit destroys
-    at most q of them, so two strings within distance d share at least
-    max(L_a, L_b) - q + 1 - q*d grams — at least one whenever the
-    LONGER string has length >= q*(d+1). Pairs where both strings are
-    shorter than that bound can share no gram, so they route through a
-    broadcast length-banded cross join of the two SHORT subsets (a
-    bounded, tiny set: strings under q*(d+1) chars). Everything else is
-    caught by the gram bucket join, deduped as bare id-free pairs, and
-    verified with the built-in threshold levenshtein (early-exit codegen,
-    `levenshtein(l, r, d)` returns -1 past d).
+    Candidate generation is PREFIX-FILTERED q-gram indexing (the
+    Ed-Join shape). One edit changes at most q distinct q-grams, so
+    two strings within distance d differ in at most q*d grams each
+    way. Fix one global total order on grams — here ascending
+    (document frequency, gram hash) — and index only each string's
+    FIRST p = q*d + 1 distinct grams under that order. If either
+    string of a pair has more than q*d distinct grams, their p-prefixes
+    must intersect (if the prefixes were disjoint, the side whose
+    prefix maxes out earlier would contribute p > q*d grams all absent
+    from the other — contradiction), so joining prefix grams to prefix
+    grams loses nothing. Ordering by ascending frequency pushes
+    corpus-boilerplate grams out of every prefix: WITHOUT it, one
+    shared substring across the corpus (think "Customer#0000…")
+    buckets everything together and the candidate set degenerates to
+    the cross product — measured 3.4B candidate rows on 15k TPC-H
+    names vs ~linear with prefixes.
 
-    Scale shape: the dominant exchange is the gram-bucket self-join on
-    8-byte xxhash64(gram) keys; the length band |len_a - len_b| <= d is
-    applied INSIDE the bucket join before the distinct, and the
-    distinct dedupes pairs before any levenshtein runs — verify cost is
-    per candidate pair, index cost is sum of squared gram-bucket sizes
-    (cap hot grams upstream if the domain has boilerplate, same
-    argument as jaccard_pairs' max_df).
+    GRAM-POOR strings (fewer than p distinct grams after
+    deduplication: shorter than q*(d+1), or long but repetitive like
+    "ababab…") carry no prefix guarantee between themselves; those
+    pairs route through a broadcast length-banded cross join of the
+    two gram-poor subsets. A gram-poor x gram-rich pair is still
+    caught by the gram path (the poor side's "prefix" is ALL its
+    grams). Strings shorter than q are gram-poor by construction and
+    can only be within d of other gram-poor strings (their partner's
+    length is under q + d, hence under p distinct grams).
+
+    Scale shape: everything runs per DISTINCT VALUE, not per row (rows
+    rejoin by value at the end). Linear passes: gram explode, one
+    df-count aggregation over both sides, one per-value rank window
+    (partitions of ~L grams), then the prefix-bucket join whose cost
+    is the sum of squared RARE-gram bucket sizes. The verify is the
+    built-in threshold levenshtein (early-exit, returns -1 past d) on
+    deduped value pairs. The length band |len_a - len_b| <= d prunes
+    inside the bucket join, before the distinct.
 
     Both inputs must share no column names; output = left columns +
     right columns + ``edit_distance`` (int, <= max_dist).
@@ -148,42 +164,74 @@ def fuzzy_join(
     overlap = set(left.columns) & set(right.columns)
     if overlap:
         raise ValueError(f"left/right share column names: {sorted(overlap)}")
-    short_len = q * (max_dist + 1)
+    for internal in ("_fj_s", "_fj_t", "_fj_g", "_fj_df", "_fj_rich"):
+        if internal in left.columns or internal in right.columns:
+            raise ValueError(f"column name {internal!r} is reserved by fuzzy_join")
+    p = q * max_dist + 1
 
-    def grams(df: DataFrame, col: str, out: str):
-        g = F.expr(
-            f"explode(array_distinct(transform("
-            f"sequence(1, greatest(length({col}) - {q - 1}, 1)),"
-            f" i -> xxhash64(substr({col}, i, {q})))))"
+    def vals(df: DataFrame, col: str, out: str) -> DataFrame:
+        grams = (
+            f"CASE WHEN length({out}) >= {q} THEN "
+            f"array_distinct(transform(sequence(1, length({out}) - {q - 1}),"
+            f" i -> xxhash64(substr({out}, i, {q})))) "
+            f"ELSE array() END"
         )
-        return df.filter(F.length(F.col(col)) >= q).select("*", g.alias(out))
+        return (
+            df.select(F.col(col).alias(out))
+            .filter(F.col(out).isNotNull())
+            .distinct()
+            .withColumn("_fj_grams", F.expr(grams))
+            .withColumn("_fj_rich", F.size("_fj_grams") > q * max_dist)
+        )
 
-    lg = grams(left, left_col, "_lg")
-    rg = grams(right, right_col, "_rg")
-    band = (
-        F.abs(F.length(F.col(left_col)) - F.length(F.col(right_col))) <= max_dist
+    vl = vals(left, left_col, "_fj_s")
+    vr = vals(right, right_col, "_fj_t")
+
+    gl = vl.select("_fj_s", "_fj_rich", F.explode("_fj_grams").alias("_fj_g"))
+    gr = vr.select("_fj_t", "_fj_rich", F.explode("_fj_grams").alias("_fj_g"))
+
+    # one global gram order shared by both sides: ascending df, gram
+    # hash as the deterministic tie-break
+    dfreq = (
+        gl.select("_fj_g")
+        .unionAll(gr.select("_fj_g"))
+        .groupBy("_fj_g")
+        .agg(F.count("*").alias("_fj_df"))
     )
-    # exclude both-short pairs here: they are the shorts path's job
-    not_both_short = (F.length(F.col(left_col)) >= short_len) | (
-        F.length(F.col(right_col)) >= short_len
-    )
-    gram_cands = (
-        lg.join(rg, lg["_lg"] == rg["_rg"])
-        .filter(band & not_both_short)
-        .drop("_lg", "_rg")
+
+    def prefix(g: DataFrame, key: str) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(F.asc("_fj_df"), F.asc("_fj_g"))
+        return (
+            g.join(dfreq, "_fj_g")
+            .withColumn("_fj_rk", F.row_number().over(w))
+            .filter(F.col("_fj_rk") <= p)
+            .select(key, "_fj_rich", "_fj_g")
+        )
+
+    pl = prefix(gl, "_fj_s").withColumnRenamed("_fj_rich", "_fj_rich_l")
+    pr = prefix(gr, "_fj_t").withColumnRenamed("_fj_rich", "_fj_rich_r")
+
+    band = F.abs(F.length("_fj_s") - F.length("_fj_t")) <= max_dist
+    gram_pairs = (
+        pl.join(pr, "_fj_g")
+        .filter(band & (F.col("_fj_rich_l") | F.col("_fj_rich_r")))
+        .select("_fj_s", "_fj_t")
         .distinct()
     )
-
-    shorts = (
-        left.filter(F.length(F.col(left_col)) < short_len)
-        .crossJoin(F.broadcast(right.filter(F.length(F.col(right_col)) < short_len)))
+    poor_pairs = (
+        vl.filter(~F.col("_fj_rich"))
+        .select("_fj_s")
+        .crossJoin(F.broadcast(vr.filter(~F.col("_fj_rich")).select("_fj_t")))
         .filter(band)
     )
 
-    dist = F.levenshtein(F.col(left_col), F.col(right_col), max_dist)
-    return (
-        gram_cands.unionByName(shorts)
-        .withColumn("edit_distance", dist)
+    verified = (
+        gram_pairs.unionByName(poor_pairs)
+        .withColumn("edit_distance", F.levenshtein(F.col("_fj_s"), F.col("_fj_t"), max_dist))
         .filter(F.col("edit_distance") >= 0)
+    )
+    return (
+        left.join(verified, F.col(left_col) == F.col("_fj_s"))
+        .join(right, F.col("_fj_t") == F.col(right_col))
         .select(*left.columns, *right.columns, "edit_distance")
     )

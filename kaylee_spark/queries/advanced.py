@@ -455,7 +455,7 @@ def a15_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corrupted AS (
         SELECT c_custkey AS probe_key,
                concat(substr(c_name, 1, 9), 'Z', substr(c_name, 11)) AS probe_name
-        FROM customer
+        FROM customer WHERE c_custkey % 10 = 0
     )
     SELECT probe_key, probe_name, c_custkey AS match_key, c_name AS match_name,
            CAST(levenshtein(probe_name, c_name) AS INT) AS edit_distance
@@ -475,7 +475,7 @@ def a16_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kaylee_spark.operators.joins import fuzzy_join
 
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    probes = cust.select(
+    probes = cust.filter(F.col("c_custkey") % 10 == 0).select(
         F.col("c_custkey").alias("probe_key"),
         F.concat(
             F.substring("c_name", 1, 9), F.lit("Z"), F.expr("substr(c_name, 11)")
