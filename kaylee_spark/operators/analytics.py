@@ -1,0 +1,103 @@
+"""Event-sequence analytics: funnels and cohort retention.
+
+The reference has no notion of event ordering (its MapReduce is
+order-free, `/root/reference/kaylee/client.py:190-217`); these are the
+standard product-analytics shapes built on the events fixture —
+declarative joins/aggregates only, so Catalyst keys every shuffle on
+``user_col`` and AQE can reuse the exchange across steps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: per user, the first time of step 1, the first
+    time of step 2 AFTER that, the first time of step 3 after THAT, …
+
+    Output: one row per user who completed step 1, with one timestamp
+    column per step (``t_<step>``, null once the user drops out).
+    Strictly-after semantics (``>``): simultaneous events do not
+    satisfy the next stage.
+
+    Scale shape: one conditional-min aggregate per step, every shuffle
+    keyed on ``user_col`` (same partitioning reused across stages), and
+    each stage joins only the SURVIVORS of the previous one — the
+    frontier shrinks monotonically, never the raw event table twice.
+    At 100 TB the event scan happens once per step with the type filter
+    pushed to the scan; a 5-step funnel is 5 pushed-down scans + 5
+    co-partitioned aggs, no window over the full event stream.
+    """
+    if not steps:
+        raise ValueError("steps must not be empty")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(f"t_{steps[0]}"))
+    )
+    prev_t = f"t_{steps[0]}"
+    for step in steps[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(cur.select(user_col, prev_t), user_col)
+            .filter(F.col(ts_col) > F.col(prev_t))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t_{step}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+        prev_t = f"t_{step}"
+    return cur
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention: group users by first-seen period, count how
+    many are active N periods later.
+
+    Output: (cohort, period_offset, n_active, cohort_size,
+    retention_rate) with offset 0 = the cohort period itself (rate
+    1.0 by construction). ``period`` is any date_trunc unit; offsets
+    are day-difference integer-divided so the engine-independent
+    arithmetic is pure integers until the final rate division.
+
+    Scale shape: two aggregates keyed on ``user_col`` (first-seen +
+    distinct active periods), then one small aggregate on (cohort,
+    offset) — cardinality is periods², not users.
+    """
+    days = {"week": 7, "day": 1, "month": None}.get(period, None)
+    firsts = events.groupBy(user_col).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("cohort")
+    )
+    active = events.select(
+        user_col, F.date_trunc(period, F.col(ts_col)).alias("active_period")
+    ).distinct()
+    joined = active.join(firsts, user_col)
+    if days is not None:
+        offset = (
+            F.floor(F.datediff(F.col("active_period"), F.col("cohort")) / days)
+        ).cast("int")
+    else:
+        offset = (
+            (F.year("active_period") - F.year("cohort")) * 12
+            + (F.month("active_period") - F.month("cohort"))
+        ).cast("int")
+    per_cell = joined.groupBy("cohort", offset.alias("period_offset")).agg(
+        F.count("*").alias("n_active")
+    )
+    sizes = firsts.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    return per_cell.join(sizes, "cohort").withColumn(
+        "retention_rate",
+        (F.col("n_active") / F.col("cohort_size")).cast("double"),
+    )

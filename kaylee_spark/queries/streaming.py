@@ -286,3 +286,72 @@ def e10_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ST.run_to_memory(agg, output_mode="complete")
 
     return _drain_staged_stream(spark, sf_dir, build)
+
+
+@query(
+    "e11_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+           LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    extra=True,
+)
+def e11_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel: first qualifying time per
+    stage per user, strictly-after semantics, dropouts null. One
+    pushed-down scan + one user-keyed conditional-min agg per stage
+    (operators/analytics.py funnel)."""
+    from kaylee_spark.operators.analytics import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "e12_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS active_period
+        FROM events
+    )
+    SELECT a.cohort, a.period_offset, a.n_active, s.cohort_size,
+           CAST(a.n_active AS DOUBLE) / s.cohort_size AS retention_rate
+    FROM (
+        SELECT f.cohort,
+               CAST(date_diff('day', f.cohort, ac.active_period) // 7 AS INT) AS period_offset,
+               COUNT(*) AS n_active
+        FROM active ac JOIN firsts f ON f.user_id = ac.user_id
+        GROUP BY 1, 2
+    ) a JOIN (
+        SELECT cohort, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort
+    ) s ON s.cohort = a.cohort
+    """,
+    extra=True,
+)
+def e12_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by first-seen
+    week, activity counted per week offset
+    (operators/analytics.py cohort_retention)."""
+    from kaylee_spark.operators.analytics import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, period="week")

@@ -1,0 +1,84 @@
+"""Funnel and cohort-retention operator semantics."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from kaylee_spark.operators.analytics import cohort_retention, funnel
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+
+
+def test_funnel_strictly_after_and_dropout(spark):
+    ev = _ev(
+        spark,
+        [
+            # u1 completes in order
+            (1, ts("2024-01-01 10:00"), "view"),
+            (1, ts("2024-01-01 11:00"), "click"),
+            (1, ts("2024-01-01 12:00"), "purchase"),
+            # u2 clicked BEFORE viewing: click must not count
+            (2, ts("2024-01-01 09:00"), "click"),
+            (2, ts("2024-01-01 10:00"), "view"),
+            # u3 never viewed: excluded entirely
+            (3, ts("2024-01-01 10:00"), "purchase"),
+            # u4 view and click at the SAME instant: strictly-after fails
+            (4, ts("2024-01-01 10:00"), "view"),
+            (4, ts("2024-01-01 10:00"), "click"),
+        ],
+    )
+    out = {r["user_id"]: r for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1]["t_purchase"] == ts("2024-01-01 12:00")
+    assert out[2]["t_click"] is None and out[2]["t_purchase"] is None
+    assert out[4]["t_click"] is None
+
+
+def test_funnel_picks_first_qualifying_not_first_overall(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, ts("2024-01-01 10:00"), "view"),
+            (1, ts("2024-01-01 09:00"), "click"),  # too early
+            (1, ts("2024-01-01 11:00"), "click"),  # first qualifying
+            (1, ts("2024-01-01 12:00"), "click"),
+        ],
+    )
+    row = funnel(ev, ["view", "click"]).collect()[0]
+    assert row["t_click"] == ts("2024-01-01 11:00")
+    with pytest.raises(ValueError, match="steps"):
+        funnel(ev, [])
+
+
+def test_cohort_retention_offsets_and_rates(spark):
+    ev = _ev(
+        spark,
+        [
+            # two users first seen week of Jan 1 (Mon); one returns next week
+            (1, ts("2024-01-02 10:00"), "view"),
+            (2, ts("2024-01-03 10:00"), "view"),
+            (1, ts("2024-01-09 10:00"), "view"),
+            # one user first seen the following week
+            (3, ts("2024-01-10 10:00"), "view"),
+        ],
+    )
+    out = {
+        (r["cohort"].date().isoformat(), r["period_offset"]): (
+            r["n_active"],
+            r["cohort_size"],
+            r["retention_rate"],
+        )
+        for r in cohort_retention(ev).collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert out[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert len(out) == 3
