@@ -63,3 +63,21 @@ def test_streamed_tumbling_timezone_independent(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "name", ["a16_fuzzy_join", "d09_snapshot_upsert", "e11_funnel", "t12_token_budget_mix"]
+)
+def test_late_round5_results_identical_without_broadcast_or_aqe(spark, sf_dir, name):
+    fn = REG[name].fn
+    want = _rows(fn(spark, sf_dir))
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        got = _rows(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert got == want
