@@ -355,3 +355,77 @@ def e12_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return cohort_retention(ev, period="week")
+
+
+@query(
+    "e13_resample",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type, time_bucket(INTERVAL '6 hours', ts) AS bucket,
+               COUNT(*) AS n_events, {oracle_dec_sum('value')} AS total_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT time_bucket(INTERVAL '6 hours', MIN(ts)) AS lo,
+               time_bucket(INTERVAL '6 hours', MAX(ts)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT t.event_type, g.bucket
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT UNNEST(generate_series(lo, hi, INTERVAL '6 hours')) AS bucket FROM bounds) g
+    )
+    SELECT g.event_type, g.bucket,
+           COALESCE(b.n_events, 0) AS n_events,
+           COALESCE(b.total_value, 0.0) AS total_value
+    FROM grid g LEFT JOIN b ON b.event_type = g.event_type AND b.bucket = g.bucket
+    """,
+    extra=True,
+)
+def e13_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling WITH gap densification: 6-hour buckets
+    per event type, empty buckets materialized as explicit zero rows
+    (groupBy alone cannot produce them). Epoch-aligned by pure NTZ
+    arithmetic so bucket edges are session-timezone-proof
+    (operators/timeseries.py resample)."""
+    from kaylee_spark.operators.timeseries import resample
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample(
+        ev,
+        "ts",
+        "'6 hours'",
+        aggs={"n_events": F.count("*"), "total_value": dec_sum("value")},
+        key_cols=["event_type"],
+        fill={"n_events": 0, "total_value": 0.0},
+    )
+
+
+@query(
+    "e14_forward_fill",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM events
+    """,
+    extra=True,
+)
+def e14_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (last observation carried forward): error events'
+    values play the nulls of a sensor stream; each takes the user's
+    most recent non-null value. One user-keyed ordered window
+    (operators/timeseries.py forward_fill)."""
+    from kaylee_spark.operators.timeseries import forward_fill
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("filled_value"),
+    )
+    return forward_fill(
+        ev, "filled_value", "ts", "user_id", tiebreak_cols=["event_id"]
+    ).select("event_id", "user_id", "ts", "filled_value")

@@ -1,0 +1,72 @@
+"""Resample densification and forward-fill semantics."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from kaylee_spark.operators.timeseries import forward_fill, resample
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_resample_materializes_empty_buckets(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", ts("2024-01-01 00:10"), 1.0),
+            ("a", ts("2024-01-01 02:20"), 2.0),  # 01:00 bucket empty
+            ("b", ts("2024-01-01 00:30"), 5.0),  # b missing 01:00 and 02:00
+        ],
+        ["k", "t", "v"],
+    )
+    out = resample(
+        df,
+        "t",
+        "'1 hour'",
+        aggs={"n": F.count("*"), "s": F.sum("v")},
+        key_cols=["k"],
+        fill={"n": 0},
+    )
+    got = {(r["k"], r["bucket"]): (r["n"], r["s"]) for r in out.collect()}
+    # dense grid: 2 keys x 3 buckets
+    assert len(got) == 6
+    assert got[("a", ts("2024-01-01 01:00"))] == (0, None)  # unfilled col stays null
+    assert got[("a", ts("2024-01-01 02:00"))] == (1, 2.0)
+    assert got[("b", ts("2024-01-01 02:00"))] == (0, None)
+    assert got[("b", ts("2024-01-01 00:00"))] == (1, 5.0)
+
+
+def test_resample_global_grid_without_keys(spark):
+    df = spark.createDataFrame(
+        [(ts("2024-01-01 00:00"), 1.0), (ts("2024-01-01 03:00"), 1.0)], ["t", "v"]
+    )
+    out = resample(df, "t", "'1 hour'", aggs={"n": F.count("*")}, fill={"n": 0})
+    rows = sorted((r["bucket"], r["n"]) for r in out.collect())
+    assert [n for _, n in rows] == [1, 0, 0, 1]
+
+
+def test_forward_fill_carries_last_observation(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 1, 10.0),
+            (1, 2, None),
+            (1, 3, None),
+            (1, 4, 40.0),
+            (2, 1, None),  # leading null stays null
+            (2, 2, 7.0),
+        ],
+        ["user", "seq", "v"],
+    )
+    out = forward_fill(df, "v", "seq", "user")
+    got = {(r["user"], r["seq"]): r["v"] for r in out.collect()}
+    assert got == {
+        (1, 1): 10.0,
+        (1, 2): 10.0,
+        (1, 3): 10.0,
+        (1, 4): 40.0,
+        (2, 1): None,
+        (2, 2): 7.0,
+    }
