@@ -76,12 +76,25 @@ def cohort_retention(
     distinct active periods), then one small aggregate on (cohort,
     offset) — cardinality is periods², not users.
     """
-    days = {"week": 7, "day": 1, "month": None}.get(period, None)
-    firsts = events.groupBy(user_col).agg(
-        F.date_trunc(period, F.min(ts_col)).alias("cohort")
-    )
+    # truncation runs on DATE then casts to TIMESTAMP_NTZ: Spark's
+    # date_trunc returns session-zone TIMESTAMP even for NTZ input, so
+    # the emitted cohort instants would shift with the session timezone
+    # (caught by the tz-independence probe). DATE arithmetic is tz-free.
+    def trunc(col):
+        d = F.to_date(col)
+        if period == "week":
+            # Monday start, matching date_trunc('week') on both engines
+            d = F.date_sub(d, (F.dayofweek(d) + F.lit(5)) % 7)
+        elif period == "month":
+            d = F.trunc(d, "month")
+        elif period != "day":
+            raise ValueError("period must be day|week|month")
+        return d.cast("timestamp_ntz")
+
+    days = {"week": 7, "day": 1, "month": None}[period]
+    firsts = events.groupBy(user_col).agg(trunc(F.min(ts_col)).alias("cohort"))
     active = events.select(
-        user_col, F.date_trunc(period, F.col(ts_col)).alias("active_period")
+        user_col, trunc(F.col(ts_col)).alias("active_period")
     ).distinct()
     joined = active.join(firsts, user_col)
     if days is not None:

@@ -81,3 +81,19 @@ def test_late_round5_results_identical_without_broadcast_or_aqe(spark, sf_dir, n
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     assert got == want
+
+
+@pytest.mark.parametrize("name", ["e12_cohort_retention", "e13_resample"])
+def test_timestamp_queries_session_tz_independent(spark, sf_dir, name):
+    """Bucketing/cohort arithmetic must be pure NTZ — a half-hour-offset
+    session timezone (Asia/Kolkata) must not move bucket edges or week
+    boundaries."""
+    fn = REG[name].fn
+    want = _rows(fn(spark, sf_dir))
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        got = _rows(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert got == want
