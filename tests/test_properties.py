@@ -92,3 +92,70 @@ def test_chunk_reconstruction(spark, n_words, chunk, overlap):
         toks = [t for t in r["chunk_text"].split(" ") if t]
         rebuilt.extend(toks if r["chunk_idx"] == 0 else toks[overlap:])
     assert rebuilt == words, (chunk, overlap, [r["chunk_text"] for r in rows])
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_join exactness on adversarial random corpora
+# ---------------------------------------------------------------------------
+
+words_strategy = st.lists(
+    st.text(alphabet="ab", min_size=0, max_size=12),  # tiny alphabet ->
+    # maximal gram collisions and many genuine near-matches, the
+    # hardest regime for the prefix filter and the gram-poor split
+    min_size=1,
+    max_size=14,
+    unique=True,
+)
+
+
+@given(words=words_strategy, d=st.integers(min_value=1, max_value=2))
+@SPARK_SETTINGS
+def test_fuzzy_join_exact_vs_brute_force(spark, words, d):
+    import pyspark.sql.functions as F
+
+    from kaylee_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame([(i, w) for i, w in enumerate(words)], ["lid", "lw"])
+    right = spark.createDataFrame(
+        [(100 + i, w) for i, w in enumerate(words)], ["rid", "rw"]
+    )
+    got = {
+        (r["lid"], r["rid"], r["edit_distance"])
+        for r in fuzzy_join(left, right, "lw", "rw", max_dist=d).collect()
+    }
+    truth = {
+        (r["lid"], r["rid"], r["d"])
+        for r in left.crossJoin(right)
+        .withColumn("d", F.levenshtein("lw", "rw"))
+        .filter(F.col("d") <= d)
+        .collect()
+    }
+    assert got == truth
+
+
+@given(
+    base_rows=st.lists(
+        st.tuples(st.integers(0, 15), st.text("xyz", max_size=3)), max_size=12
+    ),
+    upd_rows=st.lists(
+        st.tuples(st.integers(0, 15), st.text("xyz", max_size=3), st.booleans()),
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+)
+@SPARK_SETTINGS
+def test_upsert_snapshot_matches_dict_semantics(spark, base_rows, upd_rows):
+    from kaylee_spark.operators.maintenance import upsert_snapshot
+
+    base_rows = list({k: (k, v) for k, v in base_rows}.values())  # unique keys
+    base = spark.createDataFrame(base_rows, "k int, v string")
+    updates = spark.createDataFrame(upd_rows, "k int, v string, del boolean")
+    got = {(r["k"], r["v"]) for r in
+           upsert_snapshot(base, updates, keys="k", tombstone_col="del").collect()}
+    model = {k: v for k, v in base_rows}
+    for k, v, dele in upd_rows:
+        if dele:
+            model.pop(k, None)
+        else:
+            model[k] = v
+    assert got == set(model.items())
