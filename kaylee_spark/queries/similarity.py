@@ -98,3 +98,45 @@ def s03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.embedding_neardup_pairs(emb, threshold=0.4, n_planes=5, n_tables=5, dim=64)
+
+
+@query(
+    "s05_quantization_error",
+    oracle="""
+    WITH scales AS (
+        SELECT vec_id,
+               127.0 / greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS s,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )
+    SELECT vec_id,
+           list_max(list_transform(v, x -> abs(x - round(x * s) / s))) AS max_err,
+           (127.0 / s) / 254.0 AS err_bound,
+           list_max(list_transform(v, x -> abs(x - round(x * s) / s))) <= (127.0 / s) / 254.0 AS within_bound
+    FROM scales
+    """,
+    extra=True,
+)
+def s05_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization (8x smaller vectors through storage
+    and every shuffle): per-vector max reconstruction error, checked
+    against the analytic bound max|x|/254. The hash gate proves the
+    emitted int8 codes and error arithmetic are engine-exact — both
+    engines round HALF-AWAY and share IEEE double semantics. ANN recall
+    on quantized vectors is asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qed = S.dequantize_embeddings(
+        S.quantize_embeddings(emb, "embedding", "qvec", "qscale"),
+        "qvec",
+        "qscale",
+        "recon",
+    )
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    err = F.array_max(F.zip_with(v, F.col("recon"), lambda a, b: F.abs(a - b)))
+    bound = (F.lit(127.0) / F.col("qscale")) / F.lit(254.0)
+    return qed.select(
+        "vec_id",
+        err.alias("max_err"),
+        bound.alias("err_bound"),
+        (err <= bound).alias("within_bound"),
+    )

@@ -162,3 +162,43 @@ def test_ivf_partitioned_index_prunes_files(spark, sf_dir, tmp_path):
     assert 0 < n_probed < n_all
     # and the probed rows are exactly the rows assigned to those lists
     assert probed.count() == full.filter("list_id in (0, 1)").count()
+
+
+def test_quantization_roundtrip_bound_and_ann_recall(spark, sf_dir):
+    """int8 quantization must (a) reconstruct within the analytic
+    bound max|x|/254 per element, and (b) barely perturb cosine top-k:
+    exact search on dequantized vectors recovers >= 9 of the true
+    top-10 for every probe."""
+    from kaylee_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qed = S.dequantize_embeddings(
+        S.quantize_embeddings(emb, "embedding", "qvec", "qscale"),
+        "qvec",
+        "qscale",
+        "recon",
+    )
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    bad = qed.filter(
+        F.array_max(F.zip_with(v, F.col("recon"), lambda a, b: F.abs(a - b)))
+        > (F.lit(127.0) / F.col("qscale")) / F.lit(254.0)
+    )
+    assert bad.count() == 0
+    # int8 range respected
+    rng = qed.select(
+        F.min(F.array_min("qvec")).alias("lo"), F.max(F.array_max("qvec")).alias("hi")
+    ).first()
+    assert -127 <= rng["lo"] and rng["hi"] <= 127
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.cosine_topk(emb, queries, k=10)
+    qcorpus = qed.select("vec_id", F.col("recon").alias("embedding"))
+    qqueries = queries  # probe with the ORIGINAL query vectors
+    approx = S.cosine_topk(qcorpus, qqueries, k=10)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    for qid in range(5):
+        hits = len({n for q, n in e if q == qid} & {n for q, n in a if q == qid})
+        assert hits >= 9, f"query {qid}: only {hits}/10 of true top-10 survive int8"
