@@ -42,5 +42,16 @@ def get_spark(app_name: str = "kaylee_spark", cpus: str | int | None = None) -> 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Local-mode split sizing: the default 128 MB split turns a
+        # ~25 MB fixture table into 2-3 scan partitions, leaving 29 of
+        # 32 cores idle through CPU-bound decimal aggregations
+        # (observed: lineitem scans run (2+1)/3 with a straggler
+        # tail). 4 MB splits fan the same scan ~8-25 wide. At cluster
+        # scale this knob stays at its 128 MB default — there the
+        # dataset, not the split size, supplies the parallelism; this
+        # is the local-bench expression of "size splits to keep every
+        # core busy", not a production setting.
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "1m")
     )
     return builder.getOrCreate()
