@@ -57,6 +57,53 @@ def funnel(
     return cur
 
 
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outlier detection: rows whose value sits
+    ``threshold`` or more population standard deviations from the
+    group mean — the standard telemetry / data-cleaning gate.
+
+    Mean and variance come from exact decimal moments (n, Σv, Σv² —
+    same recipe as a04_stat_moments): a streaming double aggregate is
+    merge-order-dependent and cannot reproduce bit-for-bit across
+    retries, while decimal accumulation is associative, so the cut
+    line is a pure function of the data. z rounds to 6dp to absorb
+    the last-ulp slack in cross-engine double division.
+
+    Scale shape: one pushed-down scan into one group-keyed aggregate
+    (the stats frame has |groups| rows), broadcast back onto the raw
+    scan, filter in codegen. No window over the event stream, no
+    second shuffle — the per-row pass is scan-speed.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from kaylee_spark.functions import dec_sum
+
+    v = F.col(value_col)
+    stats = df.groupBy(group_col).agg(
+        F.count(value_col).alias("__n"),
+        dec_sum(value_col).alias("__s1"),
+        dec_sum(v * v).alias("__s2"),
+    )
+    mean = F.col("__s1") / F.col("__n")
+    var = F.col("__s2") / F.col("__n") - mean * mean
+    z = F.round(((v - mean) / F.sqrt(var)).cast("double"), 6)
+    return (
+        df.join(broadcast(stats), group_col)
+        # zero-variance groups have no outliers BY DEFINITION — and the
+        # guard must precede the projection, or ANSI mode raises
+        # DIVIDE_BY_ZERO while computing z for their rows
+        .filter(var > 0)
+        .withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) >= threshold)
+        .drop("__n", "__s1", "__s2")
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",

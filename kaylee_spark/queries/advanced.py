@@ -486,3 +486,72 @@ def a16_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = fuzzy_join(probes, targets, "probe_name", "match_name", max_dist=1, q=3)
     return out.withColumn("edit_distance", F.col("edit_distance").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Profiling + outlier detection (round-5 third-session additions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a17_zscore_outliers",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type, COUNT(value) AS n,
+               {oracle_dec_sum('value')} AS s1,
+               {oracle_dec_sum('value * value')} AS s2
+        FROM events GROUP BY event_type
+    )
+    SELECT * FROM (
+        SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props,
+               ROUND(CAST((e.value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)) AS DOUBLE), 6) AS zscore
+        FROM events e JOIN s USING (event_type)
+        WHERE s2 / n - (s1 / n) * (s1 / n) > 0
+    )
+    WHERE abs(zscore) >= 3.0
+    """,
+    extra=True,
+)
+def a17_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| >= 3): exact decimal
+    moments -> broadcast stats -> codegen'd per-row cut
+    (operators/profiling-adjacent analytics.zscore_outliers). The
+    telemetry-cleaning gate: one scan, one tiny agg, no window."""
+    from kaylee_spark.operators.analytics import zscore_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    out = zscore_outliers(ev, value_col="value", group_col="event_type", threshold=3.0)
+    return out.select("event_id", "ts", "user_id", "event_type", "value", "props", "zscore")
+
+
+@query(
+    "a18_table_profile",
+    oracle="""
+    SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows, COUNT(*) - COUNT(doc_id) AS n_nulls,
+           COUNT(DISTINCT doc_id) AS n_distinct,
+           CAST(MIN(doc_id) AS DOUBLE) AS min_value, CAST(MAX(doc_id) AS DOUBLE) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'text', COUNT(*), COUNT(*) - COUNT(text), COUNT(DISTINCT text),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+           CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE) FROM documents
+    """,
+    extra=True,
+)
+def a18_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of the documents corpus: completeness,
+    exact cardinality, numeric ranges — ONE scan, one fused aggregate
+    row exploded long-format (operators/profiling.py profile_table;
+    the oracle's five scans are the semantics, not the plan)."""
+    from kaylee_spark.operators.profiling import profile_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_table(docs)

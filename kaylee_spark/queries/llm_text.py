@@ -374,3 +374,39 @@ def t12_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return take_until_budget(
         docs, "lang", "doc_id", "n_tokens", {"en": 5000, "de": 1500, "zh": 2000}
     )
+
+
+_BM25_TERMS = ["spark", "join", "stream", "vector"]
+
+
+@query(
+    "t13_bm25_topk",
+    oracle=None,  # replaced below: built by the operator's SQL-twin generator
+    extra=True,
+)
+def t13_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed query-term bag over the corpus: tf and
+    doc length are row-local array expressions (no explode), corpus
+    stats one broadcast 1-row agg, score in codegen, top-k via
+    TakeOrderedAndProject — the corpus never shuffles
+    (operators/ranking.py bm25_topk; oracle via bm25_oracle_sql in
+    lockstep)."""
+    from kaylee_spark.operators.ranking import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=20)
+
+
+# the oracle is generated by the same module that defines the scoring
+# formula, so the two sides cannot drift independently
+def _install_bm25_oracle() -> None:
+    from dataclasses import replace
+
+    from kaylee_spark.operators.ranking import bm25_oracle_sql
+    from kaylee_spark.queries import EXTRA_REGISTRY
+
+    spec = EXTRA_REGISTRY["t13_bm25_topk"]
+    EXTRA_REGISTRY["t13_bm25_topk"] = replace(spec, oracle=bm25_oracle_sql(_BM25_TERMS, k=20))
+
+
+_install_bm25_oracle()
