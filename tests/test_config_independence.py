@@ -32,7 +32,16 @@ def test_results_identical_without_broadcast_or_aqe(spark, sf_dir, name):
     assert got == want
 
 
-@pytest.mark.parametrize("name", ["d07_decontamination", "q25_salted_join", "d08_incremental_dedup"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "d07_decontamination",
+        "q25_salted_join",
+        "d08_incremental_dedup",
+        "a17_zscore_outliers",
+        "t13_bm25_topk",
+    ],
+)
 def test_round5_results_identical_without_broadcast_or_aqe(spark, sf_dir, name):
     fn = REG[name].fn
     want = _rows(fn(spark, sf_dir))
