@@ -555,3 +555,52 @@ def a18_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return profile_table(docs)
+
+
+@query(
+    "a19_dq_report",
+    oracle="""
+    SELECT 'not_null:o_custkey' AS rule,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'range:o_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice < 1000.0 OR o_totalprice > 300000.0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'accepted:o_orderstatus',
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique:o_orderkey',
+           CAST(COUNT(CASE WHEN o_orderkey IS NOT NULL THEN 1 END)
+                - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'fk:o_custkey->c_custkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+    extra=True,
+)
+def a19_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report over orders: null/range/
+    accepted-values/uniqueness rules fused into ONE scan aggregate,
+    plus an ids-only broadcast anti-join FK check against customer
+    (operators/dq.py dq_report; the oracle's five scans are the
+    semantics, not the plan). Mix of zero and non-zero violation
+    counts so both outcomes are hash-verified."""
+    from kaylee_spark.operators.dq import dq_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return dq_report(
+        orders,
+        not_null=["o_custkey"],
+        unique=[["o_orderkey"]],
+        ranges={"o_totalprice": (1000.0, 300000.0)},
+        accepted={"o_orderstatus": ["O", "F"]},
+        fk=[("o_custkey", customer, "c_custkey")],
+    )
