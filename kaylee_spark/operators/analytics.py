@@ -9,7 +9,7 @@ declarative joins/aggregates only, so Catalyst keys every shuffle on
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -160,4 +160,50 @@ def cohort_retention(
     return per_cell.join(sizes, "cohort").withColumn(
         "retention_rate",
         (F.col("n_active") / F.col("cohort_size")).cast("double"),
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Assign a per-row session id: a new session starts whenever the
+    gap since the user's previous event exceeds ``gap_seconds``.
+
+    This LABELS rows (the feature-engineering / log-stitching shape);
+    the session-WINDOW aggregate (e03/session_window) only aggregates.
+    ``session_id`` is (user_col, session_idx) with session_idx the
+    0-based running count of gap breaks in (ts, tiebreak) order —
+    deterministic even with duplicate timestamps because the tiebreak
+    column makes the window order total.
+
+    Scale shape: ONE shuffle keyed on the user, then two stacked
+    window passes (lag + running sum) over the SAME partitioning —
+    Spark plans a single Exchange + sort, both windows ride it. The
+    gap comparison is integer seconds (timestampdiff), timezone-free.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    # exact MICROSECOND difference: Spark's timestampdiff(SECOND)
+    # floors elapsed time while SQL engines' date_diff('second')
+    # counts boundary crossings — at micro precision (the storage
+    # precision) the two definitions coincide, so the gap predicate
+    # is engine-independent
+    gap = F.expr(f"timestampdiff(MICROSECOND, __prev, {ts_col})")
+    is_break = F.when(
+        F.col("__prev").isNull() | (gap > F.lit(int(gap_seconds) * 1_000_000)), 1
+    ).otherwise(0)
+    return (
+        events.withColumn("__prev", F.lag(ts_col).over(w))
+        .withColumn("__brk", is_break)
+        .withColumn(
+            "session_idx",
+            (
+                F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+                - F.lit(1)
+            ).cast("int"),
+        )
+        .drop("__prev", "__brk")
     )

@@ -94,3 +94,52 @@ def forward_fill(
     for c in value_cols:
         out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
     return out
+
+
+def trend(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: list[str],
+    anchor: str = "2024-01-01",
+) -> DataFrame:
+    """Per-group least-squares trend of value over time (slope per DAY,
+    plus intercept at the anchor date) — drift detection over metric
+    streams without ever materializing a window.
+
+    x is the integer day offset from ``anchor`` (date arithmetic —
+    timezone-free by construction). All five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²) accumulate exactly: integers in decimal(38)
+    so a 100 TB group cannot overflow (ANSI mode would raise on a
+    bigint Σx²), money sums through dec_sum. slope/intercept are then
+    identically-associated double expressions over those exact sums
+    on any engine, rounded to 6dp for the last-ulp division slack.
+
+    Scale shape: ONE pushed-down scan into one group-keyed partial
+    aggregate — the same cost as a COUNT(*) per group; nothing else
+    shuffles.
+    """
+    from kaylee_spark.functions import dec_sum
+
+    x = F.datediff(F.to_date(F.col(ts_col)), F.lit(anchor).cast("date"))
+    y = F.col(value_col)
+    out = df.groupBy(*group_cols).agg(
+        F.count(value_col).alias("n"),
+        F.sum(x.cast("decimal(38,0)")).alias("__sx"),
+        dec_sum(y).alias("__sy"),
+        dec_sum(x * y).alias("__sxy"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("__sxx"),
+    )
+    n = F.col("n")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy")
+    sxy = F.col("__sxy")
+    sxx = F.col("__sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return out.select(
+        *group_cols,
+        "n",
+        F.round(slope.cast("double"), 6).alias("slope_per_day"),
+        F.round(intercept.cast("double"), 6).alias("intercept"),
+    )

@@ -429,3 +429,66 @@ def e14_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forward_fill(
         ev, "filled_value", "ts", "user_id", tiebreak_cols=["event_id"]
     ).select("event_id", "user_id", "ts", "filled_value")
+
+
+_TREND_X = "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))"
+
+
+@query(
+    "e15_trend",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type, COUNT(value) AS n,
+               CAST(SUM(CAST({_TREND_X} AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               {oracle_dec_sum('value')} AS sy,
+               {oracle_dec_sum(f'{_TREND_X} * value')} AS sxy,
+               CAST(SUM(CAST({_TREND_X} * {_TREND_X} AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx) AS DOUBLE), 6) AS slope_per_day,
+           ROUND(CAST((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS DOUBLE), 6) AS intercept
+    FROM s
+    """,
+    extra=True,
+)
+def e15_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares value trend (slope per day +
+    anchor-date intercept) from five exact sufficient statistics in
+    ONE group-keyed aggregate — drift detection at COUNT(*) cost
+    (operators/timeseries.py trend)."""
+    from kaylee_spark.operators.timeseries import trend
+
+    ev = load_table(spark, sf_dir, "events")
+    return trend(ev, "ts", "value", ["event_type"])
+
+
+@query(
+    "e16_sessionize",
+    oracle="""
+    WITH o AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts,
+           CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT)
+               AS session_idx
+    FROM o
+    """,
+    extra=True,
+)
+def e16_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row session labels (30-min inactivity gap): lag + running
+    sum stacked on ONE user-keyed exchange; total order via the
+    event_id tie-break so duplicate timestamps label deterministically
+    (operators/analytics.py sessionize). Labels rows where e03's
+    session WINDOW only aggregates."""
+    from kaylee_spark.operators.analytics import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, gap_seconds=1800).select("event_id", "user_id", "ts", "session_idx")

@@ -82,3 +82,56 @@ def test_cohort_retention_offsets_and_rates(spark):
     assert out[("2024-01-01", 1)] == (1, 2, 0.5)
     assert out[("2024-01-08", 0)] == (1, 1, 1.0)
     assert len(out) == 3
+
+
+# ---------------------------------------------------------------------------
+# sessionize
+# ---------------------------------------------------------------------------
+
+
+def test_sessionize_gap_splits_and_tiebreak(spark):
+    from pyspark.sql import functions as F
+
+    from kaylee_spark.operators.analytics import sessionize
+
+    ev = spark.createDataFrame(
+        [
+            # user 1: two sessions split by a 31-min gap
+            (1, 1, ts("2024-01-01 10:00:00")),
+            (2, 1, ts("2024-01-01 10:10:00")),
+            (3, 1, ts("2024-01-01 10:41:00")),
+            # duplicate timestamps: event_id tie-break keeps the order total
+            (4, 1, ts("2024-01-01 10:41:00")),
+            # user 2: one event
+            (5, 2, ts("2024-01-01 09:00:00")),
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(ev, gap_seconds=1800).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+
+
+def test_sessionize_exact_boundary_is_same_session(spark):
+    from kaylee_spark.operators.analytics import sessionize
+
+    ev = spark.createDataFrame(
+        [(1, 1, ts("2024-01-01 10:00:00")), (2, 1, ts("2024-01-01 10:30:00"))],
+        ["event_id", "user_id", "ts"],
+    )
+    got = {r["event_id"]: r["session_idx"] for r in sessionize(ev, gap_seconds=1800).collect()}
+    # a gap of EXACTLY gap_seconds does not split (strict >)
+    assert got == {1: 0, 2: 0}
+
+
+def test_sessionize_single_exchange(spark):
+    from kaylee_spark.operators.analytics import sessionize
+
+    ev = spark.createDataFrame(
+        [(1, 1, ts("2024-01-01 10:00:00"))], ["event_id", "user_id", "ts"]
+    )
+    plan = sessionize(ev)._jdf.queryExecution().executedPlan().toString()
+    # lag + running sum must ride ONE user-keyed exchange
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -70,3 +70,39 @@ def test_forward_fill_carries_last_observation(spark):
         (2, 1): None,
         (2, 2): 7.0,
     }
+
+
+# ---------------------------------------------------------------------------
+# trend
+# ---------------------------------------------------------------------------
+
+
+def test_trend_recovers_exact_line(spark):
+    from datetime import datetime
+
+    from kaylee_spark.operators.timeseries import trend
+
+    # y = 2x + 5 over days 0..9, single group: exact recovery
+    rows = [
+        ("g", datetime(2024, 1, 1 + d, 12, 0), 5.0 + 2.0 * d) for d in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    got = trend(df, "ts", "v", ["k"]).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n"] == 10
+    assert abs(r["slope_per_day"] - 2.0) < 1e-9
+    assert abs(r["intercept"] - 5.0) < 1e-9
+
+
+def test_trend_single_aggregate_plan(spark):
+    from datetime import datetime
+
+    from kaylee_spark.operators.timeseries import trend
+
+    df = spark.createDataFrame(
+        [("g", datetime(2024, 1, 1), 1.0), ("g", datetime(2024, 1, 2), 2.0)],
+        ["k", "ts", "v"],
+    )
+    plan = trend(df, "ts", "v", ["k"])._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") + plan.count("LocalRelation") == 1
