@@ -40,6 +40,8 @@ def test_results_identical_without_broadcast_or_aqe(spark, sf_dir, name):
         "d08_incremental_dedup",
         "a17_zscore_outliers",
         "t13_bm25_topk",
+        "a19_dq_report",
+        "e16_sessionize",
     ],
 )
 def test_round5_results_identical_without_broadcast_or_aqe(spark, sf_dir, name):
@@ -92,7 +94,7 @@ def test_late_round5_results_identical_without_broadcast_or_aqe(spark, sf_dir, n
     assert got == want
 
 
-@pytest.mark.parametrize("name", ["e12_cohort_retention", "e13_resample"])
+@pytest.mark.parametrize("name", ["e12_cohort_retention", "e13_resample", "e15_trend", "e16_sessionize"])
 def test_timestamp_queries_session_tz_independent(spark, sf_dir, name):
     """Bucketing/cohort arithmetic must be pure NTZ — a half-hour-offset
     session timezone (Asia/Kolkata) must not move bucket edges or week
