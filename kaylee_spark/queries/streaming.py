@@ -492,3 +492,34 @@ def e16_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return sessionize(ev, gap_seconds=1800).select("event_id", "user_id", "ts", "session_idx")
+
+
+@query(
+    "e17_rollup_cascade",
+    oracle=f"""
+    SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+           '1 hour' AS resolution, COUNT(value) AS n_events,
+           {oracle_dec_sum('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    UNION ALL
+    SELECT event_type, time_bucket(INTERVAL '6 hours', ts),
+           '6 hours', COUNT(value), {oracle_dec_sum('value')}
+    FROM events GROUP BY 1, 2
+    UNION ALL
+    SELECT event_type, time_bucket(INTERVAL '1 day', ts),
+           '1 day', COUNT(value), {oracle_dec_sum('value')}
+    FROM events GROUP BY 1, 2
+    """,
+    extra=True,
+)
+def e17_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical 1h -> 6h -> 1d rollup: raw events shuffle ONCE (to
+    the hourly grain); 6h and 1d derive from the level below with
+    exact decimal carry (operators/timeseries.py rollup_cascade). The
+    oracle aggregates the RAW table directly at every resolution, so
+    the hash gate proves cascaded reaggregation loses nothing — the
+    continuous-aggregate maintenance pattern at 100 TB."""
+    from kaylee_spark.operators.timeseries import rollup_cascade
+
+    ev = load_table(spark, sf_dir, "events")
+    return rollup_cascade(ev, "ts", "value", ["1 hour", "6 hours", "1 day"], ["event_type"])

@@ -106,3 +106,57 @@ def test_trend_single_aggregate_plan(spark):
     )
     plan = trend(df, "ts", "v", ["k"])._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LogicalRDD") + plan.count("LocalRelation") == 1
+
+
+# ---------------------------------------------------------------------------
+# rollup_cascade
+# ---------------------------------------------------------------------------
+
+
+def test_rollup_cascade_levels_sum_consistently(spark):
+    from datetime import datetime
+
+    from kaylee_spark.operators.timeseries import rollup_cascade
+
+    rows = [
+        ("a", datetime(2024, 1, 1, h, m), 1.5)
+        for h in range(0, 12)
+        for m in (0, 30)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = rollup_cascade(df, "ts", "v", ["1 hour", "6 hours", "1 day"], ["k"]).collect()
+    by_res = {}
+    for r in out:
+        by_res.setdefault(r["resolution"], []).append(r)
+    assert len(by_res["1 hour"]) == 12
+    assert len(by_res["6 hours"]) == 2
+    assert len(by_res["1 day"]) == 1
+    # every level carries the SAME totals
+    for res, rows_ in by_res.items():
+        assert sum(r["n_events"] for r in rows_) == 24, res
+        assert abs(sum(r["total_value"] for r in rows_) - 36.0) < 1e-9, res
+
+
+def test_rollup_cascade_single_raw_scan(spark):
+    from datetime import datetime
+
+    from kaylee_spark.operators.timeseries import rollup_cascade
+
+    df = spark.createDataFrame([("a", datetime(2024, 1, 1), 1.0)], ["k", "ts", "v"])
+    out = rollup_cascade(df, "ts", "v", ["1 hour", "6 hours"], ["k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every union branch must read the MATERIALIZED level, not rebuild
+    # from raw (Spark does not dedupe common subplans across a union)
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_rollup_cascade_rejects_non_multiple_steps(spark):
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from kaylee_spark.operators.timeseries import rollup_cascade
+
+    df = spark.createDataFrame([("a", datetime(2024, 1, 1), 1.0)], ["k", "ts", "v"])
+    with _pytest.raises(ValueError, match="integer multiples"):
+        rollup_cascade(df, "ts", "v", ["1 hour", "90 minutes"], ["k"])
