@@ -8,7 +8,7 @@ transform so they compose with any pipeline.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny multi-language stopword profiles for the n-gram/stopword
@@ -266,4 +266,46 @@ def top_ngram_fraction(df: DataFrame, id_col: str, text_col: str, n: int = 2) ->
     counts = exploded.groupBy("doc", "g").agg(F.count("*").alias("c"))
     return counts.groupBy("doc").agg(
         (F.max("c") / F.sum("c")).cast("double").alias("top_ngram_frac")
+    )
+
+
+def build_vocabulary(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus vocabulary with stable integer ids — the tokenizer-prep
+    step of a pretraining pipeline (term tables, frequency cutoffs,
+    id assignment all come from exactly this frame).
+
+    Output: (term, term_id, n_docs, n_occurrences) with term_id dense
+    0-based ids in (n_occurrences desc, term) order — the standard
+    frequency-sorted layout, made deterministic by the lexicographic
+    tie-break.
+
+    Scale shape: explode + ONE term-keyed aggregate carries the whole
+    corpus (map-side partial counts collapse each partition's token
+    stream before the shuffle; distinct doc-counts ride the same agg).
+    The id-assigning global window sorts only the SURVIVING vocabulary
+    — Zipf guarantees that is orders of magnitude smaller than the
+    token stream, and the min_count filter is applied before the sort.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__doc"), F.explode(tokens(text_col)).alias("term")
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("__doc").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("term"))
+    return vocab.select(
+        "term",
+        (F.row_number().over(w) - 1).alias("term_id"),
+        "n_docs",
+        "n_occurrences",
     )

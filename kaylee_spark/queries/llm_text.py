@@ -410,3 +410,33 @@ def _install_bm25_oracle() -> None:
 
 
 _install_bm25_oracle()
+
+
+@query(
+    "t14_vocabulary",
+    oracle=f"""
+    WITH v AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM (
+            SELECT doc_id, UNNEST(list_filter({_SQL_TOKS}, t -> t <> '')) AS term
+            FROM documents
+        )
+        GROUP BY term
+        HAVING COUNT(*) >= 2
+    )
+    SELECT term,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, term) - 1 AS INT) AS term_id,
+           n_docs, n_occurrences
+    FROM v
+    """,
+    extra=True,
+)
+def t14_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-sorted corpus vocabulary with dense 0-based term ids
+    (min_count=2): explode + one term-keyed agg over the corpus, then
+    a global window over only the surviving vocabulary
+    (operators/text.py build_vocabulary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = T.build_vocabulary(docs, min_count=2)
+    return out.withColumn("term_id", F.col("term_id").cast("int"))

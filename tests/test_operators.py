@@ -309,3 +309,25 @@ def test_media_from_files(spark, tmp_path):
     assert bytes(rows["image"]["payload"]).startswith(b"\xff\xd8")
     feats = extract_features(media, dim=4)
     assert feats.count() == 2 and len(feats.first()["features"]) == 4
+
+
+def test_build_vocabulary_ids_and_cutoff(spark):
+    from kaylee_spark.operators.text import build_vocabulary
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "cat cat cat"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = build_vocabulary(docs, min_count=2).collect()
+    by_term = {r["term"]: r for r in out}
+    # 'on', 'mat', 'dog' occur once -> cut
+    assert set(by_term) == {"the", "cat", "sat"}
+    cat = by_term["cat"]
+    assert cat["n_occurrences"] == 4 and cat["n_docs"] == 2
+    # ids dense 0-based in (count desc, term) order: cat(4) < the(3) < sat(2)
+    assert [r["term"] for r in sorted(out, key=lambda r: r["term_id"])] == ["cat", "the", "sat"]
+    assert sorted(r["term_id"] for r in out) == [0, 1, 2]
