@@ -144,3 +144,108 @@ def write_sorted_parquet(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zorder_key(col_a, col_b, bits: int = 16):
+    """Z-order (Morton) key: bit-interleave two rank-normalized
+    dimensions into one clustering key.
+
+    Inputs must already be integers in [0, 2**bits); use
+    ``_normalize_dim`` to map arbitrary numeric columns onto that
+    range. The interleave is a single unrolled codegen expression
+    (2*bits shifts + ORs) — pure JVM arithmetic, no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    a = col_a if not isinstance(col_a, str) else F.col(col_a)
+    b = col_b if not isinstance(col_b, str) else F.col(col_b)
+    key = F.lit(0).cast("bigint")
+    for i in range(bits):
+        # .bitwiseOR, not `|`: the Python operator on Columns is
+        # logical OR and fails analysis on integral types
+        key = key.bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(a.cast("bigint"), i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(b.cast("bigint"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return key
+
+
+def _equimass_bucket(col, boundaries: list[float]):
+    """Map a numeric column onto dense equi-MASS bucket ids [0, 256).
+
+    ``boundaries`` are the 255 inner quantile cut points of the
+    dimension (driver-side approxQuantile — sample-sized, the same
+    trick production OPTIMIZE ZORDER implementations use via range
+    partition ids). Equi-mass matters: min/max scaling collapses a
+    skewed dimension onto a few low bits and the interleave loses all
+    resolution there (measured: an exponential value column left 7/8
+    files overlapping any band).
+
+    The id is "number of boundaries <= x": an 8-step binary search
+    expressed as ONE aggregate() fold over the step array. The fold
+    matters structurally, not just aesthetically — a Python-side
+    unrolled loop embeds the previous accumulator tree twice per step
+    (probe + add), i.e. 2^8 copies of the 255-literal boundary array,
+    and analysis alone took minutes; the HOF keeps the tree O(255)
+    and iterates at RUNTIME (8 comparisons per row, no UDF).
+    """
+    from pyspark.sql import functions as F
+
+    assert len(boundaries) == 255
+    arr = F.array(*[F.lit(float(b)) for b in boundaries])
+    steps = F.array(*[F.lit(s) for s in (128, 64, 32, 16, 8, 4, 2, 1)])
+    return F.aggregate(
+        steps,
+        F.lit(0),
+        lambda acc, s: acc
+        + F.when(
+            ((acc + s) <= F.lit(255)) & (col >= F.element_at(arr, (acc + s).cast("int"))),
+            s,
+        ).otherwise(F.lit(0)),
+    ).cast("bigint")
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    mode: str = "overwrite",
+    relative_error: float = 0.001,
+) -> None:
+    """Two-dimensional Z-order clustered parquet layout.
+
+    Range-clustering (write_sorted_parquet) gives perfect skipping on
+    ONE column and none on a second independent one; interleaving the
+    two dimensions' equi-mass bucket ids (8 bits each — 256 buckets,
+    plenty for any realistic file count) makes file min/max ranges
+    tight on BOTH — a selective predicate on either column skips most
+    files (the Delta/Iceberg OPTIMIZE ZORDER layout, built from
+    public Morton arithmetic).
+
+    Cost: one approxQuantile pass per dimension (sample-sized driver
+    result), then the same single range-shuffle + within-partition
+    sort as the 1-D layout. The z key is dropped before write.
+    """
+    from pyspark.sql import functions as F
+
+    qs = [i / 256 for i in range(1, 256)]
+    bounds_a = df.approxQuantile(col_a, qs, relative_error)
+    bounds_b = df.approxQuantile(col_b, qs, relative_error)
+    keyed = df.withColumn(
+        "__zkey",
+        zorder_key(
+            _equimass_bucket(F.col(col_a).cast("double"), bounds_a),
+            _equimass_bucket(F.col(col_b).cast("double"), bounds_b),
+            bits=8,
+        ),
+    )
+    (
+        keyed.repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

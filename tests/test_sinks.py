@@ -188,3 +188,74 @@ def test_write_sorted_parquet_enables_data_skipping(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters:" in plan and "GreaterThanOrEqual(o_orderkey" in plan
+
+
+def test_zorder_key_is_morton_interleave(spark):
+    """zorder_key must equal the reference Morton interleave."""
+    def morton(a, b, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = [(0, 0), (1, 0), (0, 1), (5, 9), (65535, 65535), (12345, 54321)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = df.select("a", "b", sinks.zorder_key("a", "b").alias("z")).collect()
+    for r in got:
+        assert r["z"] == morton(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_write_zorder_parquet_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    """The 2-D layout must give file-level min/max skipping on EACH of
+    the two clustering columns, where the 1-D range layout helps only
+    its own sort key."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    ev = load_table(spark, sf_dir, "events")
+    n_files = 8
+
+    def file_ranges(path, col):
+        ranges = []
+        for name in os.listdir(path):
+            if not name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, name)).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            ranges.append((min(mins), max(maxs)))
+        return ranges
+
+    def touched(ranges, lo, hi):
+        return sum(1 for mn, mx in ranges if not (hi < mn or lo > mx))
+
+    zdir = str(tmp_path / "ev_z")
+    sinks.write_zorder_parquet(ev, zdir, "user_id", "value", n_files=n_files)
+    back = spark.read.parquet(zdir)
+    assert back.count() == ev.count()
+
+    u_lo, u_hi = ev.agg(F.min("user_id"), F.max("user_id")).collect()[0]
+    # equal-MASS slices, not equal-range: value is exponentially
+    # distributed, so the low 1/8 of its range holds most rows and no
+    # layout could skip it — a narrow quantile band is the honest probe
+    v_band_lo, v_band_hi = ev.approxQuantile("value", [0.45, 0.55], 0.001)
+    u_span = (u_hi - u_lo) / 8
+    u_ranges = file_ranges(zdir, "user_id")
+    v_ranges = file_ranges(zdir, "value")
+    assert len(u_ranges) == n_files
+    # each dim's selective predicate must skip at least a third of the
+    # files (1-D layouts give NO skipping on their non-sort dimension)
+    assert touched(u_ranges, u_lo, u_lo + u_span) <= 2 * n_files // 3
+    assert touched(v_ranges, v_band_lo, v_band_hi) <= 2 * n_files // 3
+
+    # contrast: the 1-D layout on user_id leaves value unskippable
+    sdir = str(tmp_path / "ev_s")
+    sinks.write_sorted_parquet(ev, sdir, "user_id", n_files=n_files)
+    v_ranges_1d = file_ranges(sdir, "value")
+    assert touched(v_ranges_1d, v_band_lo, v_band_hi) == n_files

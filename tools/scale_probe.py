@@ -41,6 +41,15 @@ PROBE_QUERIES = (
     "e01_tumbling_window",
     "e02_sliding_window",
     "t01_lang_stats",
+    # third-session additions: single-table decimal/window shapes whose
+    # semantics survive row multiplication (sums/counts scale by N;
+    # a17's per-row z and e15's slope are scale-invariant; t14's
+    # cutoff membership changes with N but both engines see the same
+    # multiplied data)
+    "a17_zscore_outliers",
+    "e15_trend",
+    "e17_rollup_cascade",
+    "t14_vocabulary",
 )
 
 
