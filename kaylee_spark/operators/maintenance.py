@@ -87,3 +87,50 @@ def upsert_snapshot(
     survivors = base.join(key_set, key_cols, "left_anti")
 
     return live.unionByName(survivors)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str] | str,
+    hash_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change report between two corpus snapshots: one row per key
+    that was ADDED, REMOVED, or MODIFIED (payload hash changed) —
+    the audit/sync companion to upsert_snapshot.
+
+    ``hash_cols`` defaults to every non-key column; modification is
+    detected on xxhash64 over those columns (8 bytes per side through
+    the join, never the payload). Output: (key columns…, change) with
+    change in {'added','removed','modified'}; unchanged keys are
+    absent, so the frame is increment-sized, not corpus-sized.
+
+    Scale shape: both sides reduce to (key, hash) BEFORE the one
+    full-outer join — the only shuffle carries ids and hashes. At
+    100 TB the diff costs two scans plus a narrow key-keyed exchange.
+    """
+    key_cols = [keys] if isinstance(keys, str) else list(keys)
+    if hash_cols is None:
+        hash_cols = [c for c in old.columns if c not in key_cols]
+    missing = [c for c in [*key_cols, *hash_cols] if c not in new.columns]
+    if missing:
+        raise ValueError(f"new snapshot missing columns: {missing}")
+
+    def keyed(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            *key_cols,
+            F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in hash_cols]).alias(f"__h_{tag}"),
+        )
+
+    o, n = keyed(old, "o"), keyed(new, "n")
+    joined = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("__h_o").isNull(), F.lit("added"))
+        .when(F.col("__h_n").isNull(), F.lit("removed"))
+        .when(F.col("__h_o") != F.col("__h_n"), F.lit("modified"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*key_cols, "change")
+    )

@@ -18,7 +18,7 @@ for an n_salts-way split of each hot key's probe rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _SALT = "__kaylee_salt"
@@ -73,3 +73,38 @@ def salted_join(
     replicated = other.withColumn(_SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     out = salted.join(replicated, keys + [_SALT], how)
     return out.drop(_SALT)
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Join-key skew diagnostic: the top-N hottest key values with
+    their share of the table — the "why is one task still running"
+    tool, run BEFORE deciding between broadcast, AQE, and salting.
+
+    Output: (key columns…, n_rows, pct_of_total, key_rank) for the
+    top_n keys by count, rank 1 = hottest, ties broken by key value
+    so the report is deterministic. pct_of_total rounds to 6dp.
+
+    Scale shape: one key-grouped count (map-side partial — the
+    combiner absorbs the very skew being measured, so the shuffle
+    carries |distinct keys| rows, not the raw table), one 1-row total
+    broadcast, TakeOrderedAndProject for the top-N. Null keys count
+    as a key value (they are the most common hot key in the wild).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("__total"))
+    w = Window.orderBy(F.desc("n_rows"), *[F.asc_nulls_first(k) for k in keys])
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "pct_of_total",
+            F.round((F.col("n_rows") / F.col("__total")).cast("double"), 6),
+        )
+        .withColumn("key_rank", F.row_number().over(w))
+        .filter(F.col("key_rank") <= top_n)
+        .drop("__total")
+    )

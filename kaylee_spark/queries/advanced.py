@@ -604,3 +604,35 @@ def a19_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         accepted={"o_orderstatus": ["O", "F"]},
         fk=[("o_custkey", customer, "c_custkey")],
     )
+
+
+@query(
+    "a20_skew_report",
+    oracle="""
+    WITH c AS (
+        SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    t AS (SELECT SUM(n_rows) AS total FROM c)
+    SELECT l_suppkey, n_rows,
+           ROUND(CAST(n_rows AS DOUBLE) / total, 6) AS pct_of_total,
+           CAST(key_rank AS INT) AS key_rank
+    FROM (
+        SELECT l_suppkey, n_rows,
+               ROW_NUMBER() OVER (ORDER BY n_rows DESC, l_suppkey) AS key_rank
+        FROM c
+    ) CROSS JOIN t
+    WHERE key_rank <= 10
+    """,
+    extra=True,
+)
+def a20_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hottest lineitem supplier keys with share-of-table: the
+    pre-join skew diagnostic (operators/skew.py skew_report). The
+    combiner absorbs the skew being measured — the shuffle carries
+    |distinct keys| rows, then a 1-row total broadcast and top-N."""
+    from kaylee_spark.operators.skew import skew_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = skew_report(li, "l_suppkey", top_n=10)
+    return out.withColumn("key_rank", F.col("key_rank").cast("int"))

@@ -295,3 +295,53 @@ def d09_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("deleted", F.col("o_orderkey") % 21 == 0)
     )
     return upsert_snapshot(base, updates, keys="o_orderkey", tombstone_col="deleted")
+
+
+@query(
+    "d10_snapshot_diff",
+    oracle="""
+    WITH new_snap AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 7 = 0 THEN ' v2' ELSE '' END AS text,
+               lang, source, n_chars
+        FROM documents WHERE doc_id % 50 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang, source, n_chars
+        FROM documents WHERE doc_id % 100 = 0
+    )
+    SELECT doc_id, change FROM (
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.text <> n.text OR o.lang <> n.lang
+                         OR o.source <> n.source OR o.n_chars <> n.n_chars
+                    THEN 'modified' END AS change
+        FROM documents o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id
+    )
+    WHERE change IS NOT NULL
+    """,
+    extra=True,
+)
+def d10_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (added/removed/modified by key): both
+    sides reduce to (key, xxhash64 of payload) before ONE ids-only
+    full-outer join (operators/maintenance.py snapshot_diff). The
+    oracle diffs the payload COLUMNS directly, so the hash gate
+    proves the 8-byte-hash implementation reports exactly the
+    column-equality semantics. The simulated next snapshot drops
+    doc_id%50, edits doc_id%7, re-adds doc_id%100 shifted."""
+    from kaylee_spark.operators.maintenance import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    new = (
+        docs.filter(did % 50 != 0)
+        .withColumn(
+            "text",
+            F.concat(F.col("text"), F.when(did % 7 == 0, F.lit(" v2")).otherwise(F.lit(""))),
+        )
+        .unionByName(
+            docs.filter(did % 100 == 0).withColumn("doc_id", did + F.lit(1000000))
+        )
+    )
+    return snapshot_diff(docs, new, "doc_id")

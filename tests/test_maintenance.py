@@ -87,3 +87,53 @@ def test_upsert_idempotent_reapplication(spark):
     twice = upsert_snapshot(once, updates, keys="k", tombstone_col="del")
     assert _snap(once) == _snap(twice)
     assert (5, "V5") in _snap(once) and all(r[0] != 7 for r in _snap(once))
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    from kaylee_spark.operators.maintenance import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["id", "payload", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40)], ["id", "payload", "v"]
+    )
+    got = {r["id"]: r["change"] for r in snapshot_diff(old, new, "id").collect()}
+    # 1 unchanged -> absent; 2 modified; 3 removed; 4 added
+    assert got == {2: "modified", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_null_payload_is_hashable(spark):
+    from kaylee_spark.operators.maintenance import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, "x")], "id: bigint, payload: string")
+    new = spark.createDataFrame([(1, None), (2, None)], "id: bigint, payload: string")
+    got = {r["id"]: r["change"] for r in snapshot_diff(old, new, "id").collect()}
+    # null == null payload is unchanged; x -> null is modified
+    assert got == {2: "modified"}
+
+
+def test_snapshot_diff_shuffles_hashes_not_payload(spark):
+    from kaylee_spark.operators.maintenance import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a" * 1000)], ["id", "payload"])
+    new = spark.createDataFrame([(1, "b" * 1000)], ["id", "payload"])
+    plan = snapshot_diff(old, new, "id")._jdf.queryExecution().optimizedPlan().toString()
+    # payload column is pruned before the join: only id + hash survive
+    assert "payload" not in plan.split("Join")[0]
+
+
+def test_snapshot_diff_missing_columns_raises(spark):
+    import pytest as _pytest
+
+    from kaylee_spark.operators.maintenance import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a")], ["id", "payload"])
+    new = spark.createDataFrame([(1,)], ["id"])
+    with _pytest.raises(ValueError, match="missing columns"):
+        snapshot_diff(old, new, "id")

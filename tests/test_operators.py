@@ -331,3 +331,24 @@ def test_build_vocabulary_ids_and_cutoff(spark):
     # ids dense 0-based in (count desc, term) order: cat(4) < the(3) < sat(2)
     assert [r["term"] for r in sorted(out, key=lambda r: r["term_id"])] == ["cat", "the", "sat"]
     assert sorted(r["term_id"] for r in out) == [0, 1, 2]
+
+
+def test_skew_report_ranks_hot_keys(spark):
+    from kaylee_spark.operators.skew import skew_report
+
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("cold",)] * 1
+    df = spark.createDataFrame(rows, ["k"])
+    got = skew_report(df, "k", top_n=2).collect()
+    assert [(r["k"], r["n_rows"], r["key_rank"]) for r in got] == [
+        ("hot", 6, 1),
+        ("warm", 3, 2),
+    ]
+    assert abs(got[0]["pct_of_total"] - 0.6) < 1e-9
+
+
+def test_skew_report_counts_null_keys(spark):
+    from kaylee_spark.operators.skew import skew_report
+
+    df = spark.createDataFrame([(None,), (None,), ("x",)], "k: string")
+    got = skew_report(df, "k", top_n=1).collect()
+    assert got[0]["k"] is None and got[0]["n_rows"] == 2
