@@ -523,3 +523,30 @@ def e17_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return rollup_cascade(ev, "ts", "value", ["1 hour", "6 hours", "1 day"], ["event_type"])
+
+
+@query(
+    "e18_streamed_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    extra=True,
+)
+def e18_streamed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured-Streaming dedup: readStream ->
+    dropDuplicates over (user_id, event_type) -> availableNow drain.
+    The dedup STATE STORE (not a batch twin) produces this row;
+    key-only projection makes the emitted set exactly batch DISTINCT
+    regardless of arrival order, so the SQL oracle is exact. The
+    watermark-bounded variant (dropDuplicatesWithinWatermark, e05's
+    real twin) stays pytest-verified — its eviction timing is
+    engine-internal and has no closed-form oracle."""
+    drained = _drain_staged_stream(
+        spark,
+        sf_dir,
+        lambda ST, staged: ST.run_to_memory(
+            ST.events_stream(spark, staged)
+            .select("user_id", "event_type")
+            .dropDuplicates(["user_id", "event_type"]),
+            output_mode="append",
+        ),
+    )
+    return drained
