@@ -108,3 +108,35 @@ def test_timestamp_queries_session_tz_independent(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
     assert got == want
+
+
+@pytest.mark.parametrize("name", ["e17_rollup_cascade", "d10_snapshot_diff", "a20_skew_report", "e18_streamed_dedup"])
+def test_third_session_results_identical_without_broadcast_or_aqe(spark, sf_dir, name):
+    fn = REG[name].fn
+    want = _rows(fn(spark, sf_dir))
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        got = _rows(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert got == want
+
+
+@pytest.mark.parametrize("name", ["a17_zscore_outliers", "t14_vocabulary", "e16_sessionize", "d10_snapshot_diff"])
+def test_results_identical_across_shuffle_partition_counts(spark, sf_dir, name):
+    """The driver session runs the default 200 shuffle partitions, not
+    our tuned 32 — global windows, decimal aggs, and hash joins must
+    produce identical bits under any partitioning."""
+    fn = REG[name].fn
+    want = _rows(fn(spark, sf_dir))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        got = _rows(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert got == want
