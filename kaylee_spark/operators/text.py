@@ -309,3 +309,38 @@ def build_vocabulary(
         "n_docs",
         "n_occurrences",
     )
+
+
+def encode_with_vocabulary(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_id: int = -1,
+) -> DataFrame:
+    """Encode each document as an array of vocabulary term ids (order
+    preserving; out-of-vocabulary tokens become ``oov_id``) — the step
+    that turns a curated corpus into model-ready id sequences.
+
+    Scale shape: positional explode + ONE broadcast join against the
+    vocabulary (Zipf-small by construction), then re-assembly keyed on
+    the document — a single doc-keyed shuffle. Order is restored by
+    sorting the collected (pos, id) structs per document, never by a
+    global sort.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "term"),
+    )
+    joined = toks.join(
+        F.broadcast(vocab.select("term", "term_id")), "term", "left"
+    ).select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("term_id").cast("int"), F.lit(oov_id)).alias("tid"),
+    )
+    return joined.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda s: s.tid
+        ).alias("token_ids")
+    )

@@ -440,3 +440,57 @@ def t14_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = T.build_vocabulary(docs, min_count=2)
     return out.withColumn("term_id", F.col("term_id").cast("int"))
+
+
+@query(
+    "t15_encode_corpus",
+    oracle=f"""
+    WITH v AS (
+        SELECT term,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, term) - 1 AS INT) AS term_id
+        FROM (
+            SELECT term, COUNT(*) AS n_occurrences
+            FROM (
+                SELECT UNNEST(list_filter({_SQL_TOKS}, t -> t <> '')) AS term
+                FROM documents
+            )
+            GROUP BY term
+            HAVING COUNT(*) >= 2
+        )
+    ),
+    m AS (
+        SELECT MAP(list(term ORDER BY term_id), list(term_id ORDER BY term_id)) AS vm
+        FROM v
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(ids, x -> CAST(x AS VARCHAR)), ',') AS token_ids_csv,
+           CAST(len(ids) AS INT) AS n_tokens,
+           CAST(len(list_filter(ids, x -> x = -1)) AS INT) AS n_oov
+    FROM (
+        SELECT doc_id,
+               list_transform(list_filter({_SQL_TOKS}, t -> t <> ''),
+                              t -> COALESCE(map_extract(vm, t)[1], -1)) AS ids
+        FROM documents CROSS JOIN m
+    )
+    """,
+    extra=True,
+)
+def t15_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document as an ordered array of vocabulary term
+    ids (OOV -> -1): positional explode + broadcast vocab join + one
+    doc-keyed reassembly (operators/text.py encode_with_vocabulary
+    over build_vocabulary's t14 ids) — the corpus-to-id-sequences
+    step of a pretraining pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = T.build_vocabulary(docs, min_count=2)
+    enc = T.encode_with_vocabulary(docs, vocab)
+    # the operator's real output is the id ARRAY; the gate (like the
+    # driver) cannot hash array cells, so the query row serializes it
+    # losslessly (csv + length + oov count)
+    ids = F.col("token_ids")
+    return enc.select(
+        "doc_id",
+        F.array_join(F.transform(ids, lambda x: x.cast("string")), ",").alias("token_ids_csv"),
+        F.size(ids).cast("int").alias("n_tokens"),
+        F.size(F.filter(ids, lambda x: x == F.lit(-1))).cast("int").alias("n_oov"),
+    )

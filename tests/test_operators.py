@@ -352,3 +352,36 @@ def test_skew_report_counts_null_keys(spark):
     df = spark.createDataFrame([(None,), (None,), ("x",)], "k: string")
     got = skew_report(df, "k", top_n=1).collect()
     assert got[0]["k"] is None and got[0]["n_rows"] == 2
+
+
+def test_encode_with_vocabulary_preserves_order_and_oov(spark):
+    from kaylee_spark.operators.text import build_vocabulary, encode_with_vocabulary
+
+    docs = spark.createDataFrame(
+        [(1, "cat sat cat"), (2, "dog sat unknownword")],
+        ["doc_id", "text"],
+    )
+    vocab = build_vocabulary(docs, min_count=1)
+    vmap = {r["term"]: r["term_id"] for r in vocab.collect()}
+    got = {r["doc_id"]: r["token_ids"] for r in encode_with_vocabulary(docs, vocab).collect()}
+    assert got[1] == [vmap["cat"], vmap["sat"], vmap["cat"]]
+    # every token here IS in vocab (min_count=1) — now cut the vocab
+    vocab2 = build_vocabulary(docs, min_count=2)  # only cat(2), sat(2)
+    got2 = {r["doc_id"]: r["token_ids"] for r in encode_with_vocabulary(docs, vocab2).collect()}
+    assert got2[2][0] == -1 and got2[2][2] == -1  # dog, unknownword -> OOV
+    assert got2[1].count(-1) == 0
+
+
+def test_encode_with_vocabulary_repartition_invariant(spark):
+    from kaylee_spark.operators.text import build_vocabulary, encode_with_vocabulary
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} tok{i % 3} shared") for i in range(60)], ["doc_id", "text"]
+    )
+    vocab = build_vocabulary(docs, min_count=2)
+    a = sorted((r["doc_id"], tuple(r["token_ids"])) for r in encode_with_vocabulary(docs, vocab).collect())
+    b = sorted(
+        (r["doc_id"], tuple(r["token_ids"]))
+        for r in encode_with_vocabulary(docs.repartition(13), vocab).collect()
+    )
+    assert a == b
