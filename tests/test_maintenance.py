@@ -137,3 +137,41 @@ def test_snapshot_diff_missing_columns_raises(spark):
     new = spark.createDataFrame([(1,)], ["id"])
     with _pytest.raises(ValueError, match="missing columns"):
         snapshot_diff(old, new, "id")
+
+
+def test_diff_to_updates_roundtrip_reproduces_new_snapshot(spark):
+    """Cross-operator invariant: snapshot_diff's report, turned into a
+    CDC update batch (added/modified rows + tombstones for removed),
+    must drive upsert_snapshot from the old snapshot exactly to the
+    new one — the diff and the merge agree on change semantics."""
+    import pyspark.sql.functions as F
+
+    from kaylee_spark.operators.maintenance import snapshot_diff, upsert_snapshot
+
+    old = spark.createDataFrame(
+        [(i, f"p{i}", i * 10) for i in range(40)], ["id", "payload", "v"]
+    )
+    # drop %5, edit %7, add 100..104
+    new = (
+        old.filter(F.col("id") % 5 != 0)
+        .withColumn(
+            "payload",
+            F.when(F.col("id") % 7 == 0, F.concat(F.col("payload"), F.lit("_v2"))).otherwise(
+                F.col("payload")
+            ),
+        )
+        .unionByName(
+            spark.createDataFrame([(100 + i, f"n{i}", 0) for i in range(5)], ["id", "payload", "v"])
+        )
+    )
+    diff = snapshot_diff(old, new, "id")
+    changed = diff.filter(F.col("change") != "removed").select("id")
+    updates = new.join(changed, "id").withColumn("deleted", F.lit(False)).unionByName(
+        diff.filter(F.col("change") == "removed")
+        .select("id")
+        .withColumn("payload", F.lit(None).cast("string"))
+        .withColumn("v", F.lit(None).cast("bigint"))
+        .withColumn("deleted", F.lit(True))
+    )
+    merged = upsert_snapshot(old, updates, "id", tombstone_col="deleted")
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(tuple(r) for r in new.collect())

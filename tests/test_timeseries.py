@@ -160,3 +160,51 @@ def test_rollup_cascade_rejects_non_multiple_steps(spark):
     df = spark.createDataFrame([("a", datetime(2024, 1, 1), 1.0)], ["k", "ts", "v"])
     with _pytest.raises(ValueError, match="integer multiples"):
         rollup_cascade(df, "ts", "v", ["1 hour", "90 minutes"], ["k"])
+
+
+def test_rollup_cascade_equals_direct_aggregation_on_random_data(spark):
+    """Every cascaded level must be bit-identical to aggregating the
+    raw data directly at that resolution — on adversarial data too
+    (negative values, sub-cent decimals, sparse hours)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from kaylee_spark.operators.timeseries import rollup_cascade
+
+    rng = random.Random(42)
+    base = datetime(2024, 3, 1)
+    rows = [
+        (
+            rng.choice(["a", "b"]),
+            base + timedelta(seconds=rng.randrange(0, 3 * 86400)),
+            rng.uniform(-100, 100),
+        )
+        for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = rollup_cascade(df, "ts", "v", ["1 hour", "6 hours", "1 day"], ["k"])
+    for step, trunc in (("1 hour", "hour"), ("6 hours", None), ("1 day", "day")):
+        got = sorted(
+            (r["k"], r["bucket"], r["n_events"], r["total_value"])
+            for r in out.filter(F.col("resolution") == step).collect()
+        )
+        if trunc:
+            bucket = F.date_trunc(trunc, "ts").cast("timestamp_ntz")
+        else:
+            bucket = F.expr(
+                "timestampadd(SECOND, CAST(floor(timestampdiff(SECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) / 21600) * 21600 AS BIGINT),"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            )
+        want = sorted(
+            (r["k"], r["bucket"], r["n_events"], r["total_value"])
+            for r in df.groupBy("k", bucket.alias("bucket"))
+            .agg(
+                F.count("v").alias("n_events"),
+                F.round(F.sum(F.col("v").cast("decimal(24,6)")), 2).cast("double").alias("total_value"),
+            )
+            .collect()
+        )
+        assert got == want, step
