@@ -53,7 +53,20 @@ def stage_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     whole fixture through one sort partition). Slice sizes are only
     approximately equal (boundary ties stay in one slice), which is
     all replay needs.
+
+    The staged directory is CACHED per (fixture file, mtime, n_files)
+    for the process lifetime: files-on-disk are the file source's
+    PRECONDITION, not part of the streaming computation, and five
+    streamed queries (e07/e08/e09/e10/e18) plus every bench pass read
+    the identical staging — re-materializing it each time measured
+    ~2 s of pure test plumbing per drain. The mtime key makes fixture
+    drift invalidate the cache.
     """
+    src = os.path.join(sf_dir, "events.parquet")
+    key = (os.path.realpath(src), os.path.getmtime(src), n_files)
+    cached = _STAGE_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
     out = os.path.join(tempfile.gettempdir(), f"kaylee_events_{uuid.uuid4().hex[:8]}")
     ev = load_table(spark, sf_dir, "events")
     fracs = [i / n_files for i in range(1, n_files)]
@@ -71,7 +84,13 @@ def stage_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
         # sequential writes -> increasing file mtimes -> the streaming
         # file source replays slices oldest-first
         sl.coalesce(1).write.mode("append").parquet(out)
+    _STAGE_CACHE[key] = out
     return out
+
+
+#: staged-events directories by (fixture path, mtime, n_files); the
+#: dirs live in tempdir for the process lifetime (a few MB at sf0.1)
+_STAGE_CACHE: dict[tuple[str, float, int], str] = {}
 
 
 def events_stream(spark: SparkSession, events_dir: str, files_per_trigger: int = 1) -> DataFrame:
