@@ -562,43 +562,48 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     agrees on at least one chunk, so candidates come from chunk-equal
     buckets (sub-quadratic), then exact popcount verifies.
 
-    The candidate dedup (a pair can surface from several agreeing
-    chunks) shuffles BARE ID PAIRS — 16 bytes/row; signatures are
-    re-attached afterwards from the cached (doc, simhash) frame, so the
-    dominant exchange is half the width of shipping both signatures
-    through the distinct.
+    Candidate dedup (a pair can surface from several agreeing chunks)
+    is ARITHMETIC, not a shuffle: each side carries its 8-byte
+    signature through the bucket join, so after the join we know every
+    chunk's agreement from ``sh_a XOR sh_b`` and keep the pair only in
+    the FIRST agreeing chunk's bucket. One shuffle total past the
+    signature aggregate — no pair-distinct exchange, no signature
+    re-attach joins (an earlier ids-only+rejoin shape paid three
+    shuffles to save 8 bytes/row of join width; strictly worse at any
+    scale since |candidates| >= |banded rows|).
     """
     chunks = max_hamming + 1
     width = _SIMHASH_BITS // chunks
-    sig = simhash(df, id_col, text_col).cache()
+    mask = (1 << width) - 1
+    sig = simhash(df, id_col, text_col)
     banded = sig.select(
         "doc",
+        "simhash",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), c * width).bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+                        F.shiftrightunsigned(F.col("simhash"), c * width).bitwiseAND(F.lit(mask)).alias("key"),
                     )
                     for c in range(chunks)
                 ]
             )
         ).alias("cb"),
-    ).select("doc", "cb.chunk", "cb.key")
-    a = banded.select(F.col("doc").alias("doc_a"), "chunk", "key")
-    b = banded.select(F.col("doc").alias("doc_b"), "chunk", "key")
-    candidates = (
-        a.join(b, ["chunk", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sig_a = sig.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    sig_b = sig.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    ).select("doc", "simhash", "cb.chunk", "cb.key")
+    a = banded.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk", "key")
+    b = banded.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk", "key")
+    # first agreeing chunk = index of the lowest zero chunk of the XOR;
+    # the join guarantees SOME chunk agrees, so the CASE always hits.
+    first_agree = "CASE " + " ".join(
+        f"WHEN (shiftrightunsigned(sh_a, {c * width}) & {mask}) = (shiftrightunsigned(sh_b, {c * width}) & {mask}) THEN {c}"
+        for c in range(chunks)
+    ) + " END"
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        candidates.join(sig_a, "doc_a")
-        .join(sig_b, "doc_b")
+        a.join(b, ["chunk", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.col("chunk") == F.expr(first_agree))
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
