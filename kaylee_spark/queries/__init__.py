@@ -85,6 +85,7 @@ def _import_all() -> None:
         mapreduce,
         advanced,
         pipeline,
+        graph,
     )
 
 

@@ -1,0 +1,56 @@
+"""PageRank invariants (oracle equality is covered by test_oracle's
+g01 row; these pin the algebra on hand-checkable graphs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kaylee_spark.operators.graph import RANK_SCALE, pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_pagerank_two_node_cycle_exact(spark):
+    """A 2-cycle is fully symmetric: every iteration redistributes all
+    mass evenly, so each node holds exactly RANK_SCALE/2 pico-ranks
+    (0.15/2 teleport + 0.85 * (RANK_SCALE/2 / 1) * 17//20 term)."""
+    out = {r["id"]: r["rank_e12"] for r in pagerank(_edges(spark, [(1, 2), (2, 1)])).collect()}
+    half = RANK_SCALE // 2
+    expected = (RANK_SCALE * 3 // 20) // 2 + (17 * half) // 20
+    assert out == {1: expected, 2: expected}
+
+
+def test_pagerank_star_ranks_hub_highest(spark):
+    """All spokes point at a hub: the hub must out-rank every spoke,
+    and spokes (identical by symmetry) hold identical ranks."""
+    edges = _edges(spark, [(i, 99) for i in range(1, 6)])
+    out = {r["id"]: r["rank_e12"] for r in pagerank(edges).collect()}
+    spoke_ranks = {v for k, v in out.items() if k != 99}
+    assert len(spoke_ranks) == 1
+    assert out[99] > spoke_ranks.pop()
+
+
+def test_pagerank_mass_conservation_bound(spark):
+    """Total mass never exceeds RANK_SCALE, and floor-division leakage
+    is bounded: each of the 3 iterations loses < 1 pico-rank per node
+    per integer division (teleport div, per-edge div, damping div) plus
+    the dangling hub's entire damped share."""
+    edges = _edges(spark, [(i, (i % 7) + 100) for i in range(1, 50)])
+    ranks = pagerank(edges)
+    total = ranks.agg(F.sum("rank_e12").alias("t")).first()["t"]
+    n = ranks.count()
+    assert total <= RANK_SCALE
+    # dangling nodes (the 7 hubs) forfeit their damped mass each step;
+    # with 7/56 of nodes dangling the remaining mass still dominates
+    assert total > RANK_SCALE // 4
+
+
+def test_pagerank_partitioning_invariance(spark):
+    """Bit-identical ranks whatever the input partitioning — the
+    fixed-point claim that makes the oracle hash-match possible."""
+    pairs = [(i, (i * 3) % 11 + 50) for i in range(40)]
+    a = pagerank(_edges(spark, pairs).repartition(1)).collect()
+    b = pagerank(_edges(spark, pairs).repartition(16)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
