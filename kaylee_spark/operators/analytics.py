@@ -104,6 +104,61 @@ def zscore_outliers(
     )
 
 
+def mad_outliers(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Per-group robust outliers by median absolute deviation: rows
+    whose modified z-score 0.6745·|v − median| / MAD meets
+    ``threshold`` (3.5 is the classic Iglewicz–Hoaglin cut).
+
+    Why alongside zscore_outliers: mean/stddev are themselves dragged
+    by the outliers they're hunting — one corrupt 1e9 reading in a
+    telemetry group inflates σ until nothing else trips the z-gate.
+    Median and MAD have a 50% breakdown point, so the cut line is
+    stable against exactly the contamination a 100 TB ingest actually
+    sees.
+
+    Determinism: median/MAD use exact interpolated percentiles, then
+    round to 6dp BEFORE entering the per-row comparison — Spark's
+    percentile() and an external engine's quantile_cont() interpolate
+    the same two middle values with formulas that can differ in the
+    last ulp, and rounding both sides to 6dp absorbs that slack so the
+    flagged set is engine-independent. The modified z rounds the same
+    way before the threshold test.
+
+    Scale shape: two group-keyed aggregates over one scanned frame
+    (median, then MAD of deviations — MAD is holistic, it cannot fold
+    into one pass), stats broadcast back, per-row cut in codegen. The
+    stats frames are |groups| rows; the fact scan never shuffles.
+    """
+    from pyspark.sql.functions import broadcast
+
+    v = F.col(value_col)
+    med = df.groupBy(group_col).agg(
+        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("__med")
+    )
+    mad = (
+        df.join(broadcast(med), group_col)
+        .groupBy(group_col)
+        .agg(F.round(F.expr(f"percentile(abs({value_col} - __med), 0.5)"), 6).alias("__mad"))
+    )
+    stats = med.join(mad, group_col)
+    rz = F.round(F.lit(0.6745) * F.abs(v - F.col("__med")) / F.col("__mad"), 6)
+    return (
+        df.join(broadcast(stats), group_col)
+        # zero-MAD groups (>=50% identical values) define no outliers;
+        # the guard precedes the projection or ANSI raises on the div
+        .filter(F.col("__mad") > 0)
+        .withColumn("robust_z", rz)
+        .filter(F.col("robust_z") >= threshold)
+        .withColumnRenamed("__med", "med")
+        .withColumnRenamed("__mad", "mad")
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     user_col: str = "user_id",

@@ -192,3 +192,54 @@ def take_until_budget(
         .filter(F.col("_cum") - F.col(cost_col) < budget_expr)
         .drop("_cum")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine-verifiable sampling (portable hash)
+# ---------------------------------------------------------------------------
+
+#: Knuth multiplicative constant (2^32 / golden ratio) and the ppm
+#: bucket space of the portable hash below.
+PORTABLE_MULT = 2654435761
+PORTABLE_PPM = 1_000_000
+_PORTABLE_FOLD = 2147483647  # 2^31 - 1, pre-fold so the multiply fits int64
+
+
+def portable_bucket(key: Column | str) -> Column:
+    """Bucket in [0, 1e6) from PURE INTEGER arithmetic:
+    ``((key mod (2^31-1)) * 2654435761) mod 1e6``.
+
+    xxhash64 (the production path above) exists only inside Spark, so
+    hash-membership sampling can't be re-derived by an external SQL
+    engine for audit. This multiplicative hash is three integer ops
+    any engine evaluates identically — the sample membership itself
+    becomes oracle-verifiable, which is how a compliance review checks
+    a corpus sample without rerunning Spark. The 2^31-1 pre-fold keeps
+    the product inside int64 for arbitrary bigint keys. Mixing is
+    Knuth-multiplicative: amply uniform for sampling rates, weaker
+    than xxhash64 for adversarial/clustered keys — keep the seeded
+    xxhash64 path when cross-engine verification isn't required.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    return (c % F.lit(_PORTABLE_FOLD)) * F.lit(PORTABLE_MULT) % F.lit(PORTABLE_PPM)
+
+
+def portable_bucket_sql(key_expr: str) -> str:
+    """The ANSI-SQL twin of portable_bucket, for oracle construction."""
+    return f"(({key_expr}) % {_PORTABLE_FOLD}) * {PORTABLE_MULT} % {PORTABLE_PPM}"
+
+
+def portable_stratified_sample(
+    df: DataFrame, key: str, strata_col: str, ppm: dict[str, int], default_ppm: int = 0
+) -> DataFrame:
+    """Per-stratum sampling with portable-hash membership: keep a row
+    when its bucket < its stratum's parts-per-million rate. Same
+    contract as stratified_sample (pure function of the data, no
+    shuffle, single codegen'd CASE) but every kept row is provable by
+    any SQL engine."""
+    rate = None
+    for value, p in ppm.items():
+        cond = F.when(F.col(strata_col) == F.lit(value), F.lit(p))
+        rate = cond if rate is None else rate.when(F.col(strata_col) == F.lit(value), F.lit(p))
+    rate = F.lit(default_ppm) if rate is None else rate.otherwise(F.lit(default_ppm))
+    return df.filter(portable_bucket(key) < rate)

@@ -636,3 +636,48 @@ def a20_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     out = skew_report(li, "l_suppkey", top_n=10)
     return out.withColumn("key_rank", F.col("key_rank").cast("int"))
+
+
+@query(
+    "a21_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type,
+               ROUND(CAST(quantile_cont(abs(e.value - m.med), 0.5) AS DOUBLE), 6) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type
+    ),
+    rz AS (
+        SELECT e.event_type, s.med, d.mad,
+               ROUND(0.6745 * abs(e.value - s.med) / d.mad, 6) AS robust_z
+        FROM events e
+        JOIN med s USING (event_type)
+        JOIN mad d USING (event_type)
+        WHERE d.mad > 0
+    )
+    SELECT event_type, med, mad,
+           CAST(COUNT(*) AS BIGINT) AS n_outliers,
+           MAX(robust_z) AS max_robust_z
+    FROM rz
+    WHERE robust_z >= 3.5
+    GROUP BY event_type, med, mad
+    """,
+    extra=True,
+)
+def a21_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier summary via median/MAD modified z-score
+    (operators/analytics.mad_outliers) — the 50%-breakdown-point
+    companion to a17's mean/stddev gate: contamination can't drag the
+    cut line. Two tiny group aggregates broadcast back onto one scan."""
+    from kaylee_spark.operators.analytics import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events")
+    out = mad_outliers(ev, value_col="value", group_col="event_type", threshold=3.5)
+    return out.groupBy("event_type", "med", "mad").agg(
+        F.count("*").alias("n_outliers"),
+        F.max("robust_z").alias("max_robust_z"),
+    )

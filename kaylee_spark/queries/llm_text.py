@@ -494,3 +494,47 @@ def t15_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(ids).cast("int").alias("n_tokens"),
         F.size(F.filter(ids, lambda x: x == F.lit(-1))).cast("int").alias("n_oov"),
     )
+
+
+@query(
+    "t16_stratified_sample",
+    oracle="""
+    WITH tagged AS (
+        SELECT lang, doc_id,
+               ((doc_id % 2147483647) * 2654435761 % 1000000) AS bucket,
+               CASE lang WHEN 'en' THEN 200000 ELSE 500000 END AS rate_ppm
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN bucket < rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN bucket < rate_ppm THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+    FROM tagged
+    GROUP BY lang
+    """,
+    extra=True,
+)
+def t16_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing by portable-hash stratified sampling
+    (operators/sampling.portable_stratified_sample): downsample the
+    dominant language to 20%, keep 50% of the rest — and prove the
+    exact membership to an external SQL engine (kept_id_sum pins WHICH
+    rows were kept, not just how many). Scan-speed: the membership
+    predicate is three integer ops in codegen, no shuffle before the
+    summary aggregate."""
+    from kaylee_spark.operators.sampling import portable_stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = portable_stratified_sample(
+        docs, key="doc_id", strata_col="lang", ppm={"en": 200_000}, default_ppm=500_000
+    ).select("lang", "doc_id")
+    kept_agg = kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"), F.sum("doc_id").alias("kept_id_sum")
+    )
+    totals = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    return totals.join(kept_agg, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("kept_id_sum", F.lit(0)).alias("kept_id_sum"),
+    )

@@ -122,3 +122,58 @@ def test_take_until_budget_prefix_semantics(spark):
     out2 = take_until_budget(df, "stratum", "ord", "cost", 50)
     got2 = {(r["stratum"], r["ord"]) for r in out2.collect()}
     assert got2 == {("a", 1), ("b", 1), ("c", 1)}
+
+
+def test_portable_stratified_sample_matches_python_arithmetic(spark):
+    """Membership is the documented pure integer formula — re-derived
+    here in plain Python, the way any external auditor would."""
+    from kaylee_spark.operators.sampling import (
+        PORTABLE_MULT,
+        PORTABLE_PPM,
+        portable_stratified_sample,
+    )
+
+    rows = [(i, "en" if i % 3 == 0 else "de") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = portable_stratified_sample(
+        df, key="doc_id", strata_col="lang", ppm={"en": 250_000}, default_ppm=700_000
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    expect = {
+        i
+        for i, lang in rows
+        if (i % 2147483647) * PORTABLE_MULT % PORTABLE_PPM
+        < (250_000 if lang == "en" else 700_000)
+    }
+    assert got == expect
+    # partitioning-invariant, like every sampler in this module
+    again = {
+        r["doc_id"]
+        for r in portable_stratified_sample(
+            df.repartition(13), "doc_id", "lang", {"en": 250_000}, 700_000
+        ).collect()
+    }
+    assert again == got
+
+
+def test_mad_outliers_flags_contamination_zscore_misses(spark):
+    """The classic MASKING case: two corrupt readings inflate stddev
+    together until each shows z = sqrt((n-k)/k) ~ 2 < 3, while the MAD
+    gate (cut line from the clean majority) still flags both."""
+    from kaylee_spark.operators.analytics import mad_outliers, zscore_outliers
+
+    inliers = [10, 11, 9, 10, 12, 8, 10, 11]
+    rows = [("g", float(v)) for v in inliers + [1_000_000, 1_000_000]]
+    df = spark.createDataFrame(rows, ["event_type", "value"])
+    robust = mad_outliers(df, value_col="value", group_col="event_type")
+    assert [r["value"] for r in robust.collect()] == [1_000_000.0, 1_000_000.0]
+    classic = zscore_outliers(df, value_col="value", group_col="event_type", threshold=3.0)
+    assert classic.count() == 0  # the pair mask each other's z-score
+
+
+def test_mad_outliers_zero_mad_group_defines_none(spark):
+    from kaylee_spark.operators.analytics import mad_outliers
+
+    rows = [("c", 5.0)] * 8 + [("c", 9e9)]  # median & MAD both degenerate
+    df = spark.createDataFrame(rows, ["event_type", "value"])
+    assert mad_outliers(df, "value", "event_type").count() == 0
