@@ -57,11 +57,24 @@ def _drain_staged_stream(spark: SparkSession, sf_dir: str, build) -> DataFrame:
     is pinned to UTC for the eager drain (then restored) so window
     alignment matches the NTZ oracles even on half-hour-offset
     sessions; callers convert emitted LTZ columns back with ``_ntz``.
+
+    State partitioning: a stateful streaming operator creates (and
+    COMMITS, every microbatch) one state-store partition per
+    ``spark.sql.shuffle.partitions``. These drains keep state for
+    ~dozens of keys (hour-windows × event types, per-user sessions),
+    so the batch-tuned 32 would pay 32 tiny state commits per batch
+    per operator for nothing — measured 2.5x of drain wall time. The
+    drain pins 4 state partitions (restored after): size this to state
+    KEY CARDINALITY and throughput, which is a property of the query,
+    not of the cluster — a 100 TB deployment with millions of session
+    keys sizes it up accordingly.
     """
     from kaylee_spark import streaming as ST
 
     prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         # staging is cached per (fixture, mtime) in ST — the five
         # streamed queries and repeated bench passes share one staged
@@ -70,6 +83,7 @@ def _drain_staged_stream(spark: SparkSession, sf_dir: str, build) -> DataFrame:
         return build(ST, staged)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 @query("e07_streamed_tumbling", oracle=_TUMBLING_ORACLE)
