@@ -344,3 +344,69 @@ def encode_with_vocabulary(
             F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda s: s.tid
         ).alias("token_ids")
     )
+
+
+def remove_common_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_seg: int = 8,
+    max_df: int = 1,
+) -> DataFrame:
+    """Cross-corpus segment dedup (the C4/CCNet "remove any line that
+    repeats across the corpus" cleaning rule, generalized to fixed
+    ``words_per_seg``-word windows for corpora without line structure):
+    every segment appearing in more than ``max_df`` distinct documents
+    is boilerplate — navigation chrome, license headers, templated
+    spam — and is removed from EVERY document; survivors are
+    reassembled in original order.
+
+    Output: (doc, clean_text, n_kept, n_removed) for every input doc
+    (fully-boilerplate docs survive with empty text, so the caller
+    decides the drop policy).
+
+    Scale shape: segmentation is row-local (slice + concat_ws over the
+    token array, no shuffle); the document-frequency pass is one
+    map-side-combined count per segment; removal is a broadcast-able
+    anti-join of the segment stream against the (small) boilerplate
+    set; reassembly groups by doc with an array_sort on (idx, seg)
+    structs — order restored without a window. At web scale, key the
+    df-count and anti-join on xxhash64(seg) like hashed_shingles so
+    the shuffles carry 8 bytes, and hold ``max_df`` as a fraction of
+    corpus size rather than an absolute count.
+    """
+    toks = tokens(text_col)
+    n_seg = F.ceil(F.size(toks) / F.lit(float(words_per_seg))).cast("int")
+    idx = F.when(F.size(toks) > 0, F.sequence(F.lit(0), n_seg - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    segs = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(toks, i * words_per_seg + 1, words_per_seg)),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("doc"), F.posexplode(segs).alias("seg_idx", "seg")
+    )
+    boilerplate = (
+        exploded.groupBy("seg")
+        .agg(F.count_distinct("doc").alias("seg_docs"))
+        .filter(F.col("seg_docs") > max_df)
+        .select("seg")
+    )
+    kept = exploded.join(boilerplate, "seg", "left_anti")
+    reassembled = kept.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))), lambda s: s.seg
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = df.select(F.col(id_col).alias("doc"), n_seg.cast("long").alias("__n_seg"))
+    return totals.join(reassembled, "doc", "left").select(
+        "doc",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("__n_seg") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+    )

@@ -345,3 +345,51 @@ def d10_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(docs, new, "doc_id")
+
+
+@query(
+    "d11_line_dedup",
+    oracle="""
+    WITH segs AS (
+        SELECT doc_id, s.seg_idx AS seg_idx, s.seg AS seg FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       range(0, CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT)),
+                       i -> struct_pack(
+                           seg_idx := i,
+                           seg := array_to_string(string_split(text, ' ')[i*8+1 : i*8+8], ' ')
+                       ))) AS s
+            FROM documents)
+    ),
+    boilerplate AS (
+        SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    kept AS (
+        SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM boilerplate)
+    ),
+    agg AS (
+        SELECT doc_id,
+               string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id AS doc,
+           COALESCE(a.clean_text, '') AS clean_text,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           CAST(ceil(len(string_split(d.text, ' ')) / 8.0) AS BIGINT)
+               - COALESCE(a.n_kept, 0) AS n_removed
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+    extra=True,
+)
+def d11_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-corpus boilerplate removal
+    (operators/text.remove_common_segments): any 8-word segment found
+    in more than one document is stripped from all of them, survivors
+    reassembled in order. Row-local segmentation, one counted shuffle,
+    anti-join removal — the line-level complement to the document-level
+    dedup family (d01-d07)."""
+    from kaylee_spark.operators.text import remove_common_segments
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_common_segments(docs, "doc_id", "text", words_per_seg=8, max_df=1)

@@ -385,3 +385,44 @@ def test_encode_with_vocabulary_repartition_invariant(spark):
         for r in encode_with_vocabulary(docs.repartition(13), vocab).collect()
     )
     assert a == b
+
+
+def test_remove_common_segments_strips_shared_boilerplate(spark):
+    from kaylee_spark.operators.text import remove_common_segments
+
+    header = "terms of service apply to this site always"  # 8 words
+    rows = [
+        (1, header + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2, header + " one two three four five six seven eight"),
+        (3, header),  # nothing but boilerplate
+        (4, "entirely unique words that appear in no other document"),
+    ]
+    out = {
+        r["doc"]: r
+        for r in remove_common_segments(
+            spark.createDataFrame(rows, ["doc_id", "text"]), "doc_id", "text"
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta gamma delta epsilon zeta eta theta"
+    assert out[2]["clean_text"] == "one two three four five six seven eight"
+    assert (out[3]["clean_text"], out[3]["n_kept"], out[3]["n_removed"]) == ("", 0, 1)
+    assert out[4]["clean_text"] == rows[3][1]
+    assert out[1]["n_kept"] == 1 and out[1]["n_removed"] == 1
+
+
+def test_remove_common_segments_preserves_order_across_removals(spark):
+    from kaylee_spark.operators.text import remove_common_segments
+
+    shared = "x " * 7 + "x"  # 8 identical words, shared segment
+    mid = ("a1 a2 a3 a4 a5 a6 a7 a8", "b1 b2 b3 b4 b5 b6 b7 b8")
+    rows = [
+        (1, f"{mid[0]} {shared} {mid[1]}"),
+        (2, shared),
+    ]
+    out = {
+        r["doc"]: r["clean_text"]
+        for r in remove_common_segments(
+            spark.createDataFrame(rows, ["doc_id", "text"]), "doc_id", "text"
+        ).collect()
+    }
+    assert out[1] == f"{mid[0]} {mid[1]}"  # middle segment excised, order kept
