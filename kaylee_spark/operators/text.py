@@ -410,3 +410,44 @@ def remove_common_segments(
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         (F.col("__n_seg") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram language model — the classic cheap perplexity proxy
+    (KenLM-style LM filtering's first rung): documents whose tokens are
+    globally improbable (gibberish, encoding damage, wrong language)
+    score far below fluent text and get cut at a percentile.
+
+    Output: (doc, n_tokens, avg_logprob), every input doc.
+
+    Determinism: each token's ln(count/N) rounds to 6dp and lands in
+    DECIMAL(18,6) BEFORE the per-doc sum — ln is faithfully- but not
+    correctly-rounded libm in every engine, and a double sum would
+    also be merge-order-dependent; decimal addition is exact and
+    associative, so the per-doc total is bit-stable anywhere.
+
+    Scale shape: token explode -> one combined count per term (the
+    unigram LM itself, reusable), 1-row total broadcast, token stream
+    joins the LM on the term key (at web scale: 8-byte-hash the term
+    first), one per-doc sum. No windows, no driver-side state.
+    """
+    toks = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    n_df = vocab.agg(F.sum("cnt").alias("n"))
+    lp = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "doc",
+            F.round(F.log(F.col("cnt").cast("double") / F.col("n")), 6)
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    return lp.groupBy("doc").agg(
+        F.count("*").alias("n_tokens"),
+        F.round((F.sum("lp").cast("double") / F.count("*")), 6).alias("avg_logprob"),
+    )

@@ -538,3 +538,33 @@ def t16_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("kept_id_sum", F.lit(0)).alias("kept_id_sum"),
     )
+
+
+@query(
+    "t17_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        FROM documents
+    ),
+    vocab AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab),
+    lp AS (
+        SELECT t.doc_id,
+               CAST(ROUND(ln(CAST(v.cnt AS DOUBLE) / n.n), 6) AS DECIMAL(18,6)) AS lp
+        FROM toks t JOIN vocab v USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id AS doc,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+    FROM lp GROUP BY doc_id
+    """,
+    extra=True,
+)
+def t17_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    unigram LM (operators/text.unigram_logprob) — the cheap perplexity
+    proxy for fluency filtering; 6dp-rounded decimal token scores make
+    the holistic sum engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.unigram_logprob(docs, "doc_id", "text")

@@ -426,3 +426,29 @@ def test_remove_common_segments_preserves_order_across_removals(spark):
         ).collect()
     }
     assert out[1] == f"{mid[0]} {mid[1]}"  # middle segment excised, order kept
+
+
+def test_unigram_logprob_matches_hand_model(spark):
+    """Scores must equal the hand-built unigram LM with the documented
+    rounding (6dp per-token ln, exact decimal sum, 6dp final mean)."""
+    import math
+    from decimal import Decimal
+
+    from kaylee_spark.operators.text import unigram_logprob
+
+    rows = [(1, "a a b"), (2, "b c"), (3, "a")]
+    corpus = " ".join(t for _, t in rows).split()
+    n = len(corpus)
+    cnt = {t: corpus.count(t) for t in set(corpus)}
+
+    def score(text):
+        lps = [Decimal(str(round(math.log(cnt[t] / n), 6))) for t in text.split()]
+        return float(round(float(sum(lps)) / len(lps), 6))
+
+    out = {r["doc"]: r for r in unigram_logprob(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    for doc_id, text in rows:
+        assert out[doc_id]["n_tokens"] == len(text.split())
+        assert out[doc_id]["avg_logprob"] == score(text)
+    # rarer tokens => lower probability => more negative score
+    assert out[2]["avg_logprob"] < out[3]["avg_logprob"]
