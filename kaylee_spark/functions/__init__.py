@@ -9,7 +9,7 @@ JVM-side, whole-stage-codegen'd, never row-at-a-time Python.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -125,3 +125,4 @@ def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
     for i in range(1, dim):
         out = out + a[i].cast("double") * b[i].cast("double")
     return out
+

@@ -29,7 +29,9 @@ Scale shape (3-iteration loop at 100 TB):
   aggregation on dst (map-side combine of bigint sums),
 - node/degree frames are one row per vertex — orders of magnitude
   smaller than edges,
-- the single-row count frame joins in via an explicit broadcast.
+- the vertex count is pulled to the driver once (a single scalar,
+  the normal shape for iterative algorithms) and folded into the
+  teleport literals.
 """
 
 from __future__ import annotations
@@ -100,32 +102,30 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
         .cache()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    n_df = nodes.agg(F.count("*").alias("n"))
     # pre-join out-degree onto the edge list ONCE: each iteration then
     # needs only the ranks ⋈ edges join, not a second degree join.
     edges_deg = edges.join(deg, "src").cache()
 
-    base = F.expr(f"CAST({RANK_SCALE * 3 // 20} AS BIGINT) DIV n")
-    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
-        "id", F.expr(f"CAST({RANK_SCALE} AS BIGINT) DIV n").alias("r")
-    )
+    # the vertex count is the one driver-visible scalar (standard for
+    # iterative algorithms — it sizes the teleport term); pulled once
+    # off the cached node set, then folded into codegen as a literal,
+    # which keeps every per-row expression join-free.
+    n = nodes.count()
+    base = F.lit((RANK_SCALE * 3 // 20) // n)
+    ranks = nodes.select("id", F.lit(RANK_SCALE // n).alias("r"))
     for _ in range(iterations):
         contrib = (
             edges_deg.join(ranks.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.expr("r DIV deg")).alias("contrib"))
         )
-        ranks = (
-            nodes.join(contrib, "id", "left")
-            .crossJoin(F.broadcast(n_df))
-            .select(
-                "id",
-                (
-                    base
-                    + F.expr(
-                        f"({DAMPING_NUM} * coalesce(contrib, CAST(0 AS BIGINT))) DIV {DAMPING_DEN}"
-                    )
-                ).alias("r"),
-            )
+        ranks = nodes.join(contrib, "id", "left").select(
+            "id",
+            (
+                base
+                + F.expr(
+                    f"({DAMPING_NUM} * coalesce(contrib, CAST(0 AS BIGINT))) DIV {DAMPING_DEN}"
+                )
+            ).alias("r"),
         )
     return ranks.select("id", F.col("r").alias("rank_e12"))

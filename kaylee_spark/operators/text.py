@@ -435,17 +435,18 @@ def unigram_logprob(
     first), one per-doc sum. No windows, no driver-side state.
     """
     toks = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    n_df = vocab.agg(F.sum("cnt").alias("n"))
-    lp = (
-        toks.join(vocab, "tok")
-        .crossJoin(F.broadcast(n_df))
-        .select(
-            "doc",
-            F.round(F.log(F.col("cnt").cast("double") / F.col("n")), 6)
-            .cast("decimal(18,6)")
-            .alias("lp"),
-        )
+    # the LM is reused (scalar total + per-token join), so cache it;
+    # the corpus token total is the one driver-visible scalar, folded
+    # into the score expression as a literal so the per-row path stays
+    # join-free (a 1-row-frame attach compiles to the nested-loop join
+    # class the plan guard bans).
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt")).cache()
+    n = vocab.agg(F.sum("cnt").alias("n")).first()["n"]
+    lp = toks.join(vocab, "tok").select(
+        "doc",
+        F.round(F.log(F.col("cnt").cast("double") / F.lit(n)), 6)
+        .cast("decimal(18,6)")
+        .alias("lp"),
     )
     return lp.groupBy("doc").agg(
         F.count("*").alias("n_tokens"),

@@ -42,6 +42,11 @@ SHOWCASE = [
     ("t13_bm25_topk", "BM25: row-local tf arrays, 1-row stats broadcast, TakeOrdered — corpus never shuffles"),
     ("e17_rollup_cascade", "rollup cascade: coarser levels read the materialized finer level, not raw"),
     ("d10_snapshot_diff", "snapshot diff: payload pruned to 8-byte hashes before the full-outer join"),
+    ("g01_pagerank", "pagerank: cached loop invariants, per-iteration shuffle join + partial-agg bigint sums"),
+    ("d11_line_dedup", "segment dedup: row-local segmentation, anti-join vs small boilerplate set, windowless reassembly"),
+    ("t16_stratified_sample", "portable-hash sampling: 2-column pruned scan, membership predicate in codegen"),
+    ("a21_mad_outliers", "MAD outliers: two tiny holistic aggs broadcast back onto one event scan"),
+    ("t17_unigram_logprob", "unigram LM: term-keyed count, 1-row total broadcast, decimal per-doc fold"),
 ]
 
 
@@ -70,6 +75,11 @@ MUST_CONTAIN = {
     "t13_bm25_topk": ("TakeOrderedAndProject", "BroadcastExchange"),
     "e17_rollup_cascade": ("InMemoryTableScan",),
     "d10_snapshot_diff": ("xxhash64", "FullOuter"),
+    "g01_pagerank": ("InMemoryTableScan",),
+    "d11_line_dedup": ("LeftAnti",),
+    "t16_stratified_sample": ("ReadSchema: struct<doc_id:bigint,lang:string>",),
+    "a21_mad_outliers": ("BroadcastHashJoin", "percentile"),
+    "t17_unigram_logprob": ("InMemoryTableScan",),
 }
 
 
