@@ -418,3 +418,74 @@ def dequantize_embeddings(
         out_col,
         F.transform(F.col(q_col), lambda x: x.cast("double") / F.col(scale_col)),
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label mean embedding ("class prototype"), long format:
+    (label, dim, c) with the mean rounded to 6dp.
+
+    The per-dimension sums accumulate in DECIMAL(28,12): decimal
+    addition is exact and associative, so the prototype is
+    bit-identical under any partitioning or engine (a double sum is
+    merge-order-dependent and could never hash-match an external
+    oracle). float->decimal conversion is safe cross-engine because a
+    float widened to double can't land exactly on a half-way 12th
+    decimal digit, so every rounding mode agrees.
+
+    Scale: posexplode to (label, dim, v) then ONE map-side-combined
+    aggregate over |labels| * dims groups — the result is model-sized
+    (KBs), whatever the corpus size.
+    """
+    dims = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")).alias("dim", "v"),
+    )
+    return dims.groupBy("label", "dim").agg(
+        F.round(
+            (F.sum(F.col("v").cast("decimal(28,12)")).cast("double") / F.count("*")), 6
+        ).alias("c")
+    )
+
+
+def nearest_centroid_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Assign every vector to its nearest class prototype (squared
+    euclidean), returning (id, true_label, assigned_label).
+
+    The centroid table is MODEL STATE — |labels| * dims floats, KBs —
+    so it is collected once and folded into a single codegen'd
+    expression: per row, one decimal-fold zip per label and an
+    array_min over (distance, label) structs. Classification runs at
+    scan speed with no join and no shuffle (the same
+    parameters-as-literals shape as s04's broadcast k-means centers).
+    Distances accumulate in DECIMAL(28,12) (exact, associative), and
+    ties break on the smaller label — bit-deterministic end to end.
+    """
+    cent_rows = label_centroids(df, vec_col, label_col).collect()
+    by_label: dict = {}
+    for r in cent_rows:
+        by_label.setdefault(r["label"], {})[r["dim"]] = r["c"]
+    labels = sorted(by_label)
+    emb_d = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    dist_structs = ", ".join(
+        "named_struct('d2', aggregate(zip_with({e}, array({cs}), (v, c) -> CAST((v - c) * (v - c) AS DECIMAL(28,12))), CAST(0 AS DECIMAL(28,12)), (a, x) -> CAST(a + x AS DECIMAL(28,12))), 'label', {l})".format(
+            e=emb_d,
+            cs=", ".join(repr(by_label[l][d]) for d in sorted(by_label[l])),
+            l=int(l),
+        )
+        for l in labels
+    )
+    assigned = F.expr(f"array_min(array({dist_structs})).label")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("true_label"),
+        assigned.cast("int").alias("assigned_label"),
+    )

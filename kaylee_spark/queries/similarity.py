@@ -140,3 +140,50 @@ def s05_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         bound.alias("err_bound"),
         (err <= bound).alias("within_bound"),
     )
+
+
+@query(
+    "s06_nearest_centroid",
+    oracle="""
+    WITH dims AS (
+        SELECT vec_id, label, dim, CAST(v AS DOUBLE) AS v FROM (
+            SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) AS dim,
+                   unnest(embedding) AS v
+            FROM embeddings)
+    ),
+    cent AS (
+        SELECT label AS cand, dim,
+               ROUND(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS c
+        FROM dims GROUP BY label, dim
+    ),
+    d2 AS (
+        SELECT d.vec_id, d.label AS true_label, c.cand,
+               SUM(CAST((d.v - c.c) * (d.v - c.c) AS DECIMAL(28,12))) AS dist2
+        FROM dims d JOIN cent c USING (dim)
+        GROUP BY d.vec_id, d.label, c.cand
+    ),
+    assigned AS (
+        SELECT vec_id, true_label, cand,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cand) AS rn
+        FROM d2
+    )
+    SELECT CAST(true_label AS INT) AS true_label,
+           CAST(cand AS INT) AS assigned_label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM assigned WHERE rn = 1
+    GROUP BY true_label, cand
+    """,
+    extra=True,
+)
+def s06_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification confusion matrix over the
+    labeled embeddings (operators/similarity.nearest_centroid_assign):
+    per-label prototypes via exact decimal means, then every vector
+    classified at scan speed against the literal-folded prototypes;
+    exact decimal distances make the assignment bit-deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.nearest_centroid_assign(emb, "vec_id", "embedding", "label")
+    return out.groupBy(
+        F.col("true_label").cast("int").alias("true_label"), "assigned_label"
+    ).agg(F.count("*").alias("n_vectors"))

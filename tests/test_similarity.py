@@ -202,3 +202,26 @@ def test_quantization_roundtrip_bound_and_ann_recall(spark, sf_dir):
     for qid in range(5):
         hits = len({n for q, n in e if q == qid} & {n for q, n in a if q == qid})
         assert hits >= 9, f"query {qid}: only {hits}/10 of true top-10 survive int8"
+
+
+def test_nearest_centroid_recovers_planted_clusters(spark):
+    """Vectors drawn near three well-separated prototypes must classify
+    perfectly: the confusion matrix is the diagonal."""
+    import random
+
+    from kaylee_spark.operators.similarity import nearest_centroid_assign
+
+    rng = random.Random(7)
+    protos = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}
+    rows = []
+    for i in range(90):
+        lab = i % 3
+        rows.append(
+            (i, [v + rng.uniform(-0.5, 0.5) for v in protos[lab]], lab)
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = nearest_centroid_assign(df).collect()
+    assert all(r["assigned_label"] == r["true_label"] for r in out)
+    # bit-deterministic under repartitioning (decimal folds, exact means)
+    again = nearest_centroid_assign(df.repartition(11)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
