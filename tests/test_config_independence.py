@@ -140,3 +140,29 @@ def test_results_identical_across_shuffle_partition_counts(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "g01_pagerank",
+        "a21_mad_outliers",
+        "t16_stratified_sample",
+        "d11_line_dedup",
+        "t17_unigram_logprob",
+        "s06_nearest_centroid",
+    ],
+)
+def test_fourth_session_results_identical_without_broadcast_or_aqe(spark, sf_dir, name):
+    fn = REG[name].fn
+    want = _rows(fn(spark, sf_dir))
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        got = _rows(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert got == want
