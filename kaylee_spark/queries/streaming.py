@@ -560,3 +560,39 @@ def e18_streamed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return drained
+
+
+@query(
+    "e19_streamed_append",
+    oracle=f"""
+    WITH m AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS wm FROM events),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               {oracle_dec_sum('value')} AS total_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+    )
+    SELECT a.window_start, a.event_type, a.n_events, a.total_value
+    FROM agg a CROSS JOIN m
+    WHERE a.window_start + INTERVAL 1 HOUR <= m.wm
+    """,
+    extra=True,
+)
+def e19_streamed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode streamed tumbling windows: only windows the final
+    watermark (max event time - 2h) has CLOSED are emitted — the
+    late-data-safe output contract a downstream incremental consumer
+    relies on (each window appears exactly once, immutable). The twin
+    oracle filters the batch aggregate to watermark-closed windows,
+    pinning Spark's emission boundary (window end <= watermark) and the
+    availableNow no-data finalization batch."""
+    drained = _drain_staged_stream(
+        spark,
+        sf_dir,
+        lambda ST, staged: ST.run_to_memory(
+            ST.tumbling_counts(ST.events_stream(spark, staged), watermark="2 hours"),
+            output_mode="append",
+        ),
+    )
+    return drained.select(_ntz("window_start"), "event_type", "n_events", "total_value")
