@@ -166,3 +166,29 @@ def test_fourth_session_results_identical_without_broadcast_or_aqe(spark, sf_dir
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q01_pricing_summary",      # decimal accumulation under both modes
+        "a17_zscore_outliers",      # division guarded by a pre-projection filter
+        "a21_mad_outliers",         # same guard, MAD denominator
+        "q13_order_count_distribution",
+        "t17_unigram_logprob",      # ln + decimal fold
+    ],
+)
+def test_results_identical_with_ansi_disabled(spark, sf_dir, name):
+    """Spark 4 runs ANSI mode by default; nothing here may RELY on it.
+    With ANSI off, illegal arithmetic yields null instead of raising —
+    a query whose guards are correct produces identical rows either
+    way, while one leaning on ANSI errors (or on silent nulls) drifts."""
+    fn = REG[name].fn
+    want = _rows(fn(spark, sf_dir))
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        got = _rows(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    assert got == want
