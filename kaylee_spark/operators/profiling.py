@@ -74,3 +74,47 @@ def profile_table(
         ]
     )
     return one.select(F.explode(entries).alias("p")).select("p.*")
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Per-group equi-depth histogram: bucket boundaries are the exact
+    interpolated 1/n..(n-1)/n percentiles, rows assigned by pure
+    comparison arithmetic. Output: (group, bucket 1..n, n_rows,
+    min_value, max_value).
+
+    Unlike an NTILE window — which is a GLOBAL SORT per group, the
+    single-partition funnel that dies first at scale — this computes
+    one holistic boundary aggregate (|groups| rows, broadcast back)
+    and assigns each row with ``1 + Σ (v > boundary_i)`` in codegen:
+    one scan, one tiny agg, no sort, no shuffle of the data. Depth is
+    equal up to boundary ties (rows equal to a boundary stay in the
+    lower bucket), which is what a skew report needs; boundaries round
+    to 6dp so the cut lines are engine-exact.
+    """
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    from pyspark.sql.functions import broadcast
+
+    bounds = df.groupBy(group_col).agg(
+        F.transform(
+            F.expr(f"percentile({value_col}, array({', '.join(map(str, fracs))}))"),
+            lambda x: F.round(x, 6),
+        ).alias("__bounds")
+    )
+    bucket = F.lit(1)
+    for i in range(n_buckets - 1):
+        bucket = bucket + (F.col(value_col) > F.col("__bounds")[i]).cast("int")
+    return (
+        df.join(broadcast(bounds), group_col)
+        .withColumn("bucket", bucket)
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )

@@ -681,3 +681,38 @@ def a21_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_outliers"),
         F.max("robust_z").alias("max_robust_z"),
     )
+
+
+@query(
+    "a22_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               list_transform(quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                              x -> ROUND(x, 6)) AS bounds
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(1 + (e.value > b.bounds[1])::INT + (e.value > b.bounds[2])::INT
+                  + (e.value > b.bounds[3])::INT + (e.value > b.bounds[4])::INT
+                  + (e.value > b.bounds[5])::INT + (e.value > b.bounds[6])::INT
+                  + (e.value > b.bounds[7])::INT + (e.value > b.bounds[8])::INT
+                  + (e.value > b.bounds[9])::INT AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(e.value) AS min_value,
+           MAX(e.value) AS max_value
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type, bucket
+    """,
+    extra=True,
+)
+def a22_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 10-bucket equi-depth histogram of event values
+    (operators/profiling.equidepth_histogram): interpolated decile
+    boundaries from one holistic agg broadcast back onto the scan,
+    assignment by comparison arithmetic — no NTILE global sort."""
+    from kaylee_spark.operators.profiling import equidepth_histogram
+
+    ev = load_table(spark, sf_dir, "events")
+    out = equidepth_histogram(ev, "value", "event_type", 10)
+    return out.withColumn("bucket", F.col("bucket").cast("int"))

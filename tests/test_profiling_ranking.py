@@ -130,3 +130,31 @@ def test_bm25_rejects_bad_terms(spark):
         bm25_topk(_docs(spark), ["ok", "BAD TERM"])
     with pytest.raises(ValueError):
         bm25_oracle_sql(["injection'--"])
+
+
+def test_equidepth_histogram_balanced_on_uniform_ranks(spark):
+    """1..1000 in one group: every decile bucket holds exactly 100 rows
+    and buckets partition the value range in order."""
+    from kaylee_spark.operators.profiling import equidepth_histogram
+
+    df = spark.createDataFrame([("g", float(i)) for i in range(1, 1001)], ["grp", "v"])
+    out = sorted(
+        (r["bucket"], r["n_rows"], r["min_value"], r["max_value"])
+        for r in equidepth_histogram(df, "v", "grp", 10).collect()
+    )
+    assert [b for b, *_ in out] == list(range(1, 11))
+    assert all(n == 100 for _, n, *_ in out)
+    for (_, _, _, hi), (_, _, lo, _) in zip(out, out[1:]):
+        assert hi < lo  # buckets are disjoint, ordered ranges
+
+
+def test_equidepth_histogram_counts_are_exhaustive(spark):
+    from kaylee_spark.operators.profiling import equidepth_histogram
+
+    rows = [("a", float(i % 37)) for i in range(500)] + [("b", float(i % 11)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = equidepth_histogram(df, "v", "grp", 10)
+    got = {r["grp"]: 0 for r in out.collect()}
+    for r in out.collect():
+        got[r["grp"]] += r["n_rows"]
+    assert got == {"a": 500, "b": 300}
