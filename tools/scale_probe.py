@@ -50,6 +50,12 @@ PROBE_QUERIES = (
     "e15_trend",
     "e17_rollup_cascade",
     "t14_vocabulary",
+    # fourth-session additions: events-table holistic shapes (exact
+    # percentiles of a x10-duplicated multiset are unchanged, counts
+    # scale by N; probes the interpolation + 6dp-rounding recipe at a
+    # per-group cardinality no shipped fixture reaches)
+    "a21_mad_outliers",
+    "a22_equidepth_histogram",
 )
 
 
