@@ -129,3 +129,99 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
             ).alias("r"),
         )
     return ranks.select("id", F.col("r").alias("rank_e12"))
+
+
+#: HITS works max-normalized in units of 1e-6: after each step scores
+#: lie in [0, HITS_SCALE], so Σ h(c) over an in-neighborhood stays
+#: under HITS_SCALE * degree and (raw * HITS_SCALE) fits bigint for
+#: any degree below 1e6 — document-able headroom, no int128 needed.
+HITS_SCALE = 1_000_000
+
+
+def hits(edges: DataFrame, iterations: int = 3, shuffle_partitions: int | None = None) -> DataFrame:
+    """Fixed-iteration HITS (hubs & authorities) over a (src, dst)
+    bigint edge list, max-normalized in exact integer arithmetic.
+
+    Per iteration:
+        a_raw(d) = Σ_{s→d} h(s);  a = (a_raw * HITS_SCALE) DIV max(a_raw)
+        h_raw(s) = Σ_{s→d} a(d);  h = (h_raw * HITS_SCALE) DIV max(h_raw)
+
+    Returns (id, role 'hub'|'authority', score_e6): sources carry hub
+    scores, destinations authority scores (a bipartite demand graph
+    gives each node one role; on a general graph a node appears in
+    both).
+
+    Where PageRank (above) stays fully lazy — one action at the end —
+    HITS NEEDS a normalizer per half-step, so this is the other
+    canonical iterative shape: cache each score frame, pull the single
+    max scalar eagerly, fold it into the next step's codegen literals.
+    2 tiny driver scalars per iteration, each off a cached aggregate;
+    every heavy operation remains a distributed join + map-side-
+    combined sum on the edge key. Integer max-normalization keeps the
+    whole trajectory bit-identical across engines and partitionings —
+    the property the unrolled SQL oracle hash-verifies.
+
+    ``shuffle_partitions`` scopes the shuffle width for the whole
+    eager trajectory (set/restored around it): HITS runs ~5 shuffle
+    stages per iteration, so per-stage overhead is multiplied — size
+    it to |edges| / target-partition-bytes like any static tuning
+    input (the fixture queries pass single digits; a 100 TB edge list
+    wants thousands). Scores are exact integers, so the result is
+    bit-identical at ANY width (probed in config-independence tests).
+    """
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        return _hits_loop(edges, iterations)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _hits_loop(edges: DataFrame, iterations: int) -> DataFrame:
+    edges = edges.select("src", "dst").cache()
+    hubs = edges.select(F.col("src").alias("id")).distinct().cache()
+    auths = edges.select(F.col("dst").alias("id")).distinct().cache()
+    h = hubs.select("id", F.lit(HITS_SCALE).alias("score"))
+    a = None
+    for _ in range(iterations):
+        a_raw = (
+            edges.join(h.withColumnRenamed("id", "src").withColumnRenamed("score", "h"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("h").alias("raw"))
+            .cache()
+        )
+        max_a = a_raw.agg(F.max("raw")).first()[0]
+        # each score frame is read twice (next half-step + final
+        # output) and anchors the next step's lineage — cache it
+        a = (
+            auths.join(a_raw, "id", "left")
+            .select(
+                "id",
+                F.expr(
+                    f"(coalesce(raw, CAST(0 AS BIGINT)) * {HITS_SCALE}) DIV {max_a}"
+                ).alias("score"),
+            )
+            .cache()
+        )
+        h_raw = (
+            edges.join(a.withColumnRenamed("id", "dst").withColumnRenamed("score", "a"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("a").alias("raw"))
+            .cache()
+        )
+        max_h = h_raw.agg(F.max("raw")).first()[0]
+        h = (
+            hubs.join(h_raw, "id", "left")
+            .select(
+                "id",
+                F.expr(
+                    f"(coalesce(raw, CAST(0 AS BIGINT)) * {HITS_SCALE}) DIV {max_h}"
+                ).alias("score"),
+            )
+            .cache()
+        )
+    return h.select("id", F.lit("hub").alias("role"), F.col("score").alias("score_e6")).union(
+        a.select("id", F.lit("authority").alias("role"), F.col("score").alias("score_e6"))
+    )

@@ -69,3 +69,58 @@ def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     demand graph (orders ⋈ lineitem, distinct trading pairs), in exact
     bigint pico-rank arithmetic; returns every node's rank."""
     return pagerank(customer_supplier_edges(spark, sf_dir), iterations=3)
+
+
+def _hits_oracle(iterations: int = 3) -> str:
+    from kaylee_spark.operators.graph import HITS_SCALE
+
+    steps = []
+    prev_h = "h0"
+    for k in range(1, iterations + 1):
+        steps.append(
+            f"""a{k}raw AS MATERIALIZED (
+        SELECT e.dst AS id, CAST(SUM(h.score) AS BIGINT) AS raw
+        FROM edges e JOIN {prev_h} h ON e.src = h.id GROUP BY e.dst
+    ), a{k} AS MATERIALIZED (
+        SELECT auths.id,
+               CAST((COALESCE(r.raw, 0) * {HITS_SCALE})
+                    // (SELECT MAX(raw) FROM a{k}raw) AS BIGINT) AS score
+        FROM auths LEFT JOIN a{k}raw r ON auths.id = r.id
+    ), h{k}raw AS MATERIALIZED (
+        SELECT e.src AS id, CAST(SUM(a.score) AS BIGINT) AS raw
+        FROM edges e JOIN a{k} a ON e.dst = a.id GROUP BY e.src
+    ), h{k} AS MATERIALIZED (
+        SELECT hubs.id,
+               CAST((COALESCE(r.raw, 0) * {HITS_SCALE})
+                    // (SELECT MAX(raw) FROM h{k}raw) AS BIGINT) AS score
+        FROM hubs LEFT JOIN h{k}raw r ON hubs.id = r.id
+    )"""
+        )
+        prev_h = f"h{k}"
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT o_custkey AS src,
+               l_suppkey + {SUPPLIER_OFFSET} AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    hubs AS (SELECT DISTINCT src AS id FROM edges),
+    auths AS (SELECT DISTINCT dst AS id FROM edges),
+    h0 AS (SELECT id, CAST({1_000_000} AS BIGINT) AS score FROM hubs),
+    {",".join(steps)}
+    SELECT id, 'hub' AS role, score AS score_e6 FROM {prev_h}
+    UNION ALL
+    SELECT id, 'authority' AS role, score AS score_e6 FROM a{iterations}
+    """
+
+
+@query("g02_hits", oracle=_hits_oracle(2), extra=True)
+def g02_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the bipartite demand graph: customers as hubs,
+    suppliers as authorities, max-normalized exact integer scores
+    (operators/graph.hits) — the eager-normalizer iterative shape,
+    hash-verified against a fully unrolled SQL twin. 2 iterations:
+    each adds ~5 eager shuffle stages and the demo's point (per-step
+    exact normalization, both roles ranked) is made by the second."""
+    from kaylee_spark.operators.graph import hits
+
+    return hits(customer_supplier_edges(spark, sf_dir), iterations=2, shuffle_partitions=8)

@@ -54,3 +54,29 @@ def test_pagerank_partitioning_invariance(spark):
     a = pagerank(_edges(spark, pairs).repartition(1)).collect()
     b = pagerank(_edges(spark, pairs).repartition(16)).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_hits_two_node_symmetric_and_invariance(spark):
+    """Symmetric bipartite 2x2 complete graph: both hubs tie at the
+    max score, both authorities tie; results bit-identical at any
+    shuffle width and partitioning (exact integer normalization)."""
+    from kaylee_spark.operators.graph import HITS_SCALE, hits
+
+    pairs = [(1, 10), (1, 11), (2, 10), (2, 11)]
+    out = {(r["id"], r["role"]): r["score_e6"] for r in hits(_edges(spark, pairs)).collect()}
+    assert out[(1, "hub")] == out[(2, "hub")] == HITS_SCALE
+    assert out[(10, "authority")] == out[(11, "authority")] == HITS_SCALE
+    a = sorted(map(tuple, hits(_edges(spark, pairs).repartition(1), shuffle_partitions=2).collect()))
+    b = sorted(map(tuple, hits(_edges(spark, pairs).repartition(16), shuffle_partitions=16).collect()))
+    assert a == b
+
+
+def test_hits_popular_authority_outranks(spark):
+    """An authority cited by every hub must score HITS_SCALE; one cited
+    by a single hub scores strictly less."""
+    from kaylee_spark.operators.graph import HITS_SCALE, hits
+
+    pairs = [(h, 100) for h in range(1, 6)] + [(1, 200)]
+    out = {(r["id"], r["role"]): r["score_e6"] for r in hits(_edges(spark, pairs)).collect()}
+    assert out[(100, "authority")] == HITS_SCALE
+    assert out[(200, "authority")] < HITS_SCALE
