@@ -206,3 +206,81 @@ def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1)))
         .select("media_id", "frame_idx", F.col("payload").alias("frame_payload_stub"))
     )
+
+
+def sniff_media_meta(payload: bytes | None):
+    """REAL container-header parsing — pure stdlib ``struct``, no
+    codec libraries: returns (mime, width, height, duration_ms), all
+    None when the payload matches no known magic. Full pixel decode
+    stays env-blocked (real_decode above), but dimensions/duration
+    live in the container HEADER, and at 100 TB header-probing is the
+    cheap first pass that routes/filters media before any expensive
+    decode (drop sub-thumbnail images, cap durations) — reading ~64
+    bytes per multi-MB payload.
+
+    Formats: PNG (IHDR), GIF (logical screen descriptor), JPEG (SOF
+    marker scan), WAV (RIFF fmt/data chunks -> exact duration).
+    """
+    import struct
+
+    if not payload or len(payload) < 12:
+        return (None, None, None, None)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        w, h = struct.unpack(">II", payload[16:24])
+        return ("image/png", w, h, None)
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return ("image/gif", w, h, None)
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(payload) and payload[i] == 0xFF:
+            marker = payload[i + 1]
+            seglen = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            # SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC) carry dimensions
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return ("image/jpeg", w, h, None)
+            i += 2 + seglen
+        return ("image/jpeg", None, None, None)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        byte_rate = None
+        i = 12
+        while i + 8 <= len(payload):
+            chunk, size = payload[i : i + 4], struct.unpack("<I", payload[i + 4 : i + 8])[0]
+            if chunk == b"fmt " and i + 16 <= len(payload):
+                byte_rate = struct.unpack("<I", payload[i + 16 : i + 20])[0]
+            elif chunk == b"data" and byte_rate:
+                return ("audio/wav", None, None, int(size * 1000 // byte_rate))
+            i += 8 + size + (size % 2)
+        return ("audio/wav", None, None, None)
+    return (None, None, None, None)
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Fill each row's meta struct from its payload's container header
+    (sniff_media_meta) over Arrow batches: mime from magic bytes (more
+    trustworthy than the ingest extension), dimensions/duration where
+    the format carries them, n_bytes always. Same constant-memory
+    mapInPandas shape as extract_features; unknown payloads keep their
+    ingest meta untouched except n_bytes."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sniffed = [sniff_media_meta(p) for p in pdf["payload"]]
+            metas = []
+            for old, (mime, w, h, dur), p in zip(pdf["meta"], sniffed, pdf["payload"]):
+                old = dict(old) if old is not None else {}
+                metas.append(
+                    {
+                        "mime": mime or old.get("mime"),
+                        "width": w if w is not None else old.get("width"),
+                        "height": h if h is not None else old.get("height"),
+                        "duration_ms": dur if dur is not None else old.get("duration_ms"),
+                        "n_bytes": len(p) if p is not None else 0,
+                    }
+                )
+            out = pdf.copy()
+            out["meta"] = metas
+            yield out
+
+    return media.mapInPandas(process, MEDIA_SCHEMA)

@@ -452,3 +452,55 @@ def test_unigram_logprob_matches_hand_model(spark):
         assert out[doc_id]["avg_logprob"] == score(text)
     # rarer tokens => lower probability => more negative score
     assert out[2]["avg_logprob"] < out[3]["avg_logprob"]
+
+
+def _png(w, h):
+    import struct
+    return b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00" + b"x" * 16
+
+
+def _jpeg(w, h):
+    import struct
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", h, w) + b"\x03" + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _wav(seconds, byte_rate=16000):
+    import struct
+    data = b"\x00" * (seconds * byte_rate)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + struct.pack("<HHIIHH", 1, 1, 8000, byte_rate, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_sniff_media_meta_parses_real_container_headers():
+    import struct
+
+    from kaylee_spark.operators.multimodal import sniff_media_meta
+
+    assert sniff_media_meta(_png(640, 480)) == ("image/png", 640, 480, None)
+    assert sniff_media_meta(_jpeg(1920, 1080)) == ("image/jpeg", 1920, 1080, None)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert sniff_media_meta(gif) == ("image/gif", 320, 200, None)
+    assert sniff_media_meta(_wav(3)) == ("audio/wav", None, None, 3000)
+    assert sniff_media_meta(b"not a media file at all") == (None, None, None, None)
+    assert sniff_media_meta(None) == (None, None, None, None)
+
+
+def test_probe_media_fills_meta_from_headers(spark):
+    from kaylee_spark.operators.multimodal import MEDIA_SCHEMA, probe_media
+
+    rows = [
+        (1, "image", bytearray(_png(64, 32)), {"mime": "application/octet-stream", "width": None, "height": None, "duration_ms": None, "n_bytes": 0}),
+        (2, "audio", bytearray(_wav(2)), {"mime": "application/octet-stream", "width": None, "height": None, "duration_ms": None, "n_bytes": 0}),
+        (3, "video", bytearray(b"garbage-payload"), {"mime": "video/mp4", "width": None, "height": None, "duration_ms": None, "n_bytes": 0}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r["meta"] for r in probe_media(media).collect()}
+    assert (out[1]["mime"], out[1]["width"], out[1]["height"]) == ("image/png", 64, 32)
+    assert (out[2]["mime"], out[2]["duration_ms"]) == ("audio/wav", 2000)
+    # unknown magic keeps the ingest mime, gains n_bytes
+    assert out[3]["mime"] == "video/mp4" and out[3]["n_bytes"] == len(b"garbage-payload")
