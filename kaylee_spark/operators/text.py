@@ -452,3 +452,47 @@ def unigram_logprob(
         F.count("*").alias("n_tokens"),
         F.round((F.sum("lp").cast("double") / F.count("*")), 6).alias("avg_logprob"),
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF —
+    the standard corpus-exploration / weak-labeling primitive ("what
+    is this doc about") and the per-doc counterpart of BM25's
+    per-query ranking.
+
+    score(doc, t) = tf(doc, t) * ROUND(ln((N + 1) / (df(t) + 1)), 6);
+    ties rank alphabetically, so output is a pure function of the
+    corpus. Output: (doc, term, rank 1..k, score).
+
+    Scale shape: one explode into a (doc, term)-keyed count (map-side
+    combined), term document-frequencies aggregated FROM that tf frame
+    (no second corpus scan), idf joined back on the term key, and the
+    top-k window partitions by doc — millions of tiny partitions, the
+    shape window functions scale on. N is a driver scalar folded into
+    codegen (see unigram_logprob).
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    tf = (
+        df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = tf.groupBy("term").agg(
+        F.round(F.log(F.lit(float(n_docs + 1)) / (F.count("*") + F.lit(1))), 6).alias("idf")
+    )
+    scored = tf.join(idf, "term").select(
+        "doc", "term", F.round(F.col("tf") * F.col("idf"), 6).alias("score")
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("doc", "term", "rank", "score")
+    )

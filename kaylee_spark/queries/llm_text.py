@@ -568,3 +568,37 @@ def t17_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the holistic sum engine-exact."""
     docs = load_table(spark, sf_dir, "documents")
     return T.unigram_logprob(docs, "doc_id", "text")
+
+
+@query(
+    "t18_tfidf_keywords",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id AS doc, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+            FROM documents
+        ) GROUP BY doc_id, term
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+    idf AS (
+        SELECT term, ROUND(ln((n.n + 1.0) / (COUNT(*) + 1)), 6) AS idf
+        FROM tf CROSS JOIN n GROUP BY term, n.n
+    )
+    SELECT doc, term, rank, score FROM (
+        SELECT tf.doc, tf.term,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc
+                   ORDER BY ROUND(tf.tf * idf.idf, 6) DESC, tf.term ASC
+               ) AS INT) AS rank,
+               ROUND(tf.tf * idf.idf, 6) AS score
+        FROM tf JOIN idf USING (term)
+    ) WHERE rank <= 3
+    """,
+    extra=True,
+)
+def t18_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (operators/text.tfidf_keywords):
+    one corpus explode feeds both tf and df counts, idf joins back on
+    the term key, per-doc top-k via a doc-partitioned window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.tfidf_keywords(docs, "doc_id", "text", k=3)

@@ -504,3 +504,20 @@ def test_probe_media_fills_meta_from_headers(spark):
     assert (out[2]["mime"], out[2]["duration_ms"]) == ("audio/wav", 2000)
     # unknown magic keeps the ingest mime, gains n_bytes
     assert out[3]["mime"] == "video/mp4" and out[3]["n_bytes"] == len(b"garbage-payload")
+
+
+def test_tfidf_keywords_surfaces_distinctive_terms(spark):
+    """A term unique to one doc must out-rank corpus-wide terms there;
+    ubiquitous terms get near-zero idf."""
+    from kaylee_spark.operators.text import tfidf_keywords
+
+    rows = [
+        (1, "common common common zebra zebra"),
+        (2, "common common yeti"),
+        (3, "common plain words"),
+    ]
+    out = tfidf_keywords(spark.createDataFrame(rows, ["doc_id", "text"]), k=2).collect()
+    top = {r["doc"]: r["term"] for r in out if r["rank"] == 1}
+    assert top[1] == "zebra" and top[2] == "yeti"
+    ranks = {(r["doc"], r["term"]): r["rank"] for r in out}
+    assert all(n <= 2 for n in ranks.values())
