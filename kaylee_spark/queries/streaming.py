@@ -596,3 +596,31 @@ def e19_streamed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return drained.select(_ntz("window_start"), "event_type", "n_events", "total_value")
+
+
+@query(
+    "e20_streamed_stateful_fold",
+    oracle="SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY user_id",
+    extra=True,
+)
+def e20_streamed_stateful_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE custom-stateful streaming row: the applyInPandasWithState
+    per-user fold (streaming/stateful.user_running_totals) drained in
+    update mode. Every micro-batch the fold emits the user's RUNNING
+    count, which is strictly monotone, so max(n_events) per user over
+    all emissions IS the final state — and must equal the batch
+    GROUP BY count exactly (integer arithmetic; no float leaves the
+    comparison surface). This gives the reference's holistic-reducer
+    analogue — arbitrary Python state folded across batches — an
+    oracle-verified row instead of pytest-only coverage."""
+    from kaylee_spark.streaming.stateful import user_running_totals
+
+    drained = _drain_staged_stream(
+        spark,
+        sf_dir,
+        lambda ST, staged: ST.run_to_memory(
+            user_running_totals(ST.events_stream(spark, staged)),
+            output_mode="update",
+        ),
+    )
+    return drained.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
