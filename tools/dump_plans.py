@@ -47,6 +47,8 @@ SHOWCASE = [
     ("t16_stratified_sample", "portable-hash sampling: 2-column pruned scan, membership predicate in codegen"),
     ("a21_mad_outliers", "MAD outliers: two tiny holistic aggs broadcast back onto one event scan"),
     ("t17_unigram_logprob", "unigram LM: term-keyed count, 1-row total broadcast, decimal per-doc fold"),
+    ("t18_tfidf_keywords", "TF-IDF keywords: one explode feeds tf and df, per-doc top-k window"),
+    ("a22_equidepth_histogram", "equi-depth histogram: percentile boundaries broadcast, assignment in codegen, no NTILE sort"),
 ]
 
 
@@ -80,6 +82,8 @@ MUST_CONTAIN = {
     "t16_stratified_sample": ("ReadSchema: struct<doc_id:bigint,lang:string>",),
     "a21_mad_outliers": ("BroadcastHashJoin", "percentile"),
     "t17_unigram_logprob": ("InMemoryTableScan",),
+    "t18_tfidf_keywords": ("Window",),
+    "a22_equidepth_histogram": ("BroadcastHashJoin", "percentile"),
 }
 
 
