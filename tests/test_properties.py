@@ -159,3 +159,76 @@ def test_upsert_snapshot_matches_dict_semantics(spark, base_rows, upd_rows):
         else:
             model[k] = v
     assert got == set(model.items())
+
+
+# ---------------------------------------------------------------------------
+# Fourth-session operator invariants under random corpora
+# ---------------------------------------------------------------------------
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),
+        st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta", "x1"]), min_size=0, max_size=20).map(" ".join),
+    ),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(docs=docs_strategy)
+@SPARK_SETTINGS
+def test_segment_dedup_partitions_every_document(spark, docs):
+    """n_kept + n_removed always equals the doc's total segment count,
+    every input doc appears exactly once, and kept text is a
+    subsequence of the original — for ANY corpus."""
+    from kaylee_spark.operators.text import remove_common_segments
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc"]: r for r in remove_common_segments(df, "doc_id", "text", words_per_seg=3).collect()}
+    assert set(out) == {d for d, _ in docs}
+    for doc_id, text in docs:
+        r = out[doc_id]
+        n_seg = -(-len(text.split()) // 3) if text.split() else 0
+        assert r["n_kept"] + r["n_removed"] == n_seg
+        # order-preserving subsequence of the original token stream
+        it = iter(text.split())
+        assert all(tok in it for tok in r["clean_text"].split())
+
+
+@given(docs=docs_strategy)
+@SPARK_SETTINGS
+def test_unigram_logprob_bounds_and_coverage(spark, docs):
+    """Scores are finite, non-positive, and exactly the non-empty docs
+    are scored — for ANY corpus."""
+    import math
+
+    from kaylee_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = unigram_logprob(df, "doc_id", "text").collect()
+    assert {r["doc"] for r in rows} == {d for d, t in docs if t.split()}
+    for r in rows:
+        assert math.isfinite(r["avg_logprob"]) and r["avg_logprob"] <= 0.0
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(100, 115)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SPARK_SETTINGS
+def test_pagerank_total_mass_bounded_any_graph(spark, edges):
+    """Mass never exceeds RANK_SCALE and every node gets a positive
+    rank — for ANY bipartite edge multiset (duplicates included)."""
+    from pyspark.sql import functions as F
+
+    from kaylee_spark.operators.graph import RANK_SCALE, pagerank
+
+    df = spark.createDataFrame(edges, "src long, dst long").distinct()
+    ranks = pagerank(df, iterations=2)
+    agg = ranks.agg(F.sum("rank_e12").alias("s"), F.min("rank_e12").alias("m")).first()
+    assert agg["s"] <= RANK_SCALE
+    assert agg["m"] > 0
