@@ -88,6 +88,8 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     r_{k+1}(v) = (0.15 * RANK_SCALE) div N
                + (17 * Σ_{u→v} (r_k(u) div outdeg(u))) div 20
     """
+    if iterations < 1:
+        raise ValueError(f"pagerank requires iterations >= 1, got {iterations}")
     edges = edges.select("src", "dst")
     # Spark does not dedupe common subplans: without the caches below,
     # one action over the 3-iteration plan re-derives the edge list
@@ -111,6 +113,8 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     # off the cached node set, then folded into codegen as a literal,
     # which keeps every per-row expression join-free.
     n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank requires a non-empty edge list (no nodes found)")
     base = F.lit((RANK_SCALE * 3 // 20) // n)
     ranks = nodes.select("id", F.lit(RANK_SCALE // n).alias("r"))
     for _ in range(iterations):
@@ -169,6 +173,8 @@ def hits(edges: DataFrame, iterations: int = 3, shuffle_partitions: int | None =
     wants thousands). Scores are exact integers, so the result is
     bit-identical at ANY width (probed in config-independence tests).
     """
+    if iterations < 1:
+        raise ValueError(f"hits requires iterations >= 1, got {iterations}")
     spark = edges.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
@@ -193,6 +199,8 @@ def _hits_loop(edges: DataFrame, iterations: int) -> DataFrame:
             .cache()
         )
         max_a = a_raw.agg(F.max("raw")).first()[0]
+        if max_a is None:
+            raise ValueError("hits requires a non-empty edge list")
         # each score frame is read twice (next half-step + final
         # output) and anchors the next step's lineage — cache it
         a = (

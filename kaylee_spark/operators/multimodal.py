@@ -247,7 +247,7 @@ def sniff_media_meta(payload: bytes | None):
         i = 12
         while i + 8 <= len(payload):
             chunk, size = payload[i : i + 4], struct.unpack("<I", payload[i + 4 : i + 8])[0]
-            if chunk == b"fmt " and i + 16 <= len(payload):
+            if chunk == b"fmt " and i + 20 <= len(payload):
                 byte_rate = struct.unpack("<I", payload[i + 16 : i + 20])[0]
             elif chunk == b"data" and byte_rate:
                 return ("audio/wav", None, None, int(size * 1000 // byte_rate))
@@ -266,7 +266,14 @@ def probe_media(media: DataFrame) -> DataFrame:
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sniffed = [sniff_media_meta(p) for p in pdf["payload"]]
+            # payloads are untrusted bytes: a single malformed header
+            # must degrade to "unknown", not fail the whole stage
+            sniffed = []
+            for p in pdf["payload"]:
+                try:
+                    sniffed.append(sniff_media_meta(p))
+                except Exception:
+                    sniffed.append((None, None, None, None))
             metas = []
             for old, (mime, w, h, dur), p in zip(pdf["meta"], sniffed, pdf["payload"]):
                 old = dict(old) if old is not None else {}

@@ -24,14 +24,21 @@ from pyspark.sql import functions as F
 _SALT = "__kaylee_salt"
 
 
+#: explicit opt-in sentinel for position-based (retry-unstable) salting.
+POSITIONAL = "__positional__"
+
+
 def salt_expr(n_salts: int, salt_on: list[str] | str | None = None):
     """The salt-assignment column used by salted_join (see its
-    docstring for the determinism trade-off between the two forms)."""
-    if salt_on is not None:
-        salt_cols = [salt_on] if isinstance(salt_on, str) else list(salt_on)
-        salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salts))
-    else:
-        salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    docstring for the determinism trade-off between the forms).
+    ``salt_on=None`` is invalid here — salted_join resolves the
+    default to the probe side's full column list before calling."""
+    if salt_on == POSITIONAL:
+        return F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    if salt_on is None:
+        raise ValueError("salt_expr needs explicit columns or POSITIONAL")
+    salt_cols = [salt_on] if isinstance(salt_on, str) else list(salt_on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salts))
     return salt.cast("int")
 
 
@@ -52,23 +59,31 @@ def salted_join(
     replicated side must be the non-preserved one — a right or full
     join would null-extend each of the n_salts copies).
 
-    Salt assignment:
-    - ``salt_on=None`` (default): physical row position
-      (monotonically_increasing_id) — cheap, uniform, independent of
-      the key distribution, but NOT stable under task retry or
-      recompute (the id depends on partition layout). Result SETS are
-      identical either way; only which salt a row landed on differs.
-    - ``salt_on=[cols]``: ``pmod(xxhash64(salt_on...), n_salts)`` — a
-      pure function of row content, so retries and recomputes assign
-      identical salts (required when the join feeds a nondeterminism-
-      sensitive sink or a checkpointed incremental job). Pass columns
-      that DISTINGUISH rows sharing a hot join key (e.g. the row's
-      primary key): hashing the join key alone would re-concentrate
-      each hot key onto one salt — exactly the failure being fixed.
+    Salt assignment — DETERMINISTIC BY DEFAULT (a task retry or stage
+    recompute must re-derive identical salts, or a shuffle-file
+    regeneration mid-job can duplicate/lose probe rows in downstream
+    nondeterminism-sensitive sinks):
+    - ``salt_on=None`` (default): ``pmod(xxhash64(ALL probe-side
+      columns), n_salts)`` — a pure function of full row content.
+      Distinct rows sharing a hot join key spread across salts; only
+      byte-identical duplicate rows co-locate (they join identically
+      anyway, and their count per key is bounded by the duplicate
+      rate, not the key's total fan-in).
+    - ``salt_on=[cols]``: same hash over just those columns — pass
+      columns that DISTINGUISH rows sharing a hot join key (e.g. the
+      row's primary key); cheaper than hashing every column on wide
+      rows. Hashing the join key alone would re-concentrate each hot
+      key onto one salt — exactly the failure being fixed.
+    - ``salt_on=POSITIONAL``: physical row position
+      (monotonically_increasing_id) — uniform even over fully
+      duplicate rows, but NOT stable under retry/recompute; explicit
+      opt-in only.
     """
     if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
         raise ValueError(f"salted_join supports inner/left/left_semi/left_anti, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
+    if salt_on is None:
+        salt_on = list(skewed.columns)
     salted = skewed.withColumn(_SALT, salt_expr(n_salts, salt_on))
     replicated = other.withColumn(_SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
     out = salted.join(replicated, keys + [_SALT], how)
@@ -91,20 +106,23 @@ def skew_report(
     Scale shape: one key-grouped count (map-side partial — the
     combiner absorbs the very skew being measured, so the shuffle
     carries |distinct keys| rows, not the raw table), one 1-row total
-    broadcast, TakeOrderedAndProject for the top-N. Null keys count
+    broadcast, then orderBy+limit — TakeOrderedAndProject, a per-
+    partition heap merged on the driver, NEVER a global sort. Only
+    the top_n surviving rows see the rank window (a single-partition
+    sort over top_n rows, not over |distinct keys|). Null keys count
     as a key value (they are the most common hot key in the wild).
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = [F.desc("n_rows"), *[F.asc_nulls_first(k) for k in keys]]
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
     total = counts.agg(F.sum("n_rows").alias("__total"))
-    w = Window.orderBy(F.desc("n_rows"), *[F.asc_nulls_first(k) for k in keys])
+    top = counts.orderBy(*order).limit(top_n)
     return (
-        counts.crossJoin(F.broadcast(total))
+        top.crossJoin(F.broadcast(total))
         .withColumn(
             "pct_of_total",
             F.round((F.col("n_rows") / F.col("__total")).cast("double"), 6),
         )
-        .withColumn("key_rank", F.row_number().over(w))
-        .filter(F.col("key_rank") <= top_n)
+        .withColumn("key_rank", F.row_number().over(Window.orderBy(*order)))
         .drop("__total")
     )

@@ -326,7 +326,10 @@ def encode_with_vocabulary(
     vocabulary (Zipf-small by construction), then re-assembly keyed on
     the document — a single doc-keyed shuffle. Order is restored by
     sorting the collected (pos, id) structs per document, never by a
-    global sort.
+    global sort. Zero-token documents (empty/whitespace-only text)
+    vanish in the explode, so the reassembled frame is left-joined
+    back onto the full input id set and coalesced to an empty array —
+    every input document yields exactly one output row.
     """
     toks = df.select(
         F.col(id_col),
@@ -339,10 +342,20 @@ def encode_with_vocabulary(
         "pos",
         F.coalesce(F.col("term_id").cast("int"), F.lit(oov_id)).alias("tid"),
     )
-    return joined.groupBy(id_col).agg(
+    encoded = joined.groupBy(id_col).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda s: s.tid
         ).alias("token_ids")
+    )
+    return (
+        df.select(id_col)
+        .join(encoded, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("token_ids"), F.array().cast("array<int>")
+            ).alias("token_ids"),
+        )
     )
 
 

@@ -350,16 +350,21 @@ def d10_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d11_line_dedup",
     oracle="""
-    WITH segs AS (
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS tok
+        FROM documents
+    ),
+    segs AS (
         SELECT doc_id, s.seg_idx AS seg_idx, s.seg AS seg FROM (
             SELECT doc_id,
                    UNNEST(list_transform(
-                       range(0, CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT)),
+                       range(0, CAST(ceil(len(tok) / 8.0) AS INT)),
                        i -> struct_pack(
                            seg_idx := i,
-                           seg := array_to_string(string_split(text, ' ')[i*8+1 : i*8+8], ' ')
+                           seg := array_to_string(tok[i*8+1 : i*8+8], ' ')
                        ))) AS s
-            FROM documents)
+            FROM toks)
     ),
     boilerplate AS (
         SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) > 1
@@ -373,12 +378,12 @@ def d10_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS n_kept
         FROM kept GROUP BY doc_id
     )
-    SELECT d.doc_id AS doc,
+    SELECT t.doc_id AS doc,
            COALESCE(a.clean_text, '') AS clean_text,
            COALESCE(a.n_kept, 0) AS n_kept,
-           CAST(ceil(len(string_split(d.text, ' ')) / 8.0) AS BIGINT)
+           CAST(ceil(len(t.tok) / 8.0) AS BIGINT)
                - COALESCE(a.n_kept, 0) AS n_removed
-    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
     """,
     extra=True,
 )

@@ -212,6 +212,33 @@ def test_salted_join_deterministic_salt(spark):
     assert len(hot_salts) == 4
 
 
+def test_salted_join_default_salt_is_recompute_stable(spark):
+    """salt_on=None now defaults to hashing ALL probe-side columns:
+    deterministic under relayout (retry/recompute proxy), spreads the
+    hot key, and still matches the plain join. POSITIONAL is the
+    explicit opt-in for the old position-based behavior."""
+    from kaylee_spark.operators.skew import POSITIONAL, salt_expr, salted_join
+
+    skewed = spark.createDataFrame(
+        [(1, i) for i in range(900)] + [(k, 0) for k in range(2, 102)], ["k", "v"]
+    )
+    dim = spark.createDataFrame([(k, f"name_{k}") for k in range(1, 120)], ["k", "name"])
+
+    plain = skewed.join(dim, "k")
+    salted = salted_join(skewed, dim, "k", n_salts=4)  # default salt_on
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    expr = salt_expr(4, ["k", "v"])  # what the default resolves to here
+    a = {(r["k"], r["v"]): r["s"] for r in skewed.repartition(17).select("k", "v", expr.alias("s")).collect()}
+    b = {(r["k"], r["v"]): r["s"] for r in skewed.coalesce(1).select("k", "v", expr.alias("s")).collect()}
+    assert a == b
+    assert len({s for (k, v), s in a.items() if k == 1}) == 4
+
+    # positional salting is still available but only by explicit opt-in
+    pos = salted_join(skewed, dim, "k", n_salts=4, salt_on=POSITIONAL)
+    assert sorted(map(tuple, pos.collect())) == sorted(map(tuple, plain.collect()))
+
+
 def test_salted_join_rejects_right_join(spark):
     import pytest as _pytest
 
@@ -488,6 +515,52 @@ def test_sniff_media_meta_parses_real_container_headers():
     assert sniff_media_meta(_wav(3)) == ("audio/wav", None, None, 3000)
     assert sniff_media_meta(b"not a media file at all") == (None, None, None, None)
     assert sniff_media_meta(None) == (None, None, None, None)
+
+
+def test_sniff_media_meta_survives_truncated_payloads():
+    """Untrusted bytes: every prefix of a valid container must sniff
+    without raising (the WAV fmt chunk truncated to [i+16, i+20) used
+    to hit struct.error on a 30-byte payload)."""
+    from kaylee_spark.operators.multimodal import sniff_media_meta
+
+    for full in (_png(64, 32), _jpeg(16, 16), _wav(1)):
+        for n in range(len(full[:64]) + 1):
+            sniff_media_meta(full[:n])  # must not raise
+    assert sniff_media_meta(_wav(1)[:30]) == ("audio/wav", None, None, None)
+
+
+def test_probe_media_tolerates_malformed_payload(spark):
+    """One malformed payload must not fail the whole mapInPandas
+    stage: probe_media falls back to the ingest meta for that row."""
+    from kaylee_spark.operators.multimodal import MEDIA_SCHEMA, probe_media
+
+    rows = [
+        (1, "image", bytearray(_png(8, 8)), {"mime": None, "width": None, "height": None, "duration_ms": None, "n_bytes": 0}),
+        (2, "audio", bytearray(_wav(1)[:30]), {"mime": "audio/x-ingest", "width": None, "height": None, "duration_ms": None, "n_bytes": 0}),
+    ]
+    out = {r["media_id"]: r["meta"] for r in probe_media(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    assert out[1]["mime"] == "image/png"
+    assert out[2]["n_bytes"] == 30  # row survived the sniff
+
+
+def test_graph_rejects_degenerate_inputs(spark):
+    """Clear contract errors instead of driver-side arithmetic crashes
+    (ZeroDivisionError / AttributeError) on empty graphs or zero
+    iterations."""
+    import pytest as _pytest
+
+    from kaylee_spark.operators.graph import hits, pagerank
+
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with _pytest.raises(ValueError, match="non-empty"):
+        pagerank(empty)
+    with _pytest.raises(ValueError, match="iterations"):
+        pagerank(edges, iterations=0)
+    with _pytest.raises(ValueError, match="non-empty"):
+        hits(empty)
+    with _pytest.raises(ValueError, match="iterations"):
+        hits(edges, iterations=0)
 
 
 def test_probe_media_fills_meta_from_headers(spark):
