@@ -522,19 +522,52 @@ def dedup_clusters(
 
 _SIMHASH_BITS = 64
 
+# Portable token hash: two 31-bit polynomial rolling hashes (bases 31
+# and 131, both mod the Mersenne prime 2^31-1) packed into one 62-bit
+# integer. Every step is plain int64 arithmetic (acc < 2^31, so
+# acc*131 + 0x10FFFF < 2^39 — no overflow), which any SQL engine
+# folds identically — that is what lets an external auditor re-derive
+# the signatures (the DuckDB oracle does exactly this). xxhash64
+# mixes better and costs one call per token instead of one fold step
+# per character — keep portable=False when cross-engine verification
+# isn't required.
+PORTABLE_HASH_MOD = 2147483647  # 2^31 - 1
+PORTABLE_HASH_BASES = (31, 131)
+PORTABLE_SIMHASH_BITS = 62
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document from token xxhash64s.
 
-    Fully JVM-side: explode tokens -> xxhash64 -> 64 conditional-sum
-    bit votes in ONE hash aggregate (map-side partial, codegen'd) ->
-    signature reassembled with shifts. No Python, no collect_list —
-    the shuffle carries 64 longs per doc regardless of doc length,
-    which is what survives 100 TB. (An earlier pandas-UDF fold over
-    collect_list was ~10x slower and materialized whole documents.)
+def portable_token_hash_sql(tok_expr: str) -> str:
+    """Spark-SQL expression for the 62-bit portable hash of a token.
+    (The DuckDB twin is built by queries/dedup.py's oracle generator —
+    list_reduce starting from the first element equals this 0-seeded
+    fold because 0*base + c1 = c1.)"""
+    folds = [
+        f"aggregate(transform(sequence(1, char_length({tok_expr})), "
+        f"i -> CAST(ascii(substr({tok_expr}, i, 1)) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> (acc * {b} + x) % {PORTABLE_HASH_MOD})"
+        for b in PORTABLE_HASH_BASES
+    ]
+    return f"({folds[0]} * CAST({1 << 31} AS BIGINT) + {folds[1]})"
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, portable: bool = False) -> DataFrame:
+    """64-bit SimHash per document from token xxhash64s (or 62-bit
+    from the portable polynomial hash when ``portable=True``).
+
+    Fully JVM-side: explode tokens -> token hash -> per-bit
+    conditional-sum votes in ONE hash aggregate (map-side partial,
+    codegen'd) -> signature reassembled with shifts. No Python, no
+    collect_list — the shuffle carries one long per bit per doc
+    regardless of doc length, which is what survives 100 TB. (An
+    earlier pandas-UDF fold over collect_list was ~10x slower and
+    materialized whole documents.)
     """
+    bits = PORTABLE_SIMHASH_BITS if portable else _SIMHASH_BITS
     toks = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok"))
-    hashed = toks.select("doc", F.xxhash64("tok").alias("h"))
+    if portable:
+        hashed = toks.select("doc", F.expr(portable_token_hash_sql("tok")).alias("h"))
+    else:
+        hashed = toks.select("doc", F.xxhash64("tok").alias("h"))
     # Both the 64 bit-vote aggregates and the signature reassembly are
     # single parsed SQL strings: the Column-operator form costs ~400
     # py4j round trips (~2.5 s of driver time per run, measured); one
@@ -542,57 +575,69 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # i exactly like shiftrightunsigned & 1 (the shifts differ only in
     # bits the & 1 masks away).
     votes = F.expr(
-        "array(" + ",".join(f"SUM(IF((shiftright(h, {i}) & 1) = 1, 1, -1))" for i in range(_SIMHASH_BITS)) + ")"
+        "array(" + ",".join(f"SUM(IF((shiftright(h, {i}) & 1) = 1, 1, -1))" for i in range(bits)) + ")"
     ).alias("votes")
     per_doc = hashed.groupBy("doc").agg(votes)
     sig = F.expr(
         " | ".join(
             f"IF(votes[{i}] > 0, shiftleft(CAST(1 AS BIGINT), {i}), CAST(0 AS BIGINT))"
-            for i in range(_SIMHASH_BITS)
+            for i in range(bits)
         )
     )
     return per_doc.select("doc", sig.alias("simhash"))
 
 
-def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+def hamming_pairs(
+    sig: DataFrame,
+    max_hamming: int,
+    bits: int,
+    id_col: str = "doc",
+    sig_col: str = "simhash",
+    out_prefix: str = "doc",
+) -> DataFrame:
+    """All id pairs whose ``bits``-bit signatures differ in at most
+    ``max_hamming`` bits — COMPLETE (every qualifying pair emitted,
+    exactly once) and sub-quadratic.
 
-    Pigeonhole bucketing: split the 64-bit signature into
-    (max_hamming+1) chunks; any pair within distance max_hamming
-    agrees on at least one chunk, so candidates come from chunk-equal
-    buckets (sub-quadratic), then exact popcount verifies.
+    Pigeonhole bucketing: split the signature into (max_hamming+1)
+    disjoint chunks; a pair within distance max_hamming has at most
+    max_hamming differing bits, so at least one chunk agrees — all
+    candidates come from chunk-equal buckets, then exact popcount
+    verifies. (Chunks of width bits // (max_hamming+1) may leave the
+    top bits un-keyed; that only ADDS candidates — completeness is
+    unaffected, the popcount still sees every bit.)
 
     Candidate dedup (a pair can surface from several agreeing chunks)
     is ARITHMETIC, not a shuffle: each side carries its 8-byte
     signature through the bucket join, so after the join we know every
-    chunk's agreement from ``sh_a XOR sh_b`` and keep the pair only in
-    the FIRST agreeing chunk's bucket. One shuffle total past the
-    signature aggregate — no pair-distinct exchange, no signature
+    chunk's agreement from ``sig_a XOR sig_b`` and keep the pair only
+    in the FIRST agreeing chunk's bucket. One shuffle total past the
+    signature frame — no pair-distinct exchange, no signature
     re-attach joins (an earlier ids-only+rejoin shape paid three
     shuffles to save 8 bytes/row of join width; strictly worse at any
     scale since |candidates| >= |banded rows|).
     """
     chunks = max_hamming + 1
-    width = _SIMHASH_BITS // chunks
+    width = bits // chunks
     mask = (1 << width) - 1
-    sig = simhash(df, id_col, text_col)
+    a_id, b_id = f"{out_prefix}_a", f"{out_prefix}_b"
     banded = sig.select(
-        "doc",
-        "simhash",
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), c * width).bitwiseAND(F.lit(mask)).alias("key"),
+                        F.shiftrightunsigned(F.col(sig_col), c * width).bitwiseAND(F.lit(mask)).alias("key"),
                     )
                     for c in range(chunks)
                 ]
             )
         ).alias("cb"),
-    ).select("doc", "simhash", "cb.chunk", "cb.key")
-    a = banded.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk", "key")
-    b = banded.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk", "key")
+    ).select("id", "sig", "cb.chunk", "cb.key")
+    a = banded.select(F.col("id").alias(a_id), F.col("sig").alias("sh_a"), "chunk", "key")
+    b = banded.select(F.col("id").alias(b_id), F.col("sig").alias("sh_b"), "chunk", "key")
     # first agreeing chunk = index of the lowest zero chunk of the XOR;
     # the join guarantees SOME chunk agrees, so the CASE always hits.
     first_agree = "CASE " + " ".join(
@@ -602,9 +647,25 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         a.join(b, ["chunk", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.col(a_id) < F.col(b_id))
         .filter(F.col("chunk") == F.expr(first_agree))
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select(a_id, b_id, "hamming")
     )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, portable: bool = False
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming
+    (pigeonhole bucketing + exact popcount verify — see hamming_pairs
+    for the completeness argument and shuffle accounting).
+
+    ``portable=True`` builds the signatures from the portable
+    polynomial token hash instead of xxhash64, making the whole pair
+    set re-derivable by any SQL engine (the d05 oracle brute-forces
+    it); the default keeps xxhash64 for raw speed."""
+    bits = PORTABLE_SIMHASH_BITS if portable else _SIMHASH_BITS
+    sig = simhash(df, id_col, text_col, portable=portable)
+    return hamming_pairs(sig, max_hamming, bits, id_col="doc", sig_col="simhash", out_prefix="doc")

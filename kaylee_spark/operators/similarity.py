@@ -380,6 +380,87 @@ def embedding_neardup_pairs(
     )
 
 
+#: Sign-signature constants: ±1 hyperplane entries derived from the
+#: Knuth multiplicative hash folded through the Mersenne prime 2^31-1
+#: — three integer ops any engine (or auditor) reproduces exactly.
+SIGNATURE_BITS = 24
+_SIGN_MULT = 2654435761
+_SIGN_FOLD = 2147483647
+
+
+def plane_sign(j: int, k: int, dim: int) -> int:
+    """Entry (j, k) of the ±1 hyperplane matrix: +1 iff the mixed
+    integer ((j*dim + k + 1) * 2654435761) % (2^31-1) is odd. The
+    mod-prime fold breaks the parity structure of the raw product
+    (2654435761 is odd, so the product's low bit would just alternate
+    with the index)."""
+    return 1 if ((j * dim + k + 1) * _SIGN_MULT) % _SIGN_FOLD % 2 == 1 else -1
+
+
+def sign_signatures(
+    corpus: DataFrame,
+    bits: int = SIGNATURE_BITS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector ``bits``-bit sign signature (SRP-LSH): bit j = 1 iff
+    the vector's projection onto ±1-hyperplane j is positive.
+
+    EXACT & ENGINE-PORTABLE by construction: the hyperplane entries
+    are ±1 integers derived from plane_sign's integer arithmetic, and
+    each projection is a sum of ±CAST(x AS DECIMAL(28,12)) terms —
+    decimal addition is exact and associative, so the sign decisions
+    (hence the signatures, hence any downstream pair set) are
+    bit-identical in every engine and under every partitioning. This
+    is the same fixed-point determinism that makes PageRank (g01)
+    oracle-verifiable, applied to LSH.
+
+    Scale shape: one generated row-local projection — signatures come
+    off the scan with NO shuffle and no Python; the ±1 sums fold into
+    whole-stage codegen as literal add/subtract chains.
+    """
+    dec = ", ".join(
+        f"CAST(CAST(v[{k}] AS DOUBLE) AS DECIMAL(28,12))" for k in range(dim)
+    )
+    bit_terms = []
+    for j in range(bits):
+        dot_j = " + ".join(
+            ("" if plane_sign(j, k, dim) > 0 else "-") + f"vd[{k}]" for k in range(dim)
+        )
+        bit_terms.append(f"IF(({dot_j}) > 0, CAST({1 << j} AS BIGINT), CAST(0 AS BIGINT))")
+    sig = " + ".join(bit_terms)
+    return (
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .selectExpr("vid", f"array({dec}) AS vd")
+        .selectExpr("vid", f"CAST({sig} AS BIGINT) AS sig")
+    )
+
+
+def sign_neardup_pairs(
+    corpus: DataFrame,
+    max_hamming: int = 3,
+    bits: int = SIGNATURE_BITS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs by sign-signature Hamming distance:
+    all (id_a, id_b, hamming) with hamming <= max_hamming, where
+    hamming/bits estimates the angular distance theta/pi (the SRP-LSH
+    collision identity). Unlike a float-cosine threshold, the
+    signature predicate is integer-exact, and the pigeonhole bucketed
+    plan (operators/dedup.hamming_pairs) is COMPLETE for it — so the
+    sub-quadratic Spark plan emits exactly the pair set a quadratic
+    scan (or the DuckDB oracle) defines. The float-LSH + exact-cosine
+    path above (embedding_neardup_pairs) remains the recall-tunable
+    production alternative."""
+    sig = sign_signatures(corpus, bits=bits, dim=dim, id_col=id_col, vec_col=vec_col)
+    from kaylee_spark.operators.dedup import hamming_pairs
+
+    return hamming_pairs(sig, max_hamming, bits, id_col="vid", sig_col="sig", out_prefix="id")
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -39,25 +39,62 @@ def a01_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a02_approx_sketches", oracle=None)
+@query(
+    "a02_approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           TRUE AS hll_within_bound,
+           ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50,
+           ROUND(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE), 4) AS p95,
+           ROUND(CAST(quantile_cont(l_extendedprice, 0.99) AS DOUBLE), 4) AS p99,
+           TRUE AS quantiles_within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def a02_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate sketches: HLL++ count-distinct and approximate
-    quantiles. Sketch outputs are algorithm-specific -> rows-only
-    check; tests bound their error vs exact values instead.
+    """Approximate sketches, ORACLE-GATED: HLL++ count-distinct and
+    approximate quantiles still execute (the 100 TB pattern — fixed
+    ~1.5 KB of state per group instead of a distinct expand), but the
+    emitted row carries the EXACT values plus in-plan booleans
+    asserting each sketch landed inside its published error bound.
+    The oracle emits the exact values and literal TRUEs, so a sketch
+    drifting out of bound (or a regression that stops running it)
+    flips a boolean and fails the hash gate — the sketches are
+    verified by the driver, not just by local tests.
 
-    Scale: this is THE pattern for 100 TB distinct-counting — fixed
-    ~1.5 KB of state per group instead of a distinct expand.
-
-    Output is scalar-only (p50/p95/p99 split out of the quantile
-    array): the driver's canonicalizer cannot hash array cells.
+    Bounds: HLL++ rsd=0.02 -> |approx-exact| <= 3*rsd*exact (3 sigma);
+    percentile_approx accuracy=10000 -> rank error <= 1e-4, checked
+    against the exact-percentile band at p +/- 1e-3 (10x slack, so
+    any merge order of the quantile summaries stays inside).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
-    return li.groupBy("l_returnflag").agg(
+    qa = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
+    qx = F.expr(
+        "percentile(l_extendedprice, array(0.499, 0.5, 0.501, 0.949, 0.95, 0.951, 0.989, 0.99, 0.991))"
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("n_orders"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.element_at(q, 1).alias("p50"),
-        F.element_at(q, 2).alias("p95"),
-        F.element_at(q, 3).alias("p99"),
+        qa.alias("qa"),
+        qx.alias("qx"),
+    )
+    in_band = [
+        (F.element_at("qa", i + 1) >= F.element_at("qx", 3 * i + 1))
+        & (F.element_at("qa", i + 1) <= F.element_at("qx", 3 * i + 3))
+        for i in range(3)
+    ]
+    return agg.select(
+        "l_returnflag",
+        "n_orders",
+        (
+            F.abs(F.col("approx_orders") - F.col("n_orders"))
+            <= F.lit(3 * 0.02) * F.col("n_orders")
+        ).alias("hll_within_bound"),
+        F.round(F.element_at("qx", 2).cast("double"), 4).alias("p50"),
+        F.round(F.element_at("qx", 5).cast("double"), 4).alias("p95"),
+        F.round(F.element_at("qx", 8).cast("double"), 4).alias("p99"),
+        (in_band[0] & in_band[1] & in_band[2]).alias("quantiles_within_bound"),
     )
 
 

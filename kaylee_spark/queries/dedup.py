@@ -171,11 +171,57 @@ def d07_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("d05_simhash_pairs", oracle=None)
+def _d05_oracle() -> str:
+    """Brute-force DuckDB twin of the portable SimHash pair set.
+
+    The oracle re-derives every 62-bit signature from scratch — the
+    same two polynomial char folds (list_reduce from the first
+    element equals Spark's 0-seeded aggregate() because 0*b + c1 =
+    c1), the same per-bit votes, the same sign rule — then cross-
+    joins signatures and popcounts. Pigeonhole bucketing is COMPLETE
+    for hamming <= d (operators/dedup.hamming_pairs), so the bucketed
+    Spark plan must emit exactly this quadratic reference set.
+    """
+    m, (b1, b2) = D.PORTABLE_HASH_MOD, D.PORTABLE_HASH_BASES
+    bits = D.PORTABLE_SIMHASH_BITS
+    fold = (
+        "list_reduce(list_transform(range(1, len(tok) + 1), "
+        "i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT)), "
+        "(acc, x) -> (acc * {b} + x) % {m})"
+    )
+    h1, h2 = fold.format(b=b1, m=m), fold.format(b=b2, m=m)
+    votes = ", ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END" for i in range(bits))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id AS doc, UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc, ({h1} * CAST({1 << 31} AS BIGINT) + {h2}) AS h FROM toks
+    ),
+    votes AS (SELECT doc, {votes} FROM hashed GROUP BY doc),
+    sigs AS (SELECT doc, CAST({sig} AS BIGINT) AS sig FROM votes)
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc < b.doc
+    WHERE bit_count(xor(a.sig, b.sig)) <= 6
+    """
+
+
+@query("d05_simhash_pairs", oracle=_d05_oracle())
 def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming<=6 via pigeonhole bucketing).
-    xxhash64-based -> no SQL oracle; property-tested instead."""
-    return D.simhash_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=6)
+    """SimHash near-dup pairs (Hamming<=6 via pigeonhole bucketing +
+    exact popcount verify), built on the PORTABLE polynomial token
+    hash so the full pair set is re-derivable by the DuckDB oracle
+    (three integer ops per fold step — any engine computes them
+    identically). The xxhash64 signature path stays available
+    (portable=False) for ingests that don't need external audit."""
+    return D.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=6, portable=True
+    )
 
 
 @query(

@@ -63,7 +63,7 @@ def _pagerank_oracle(iterations: int = 3) -> str:
     """
 
 
-@query("g01_pagerank", oracle=_pagerank_oracle(3), extra=True)
+@query("g01_pagerank", oracle=_pagerank_oracle(3))
 def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration PageRank over the bipartite customer->supplier
     demand graph (orders ⋈ lineitem, distinct trading pairs), in exact

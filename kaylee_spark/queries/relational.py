@@ -606,6 +606,8 @@ def q15_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderdate >= TIMESTAMP '1997-01-01'
     GROUP BY date_trunc('month', o_orderdate)
     """,
+    extra=True,  # round 6: demoted (scalar surface overlaps q15) to free
+    # the driver slot for g01_pagerank — the canonical iterative workload
 )
 def q23_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date truncation to month buckets (calendar-window aggregation).

@@ -85,19 +85,59 @@ def s04_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
 
 
-@query("s03_embedding_neardup", oracle=None)
-def s03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via multi-table LSH self-join.
+def _s03_oracle() -> str:
+    """Quadratic DuckDB twin of the sign-signature near-dup pair set:
+    re-derives every ±1 hyperplane entry from the same integer-
+    arithmetic formula (operators/similarity.plane_sign), re-projects
+    every vector in exact DECIMAL(28,12), and brute-force popcounts
+    all pairs — the bucketed Spark plan must emit exactly this set
+    (pigeonhole completeness, operators/dedup.hamming_pairs)."""
+    bits, dim = S.SIGNATURE_BITS, 64
+    return f"""
+    WITH dims AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS k,
+               CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(28,12)) AS v
+        FROM embeddings
+    ),
+    signs AS (
+        SELECT j.range AS j, k.range AS k,
+               CASE WHEN ((j.range * {dim} + k.range + 1) * {S._SIGN_MULT})
+                         % {S._SIGN_FOLD} % 2 = 1 THEN 1 ELSE -1 END AS s
+        FROM range({bits}) j, range({dim}) k
+    ),
+    dots AS (
+        SELECT d.vec_id, s.j,
+               SUM(CASE WHEN s.s = 1 THEN d.v ELSE -d.v END) AS dot
+        FROM dims d JOIN signs s ON d.k = s.k
+        GROUP BY d.vec_id, s.j
+    ),
+    sigs AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j)
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+        FROM dots GROUP BY vec_id
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """
 
-    Threshold 0.4 with 5 tables x 5 planes: the fixture corpus is
-    near-isotropic (max pairwise cosine ~0.5-0.6), so 0.4 is the
-    "near-duplicate" band that actually exists in the data; 5-bit
-    buckets keep candidate volume ~40% below the 4-bit config at the
-    same ~0.4 recall (more, smaller buckets beats fewer, bigger ones).
-    Approximate recall -> rows-only check; recall vs the exact pair set
-    is asserted in tests/test_similarity.py."""
+
+@query("s03_embedding_neardup", oracle=_s03_oracle())
+def s03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs by 24-bit sign-signature Hamming
+    distance <= 3 (SRP-LSH: hamming/bits estimates angle/pi, so <=3
+    of 24 is the ~22-degree near-duplicate cone). Signatures are
+    integer-exact (±1 integer hyperplanes, DECIMAL projections) and
+    come off the scan with no shuffle; pairs come from the COMPLETE
+    pigeonhole-bucketed hamming join — sub-quadratic plan, quadratic-
+    verified output. The float-LSH + exact-cosine threshold variant
+    (operators/similarity.embedding_neardup_pairs) remains the
+    recall-tunable production path, property-tested in
+    tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.embedding_neardup_pairs(emb, threshold=0.4, n_planes=5, n_tables=5, dim=64)
+    return S.sign_neardup_pairs(emb, max_hamming=3, dim=64)
 
 
 @query(

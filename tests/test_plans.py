@@ -27,7 +27,9 @@ def plan_of(df, mode: str = "formatted") -> str:
 
 @pytest.fixture(scope="module")
 def registry():
-    return load_all()
+    from kaylee_spark.queries import load_everything
+
+    return load_everything()
 
 
 def test_q01_pushdown_and_pruning(spark, sf_dir, registry):
