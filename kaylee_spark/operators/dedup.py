@@ -108,13 +108,25 @@ def hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
     ).select("doc", F.xxhash64("g").alias("sh64"))
 
 
+#: Default document-frequency cap for the inverted-index self-join.
+#: The join cost is Σ_shingle df²; capping df bounds it by
+#: DEFAULT_MAX_DF × |postings| — LINEAR in corpus size with a fixed
+#: constant, instead of quadratic in the hottest shingle's df. 1000
+#: is far above any discriminative shingle's df (a shingle shared by
+#: >1000 documents is boilerplate by definition — the same content
+#: class d11's segment dedup strips) while turning the worst case
+#: (one navigation-chrome shingle in 10^6 docs = 10^12 pair rows)
+#: into a non-event.
+DEFAULT_MAX_DF = 1000
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs from the inverted index.
 
@@ -131,14 +143,24 @@ def jaccard_pairs(
     web-scale 10¹⁰ — at that scale pair it with a second hash or use
     this as the candidate stage before an exact verify).
 
-    ``max_df`` is the web-scale safety valve: the self-join cost is
-    Σ_shingle df², so ONE boilerplate shingle in 10⁶ docs costs 10¹²
-    pair rows. Capping drops shingles with document frequency >
-    ``max_df`` from the index AND from the per-doc sizes, computing
-    Jaccard over the capped shingle space — stopword-like grams carry
-    no near-dup signal, so high-similarity pairs are preserved while
-    the worst-case join term vanishes. None (default) = exact metric,
-    what the oracle-gated queries use.
+    ``max_df`` (default DEFAULT_MAX_DF) is the web-scale safety valve:
+    the self-join cost is Σ_shingle df², so ONE boilerplate shingle in
+    10⁶ docs costs 10¹² pair rows. Capping drops shingles with
+    document frequency > ``max_df`` from the index AND from the
+    per-doc sizes, computing Jaccard over the capped shingle space —
+    a well-defined metric any engine can mirror (the d03 oracle
+    applies the identical HAVING df <= cap filter, so the hash gate
+    verifies the CAPPED semantics, not an approximation of the
+    uncapped one). The losslessness argument for a registered
+    threshold t: a pair can change verdict only if a material share
+    of its SHARED shingles is corpus-hot (df > max_df), i.e. its
+    similarity is boilerplate — exactly the content near-dup scoring
+    should ignore (it's what remove_common_segments strips before
+    training anyway). Discriminative overlap — shingles in up to
+    max_df documents — is untouched, and the planted-duplicate stress
+    test (tests/test_dedup.py) pins that behavior. ``max_df=None``
+    opts out for the exact full-space metric on corpora known to be
+    boilerplate-free.
     """
     sh = hashed_shingles(df, id_col, text_col, n).withColumnRenamed("sh64", "shingle")
     if max_df is not None:

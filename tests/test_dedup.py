@@ -233,3 +233,45 @@ def test_jaccard_max_df_cap(spark):
     capped = {(r.doc_a, r.doc_b): r.jaccard for r in D.jaccard_pairs(df, "doc_id", "text", threshold=0.1, max_df=3).collect()}
     assert (1, 2) in capped and capped[(1, 2)] == 1.0
     assert (3, 4) not in capped
+
+
+def test_jaccard_hot_shingle_candidates_stay_linear(spark):
+    """Σdf² stress: one shingle planted in 50% of a 400-doc corpus.
+    Uncapped, the inverted-index self-join alone materializes
+    C(200,2) ≈ 20k candidate rows from that single shingle; with the
+    df cap the hot shingle leaves the index and candidate volume
+    collapses to the planted true-duplicate pairs — linear in corpus
+    size with a fixed constant (bounded by max_df · |postings|) —
+    while every planted near-dup pair survives with jaccard 1.0."""
+    from pyspark.sql import functions as F
+
+    hot = "spam footer boilerplate chrome"
+    rows = []
+    for i in range(400):
+        body = f"unique{i} token{i} word{i} stuff{i} filler{i}"
+        rows.append((i, body + (" " + hot if i % 2 == 0 else "")))
+    # plant 5 exact duplicate pairs with fresh ids (no hot shingle)
+    for j in range(5):
+        rows.append((1000 + j, f"dupbody{j} shared{j} content{j} here{j} now{j}"))
+        rows.append((2000 + j, f"dupbody{j} shared{j} content{j} here{j} now{j}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def candidate_count(max_df):
+        sh = D.hashed_shingles(df, "doc_id", "text", 3).withColumnRenamed("sh64", "shingle")
+        if max_df is not None:
+            rare = sh.groupBy("shingle").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_df)
+            sh = sh.join(rare.select("shingle"), "shingle")
+        a = sh.withColumnRenamed("doc", "doc_a")
+        b = sh.withColumnRenamed("doc", "doc_b")
+        return a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b")).count()
+
+    uncapped = candidate_count(None)
+    capped = candidate_count(50)
+    assert uncapped > 19000, uncapped  # the hot shingle dominates
+    assert capped < 100, capped  # linear: only genuinely shared rare shingles
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.jaccard_pairs(df, "doc_id", "text", threshold=0.5, max_df=50).collect()
+    }
+    for j in range(5):
+        assert pairs.get((1000 + j, 2000 + j)) == 1.0, (j, pairs)
