@@ -86,6 +86,24 @@ def _drain_staged_stream(spark: SparkSession, sf_dir: str, build) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+def _drain_staged_documents(spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    """Documents-table twin of _drain_staged_stream (same tz/state-
+    partition pinning, same staging cache; slices are contiguous
+    doc_id ranges — batched corpus deliveries)."""
+    from kaylee_spark import streaming as ST
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        staged = ST.stage_documents_dir(spark, sf_dir, n_files=4)
+        return build(ST, staged)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 @query("e07_streamed_tumbling", oracle=_TUMBLING_ORACLE)
 def e07_streamed_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE Structured-Streaming execution of e01: readStream ->
@@ -624,3 +642,46 @@ def e20_streamed_stateful_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return drained.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@query(
+    "e21_streamed_ingest_dedup",
+    oracle="""
+    WITH corpus AS (SELECT sha256(text) AS seen FROM documents WHERE doc_id % 10 <> 0)
+    SELECT DISTINCT sha256(text) AS content_sha
+    FROM documents i
+    WHERE doc_id % 10 = 0
+      AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.seen = sha256(i.text))
+    """,
+    extra=True,
+)
+def e21_streamed_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming near-dup ingest — the daily 100 TB pipeline as
+    one row: documents arrive as staged file deliveries (readStream),
+    each micro-batch reduces to content hashes, drops everything the
+    existing corpus already holds (stateless stream-static anti join
+    FIRST, so dedup state grows with novelty, not arrival rate), then
+    stateful dropDuplicates admits each genuinely new content item
+    once (streaming/ingest_dedup). The doc_id%10==0 slice plays the
+    incoming feed against the %10!=0 corpus — the same split as the
+    batch twin d08. Key-only output makes the emitted set equal batch
+    DISTINCT-minus-corpus regardless of arrival order, so the oracle
+    is exact; the checkpointed-parquet landing of this same pipeline
+    is restart-tested exactly-once in tests/test_streaming.py."""
+    from kaylee_spark.operators.dedup import content_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_hashes = docs.filter(F.col("doc_id") % 10 != 0).select(
+        content_hash("text").alias("content_sha")
+    )
+    return _drain_staged_documents(
+        spark,
+        sf_dir,
+        lambda ST, staged: ST.run_to_memory(
+            ST.ingest_dedup(
+                ST.documents_stream(spark, staged).filter(F.col("doc_id") % 10 == 0),
+                corpus_hashes,
+            ),
+            output_mode="append",
+        ),
+    )

@@ -180,6 +180,88 @@ def stream_dedup(events: DataFrame, keys: list[str] | None = None, watermark: st
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+DOCUMENTS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def stage_documents_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Materialize the documents fixture as contiguous doc_id slices —
+    the arrival shape of a batched corpus ingest (each file = one
+    delivery). Same caching contract as stage_events_dir."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = (os.path.realpath(src), os.path.getmtime(src), n_files)
+    cached = _STAGE_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    out = os.path.join(tempfile.gettempdir(), f"kaylee_docs_{uuid.uuid4().hex[:8]}")
+    docs = spark.read.parquet(src)
+    fracs = [i / n_files for i in range(1, n_files)]
+    bounds = docs.select(F.percentile_approx("doc_id", fracs, 10_000).alias("b")).first()["b"]
+    edges = [None, *bounds, None]
+    for i in range(n_files):
+        lo, hi = edges[i], edges[i + 1]
+        sl = docs
+        if lo is not None:
+            sl = sl.filter(F.col("doc_id") > F.lit(int(lo)))
+        if hi is not None:
+            sl = sl.filter(F.col("doc_id") <= F.lit(int(hi)))
+        sl.coalesce(1).write.mode("append").parquet(out)
+    _STAGE_CACHE[key] = out
+    return out
+
+
+def documents_stream(spark: SparkSession, docs_dir: str, files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over a staged documents directory."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+
+def ingest_dedup(stream_docs: DataFrame, corpus_hashes: DataFrame) -> DataFrame:
+    """Streaming near-dup ingest — the pipeline a 100 TB corpus runs
+    daily: documents arrive as a stream, reduce to their 32-byte
+    content hash, drop everything the EXISTING corpus already has
+    (stream-static join against the corpus hash set), then dedup
+    WITHIN the stream so each new content item is admitted once no
+    matter how many deliveries repeat it.
+
+    Operator order is the scale decision: the stream-static anti join
+    runs FIRST (it is stateless — each micro-batch joins against the
+    static side and forgets), so the stateful dropDuplicates keys only
+    content that is genuinely new to the corpus — state grows with the
+    NOVELTY rate, not the arrival rate. (A replayed/backfilled feed is
+    mostly already-seen content; keying dedup state on it would grow
+    state with the feed.) ``corpus_hashes`` is a static (content_sha)
+    frame — e.g. ``exact_dedup(corpus,...).select("content_sha")`` or
+    the running output parquet of prior ingests.
+
+    Output: one (content_sha) row per new-to-corpus content item —
+    key-only, so the emitted SET equals batch
+    ``DISTINCT minus corpus`` regardless of arrival order (the same
+    order-independence trick as the e18 drain), which is what lets a
+    SQL oracle verify a streaming state machine exactly. Downstream,
+    land it with stream_to_parquet for the exactly-once restart
+    contract (tested), joining payloads back by hash where needed.
+
+    The stream-side anti join is expressed as left_outer + IS NULL —
+    identical semantics to left_anti, and it stays on the officially
+    supported stream-static join matrix.
+    """
+    from kaylee_spark.operators.dedup import content_hash
+
+    hashed = stream_docs.select(content_hash("text").alias("content_sha"))
+    static = F.broadcast(
+        corpus_hashes.select(F.col(corpus_hashes.columns[0]).alias("_seen_sha"))
+    )
+    novel = (
+        hashed.join(static, hashed.content_sha == F.col("_seen_sha"), "left_outer")
+        .filter(F.col("_seen_sha").isNull())
+        .select("content_sha")
+    )
+    return novel.dropDuplicates(["content_sha"])
+
+
 def stream_to_parquet(
     stream_df: DataFrame,
     path: str,

@@ -198,3 +198,54 @@ def test_stream_stream_join_equals_batch(spark, events_dir):
     batch = ST.stream_stream_join(b_clicks, b_views)
     assert len(canon(streamed)) > 0
     assert canon(streamed) == canon(batch)
+
+
+def test_ingest_dedup_stream_matches_batch_and_restarts_exactly_once(spark, sf_dir, tmp_path):
+    """The streaming near-dup ingest pipeline (hash -> stream-static
+    anti vs corpus -> stateful dedup -> checkpointed parquet) must
+    (a) land exactly the batch DISTINCT-minus-corpus hash set,
+    (b) commit NOTHING new on a restart with no new files, and
+    (c) admit a late delivery's genuinely-new content exactly once —
+    re-delivered duplicates and corpus-known content both drop."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    increment = docs.filter(F.col("doc_id") % 10 == 0)
+    from kaylee_spark.operators.dedup import content_hash
+
+    corpus_hashes = corpus.select(content_hash("text").alias("content_sha"))
+
+    src = str(tmp_path / "src")
+    # two deliveries, the second re-delivers half of the first
+    increment.filter(F.col("doc_id") % 20 == 0).coalesce(1).write.mode("append").parquet(src)
+    increment.coalesce(1).write.mode("append").parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = ST.stream_to_parquet(
+            ST.ingest_dedup(ST.documents_stream(spark, src), corpus_hashes), out, ckpt
+        )
+        q.awaitTermination()
+
+    drain()
+    want = {
+        r["content_sha"]
+        for r in increment.select(content_hash("text").alias("content_sha"))
+        .join(corpus_hashes, "content_sha", "left_anti")
+        .distinct()
+        .collect()
+    }
+    landed = [r["content_sha"] for r in spark.read.parquet(out).collect()]
+    assert set(landed) == want
+    assert len(landed) == len(want)  # each new content item exactly once
+    drain()  # restart with nothing new: no duplicates
+    assert spark.read.parquet(out).count() == len(want)
+    # late delivery: one corpus-known doc (drops) + one genuinely new doc
+    known_text = corpus.select("text").first()["text"]
+    late = spark.createDataFrame(
+        [(10**9, known_text, "en", "late", len(known_text)),
+         (10**9 + 1, "entirely novel late content", "en", "late", 27)],
+        ST.DOCUMENTS_SCHEMA,
+    )
+    late.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert spark.read.parquet(out).count() == len(want) + 1
