@@ -146,3 +146,33 @@ def test_documents_dedup_scan_prunes_text_after_hash(spark, sf_dir):
     # the only exchange partitions on the 32-byte hash, computed
     # map-side by the partial aggregate
     assert "Exchange hashpartitioning(content_sha" in p, p
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir, registry):
+    """Under the 100 TB shuffle-join shape (broadcast disabled), Spark
+    must inject a runtime bloom filter into the lineitem scan from
+    q03's selective orders side — the runtime row-group-skipping
+    mechanism a cluster run gets with the DEFAULT thresholds (10 MB
+    creation / 10 GB application side). At fixture scale the joins
+    broadcast instead (measured faster: bloom build overhead exceeds
+    the tiny scan savings), so the engine does NOT lower thresholds —
+    this test pins only that the capability engages when the shape
+    calls for it."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "128mb",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1kb",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        p = plan_of(registry["q03_top_orders"].fn(spark, sf_dir))
+        assert "might_contain" in p or "bloomfilter" in p.lower(), p[:4000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

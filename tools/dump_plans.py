@@ -114,6 +114,44 @@ def main() -> None:
             if needle not in p:
                 problems.append(f"{name}: expected '{needle}' in plan")
         out.append(f"## {name}\n\n_{note}_\n\n```\n{p}\n```\n")
+    # --- runtime bloom-filter demonstration (the 100 TB shuffle-join
+    # configuration): at fixture scale every lineitem⋈orders join
+    # BROADCASTS (64 MB threshold), and runtime filters don't apply to
+    # broadcast joins — so this section forces the shuffle-join shape a
+    # 100 TB run would have and shows Spark injecting a bloom filter
+    # (might_contain on the lineitem scan) from q03's selective orders
+    # side. Measured at sf0.1 the bloom build/probe overhead exceeds
+    # the scan savings (0.91 s vs 0.76 s), so the session does NOT
+    # lower the default thresholds: at cluster scale the defaults
+    # (10 MB creation / 10 GB application side) trigger it exactly
+    # where it pays, with zero config from this engine.
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "128mb",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1kb",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = reg["q03_top_orders"].fn(spark, sf_dir)
+        p = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        if "might_contain" not in p and "bloomfilter" not in p.lower():
+            problems.append("bloom-demo: no runtime bloom filter injected into q03 under shuffle-join config")
+        out.append(
+            "## q03_top_orders under the 100 TB shuffle-join configuration\n\n"
+            "_runtime bloom filter injected from the filtered orders side into the lineitem scan "
+            "(broadcast disabled to force the at-scale shuffle-join shape; see session.py for why "
+            "the defaults are kept at fixture scale)_\n\n"
+            f"```\n{p}\n```\n"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     os.makedirs("docs", exist_ok=True)
     with open("docs/PLANS.md", "w") as f:
         f.write("\n".join(out))
