@@ -164,6 +164,9 @@ def jaccard_pairs(
     """
     sh = hashed_shingles(df, id_col, text_col, n).withColumnRenamed("sh64", "shingle")
     if max_df is not None:
+        # cache the raw posting frame: the df-count pass and the capped
+        # join both read it — uncached, the shingling scan runs twice
+        sh = sh.cache()
         rare = sh.groupBy("shingle").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_df)
         sh = sh.join(rare.select("shingle"), "shingle")
     sh = sh.cache()
@@ -643,6 +646,15 @@ def hamming_pairs(
     width = bits // chunks
     mask = (1 << width) - 1
     a_id, b_id = f"{out_prefix}_a", f"{out_prefix}_b"
+    # Cache the signature frame: both join branches read it, and —
+    # more important — without a materialization barrier Catalyst
+    # collapses the signature-producing projection INTO the join
+    # branches, re-evaluating the (potentially expensive, e.g. the
+    # sign-LSH decimal fold) signature expression once per exploded
+    # chunk row and again inside every first-agree comparison —
+    # measured 185 s vs ~2 s on the s03 shape. Signatures are tiny
+    # (16 bytes/row) next to what they index.
+    sig = sig.cache()
     banded = sig.select(
         F.col(id_col).alias("id"),
         F.col(sig_col).alias("sig"),

@@ -73,12 +73,21 @@ def a02_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     qx = F.expr(
         "percentile(l_extendedprice, array(0.499, 0.5, 0.501, 0.949, 0.95, 0.951, 0.989, 0.99, 0.991))"
     )
-    agg = li.groupBy("l_returnflag").agg(
+    # TWO aggregation passes joined on the 3-row group key, NOT one
+    # four-function agg: mixing DISTINCT with holistic + sketch
+    # aggregates makes Spark plan an Expand (every row replicated per
+    # aggregate path) and merge the percentile buffers across it —
+    # measured 24 s vs 0.5 s for this split at sf0.1. Each pass is a
+    # clean map-side-partial plan; the join side is |groups| rows.
+    exact = li.groupBy("l_returnflag").agg(
         F.count_distinct("l_orderkey").alias("n_orders"),
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        qa.alias("qa"),
         qx.alias("qx"),
     )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        qa.alias("qa"),
+    )
+    agg = exact.join(F.broadcast(approx), "l_returnflag")
     in_band = [
         (F.element_at("qa", i + 1) >= F.element_at("qx", 3 * i + 1))
         & (F.element_at("qa", i + 1) <= F.element_at("qx", 3 * i + 3))

@@ -88,15 +88,16 @@ def s04_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _s03_oracle() -> str:
     """Quadratic DuckDB twin of the sign-signature near-dup pair set:
     re-derives every ±1 hyperplane entry from the same integer-
-    arithmetic formula (operators/similarity.plane_sign), re-projects
-    every vector in exact DECIMAL(28,12), and brute-force popcounts
-    all pairs — the bucketed Spark plan must emit exactly this set
-    (pigeonhole completeness, operators/dedup.hamming_pairs)."""
+    arithmetic formula (operators/similarity.plane_sign), re-quantizes
+    every element to the same fixed-point BIGINT pico-units, and
+    brute-force popcounts all pairs — the bucketed Spark plan must
+    emit exactly this set (pigeonhole completeness,
+    operators/dedup.hamming_pairs)."""
     bits, dim = S.SIGNATURE_BITS, 64
     return f"""
     WITH dims AS (
         SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS k,
-               CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(28,12)) AS v
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * {S.SIGN_FIXED_SCALE}) AS BIGINT) AS v
         FROM embeddings
     ),
     signs AS (
