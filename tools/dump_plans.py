@@ -49,6 +49,8 @@ SHOWCASE = [
     ("t17_unigram_logprob", "unigram LM: term-keyed count, 1-row total broadcast, decimal per-doc fold"),
     ("t18_tfidf_keywords", "TF-IDF keywords: one explode feeds tf and df, per-doc top-k window"),
     ("a22_equidepth_histogram", "equi-depth histogram: percentile boundaries broadcast, assignment in codegen, no NTILE sort"),
+    ("d05_simhash_pairs", "portable SimHash: 62 bit-votes in ONE hash agg, pigeonhole chunk join, arithmetic first-agree dedup"),
+    ("s03_embedding_neardup", "sign-LSH near-dups: fixed-point bigint signatures at scan speed, cached 16-byte rows into the hamming join"),
 ]
 
 
@@ -84,6 +86,8 @@ MUST_CONTAIN = {
     "t17_unigram_logprob": ("InMemoryTableScan",),
     "t18_tfidf_keywords": ("Window",),
     "a22_equidepth_histogram": ("BroadcastHashJoin", "percentile"),
+    "d05_simhash_pairs": ("bit_count", "HashAggregate"),
+    "s03_embedding_neardup": ("bit_count", "InMemoryTableScan"),
 }
 
 
