@@ -275,3 +275,70 @@ def test_jaccard_hot_shingle_candidates_stay_linear(spark):
     }
     for j in range(5):
         assert pairs.get((1000 + j, 2000 + j)) == 1.0, (j, pairs)
+
+
+def _py_portable_hash(tok: str) -> int:
+    """Pure-Python reference of the portable 62-bit token hash — the
+    contract BOTH engines must satisfy (d05's oracle re-derives it in
+    DuckDB; this pins the Spark side against it independently)."""
+    m = D.PORTABLE_HASH_MOD
+    hs = []
+    for base in D.PORTABLE_HASH_BASES:
+        acc = 0
+        for ch in tok:
+            acc = (acc * base + ord(ch)) % m
+        hs.append(acc)
+    return hs[0] * (1 << 31) + hs[1]
+
+
+def test_portable_token_hash_matches_python_reference(spark):
+    """The Spark SQL char-fold must equal the pure-Python polynomial
+    hash for every token — any change to the bases, the modulus, or
+    the fold seeding silently breaks the d05 oracle; this fails first
+    and says why."""
+    from pyspark.sql import functions as F
+
+    toks = ["a", "hello", "The", "punctuation, attached!", "x" * 50, "0123456789"]
+    df = spark.createDataFrame([(t,) for t in toks], ["tok"])
+    got = {
+        r["tok"]: r["h"]
+        for r in df.select("tok", F.expr(D.portable_token_hash_sql("tok")).alias("h")).collect()
+    }
+    for t in toks:
+        assert got[t] == _py_portable_hash(t), t
+    # and the DuckDB twin (the oracle's formulation) agrees too
+    import duckdb
+
+    m, (b1, b2) = D.PORTABLE_HASH_MOD, D.PORTABLE_HASH_BASES
+    fold = (
+        "list_reduce(list_transform(range(1, len(tok) + 1), "
+        "i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT)), "
+        "(acc, x) -> (acc * {b} + x) % {m})"
+    )
+    con = duckdb.connect()
+    for t in toks:
+        (h,) = con.execute(
+            f"SELECT {fold.format(b=b1, m=m)} * CAST({1 << 31} AS BIGINT) + {fold.format(b=b2, m=m)} "
+            "FROM (SELECT ? AS tok)", [t]
+        ).fetchone()
+        assert h == _py_portable_hash(t), t
+
+
+def test_plane_sign_matches_oracle_formula():
+    """plane_sign (the Spark-side ±1 hyperplane literals) must equal
+    the integer formula the s03 oracle evaluates in SQL."""
+    from kaylee_spark.operators.similarity import SIGNATURE_BITS, plane_sign
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT j.range AS j, k.range AS k,
+               CASE WHEN ((j.range * 64 + k.range + 1) * 2654435761) % 2147483647 % 2 = 1
+                    THEN 1 ELSE -1 END AS s
+        FROM range({SIGNATURE_BITS}) j, range(64) k
+        """
+    ).fetchall()
+    for j, k, s in rows:
+        assert plane_sign(j, k, 64) == s, (j, k)

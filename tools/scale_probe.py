@@ -56,6 +56,12 @@ PROBE_QUERIES = (
     # per-group cardinality no shipped fixture reaches)
     "a21_mad_outliers",
     "a22_equidepth_histogram",
+    # fifth-session addition: a02's exact side (COUNT DISTINCT and
+    # exact percentiles of a x10-duplicated multiset are unchanged;
+    # the sketch bound booleans must stay TRUE at 10x the input, which
+    # probes HLL/quantile-summary merge behavior at a row count no
+    # shipped fixture reaches)
+    "a02_approx_sketches",
 )
 
 
