@@ -67,8 +67,11 @@ def _pagerank_oracle(iterations: int = 3) -> str:
 def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration PageRank over the bipartite customer->supplier
     demand graph (orders ⋈ lineitem, distinct trading pairs), in exact
-    bigint pico-rank arithmetic; returns every node's rank."""
-    return pagerank(customer_supplier_edges(spark, sf_dir), iterations=3)
+    bigint pico-rank arithmetic; returns every node's rank. The loop
+    width is pinned to 8 shuffle partitions — sized to the fixture
+    edge list, not the batch default; see pagerank's docstring for
+    the overhead math (exact integer ranks are width-independent)."""
+    return pagerank(customer_supplier_edges(spark, sf_dir), iterations=3, shuffle_partitions=8)
 
 
 def _hits_oracle(iterations: int = 3) -> str:
