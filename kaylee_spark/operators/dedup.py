@@ -429,6 +429,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Min-label propagation over an undirected pair graph.
 
@@ -450,7 +451,29 @@ def connected_components(
     growing lineage so iteration i+1 doesn't replan/recompute 1..i.
 
     Output: (doc, cluster) for every node appearing in ``edges``.
+
+    ``shuffle_partitions`` pins the loop's shuffle width, same trade
+    as pagerank(): each iteration is ~3 shuffles plus an eager
+    localCheckpoint, so a batch-tuned width multiplies near-empty
+    partition overhead by the iteration count on a small pair graph.
+    Size it to the candidate-pair volume (single digits for fixture
+    corpora, thousands at 100 TB). Labels are exact min-propagation —
+    width-independent — and every iteration materializes inside the
+    pinned scope (the per-step localCheckpoints), so the caller's
+    conf never replans the loop.
     """
+    if shuffle_partitions is not None:
+        spark = edges.sparkSession
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        try:
+            # the recursive call's per-iteration localCheckpoints (and
+            # the edge materialization they force) all run in-scope;
+            # the returned frame is checkpointed, so restoring the
+            # conf afterwards cannot replan it.
+            return connected_components(edges, src, dst, max_iter)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
@@ -513,6 +536,7 @@ def dedup_clusters(
     n: int = 3,
     threshold: float = 0.5,
     edges: str = "lsh",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Full near-dup clustering: Jaccard pairs above ``threshold``
     -> connected components -> (doc, cluster, is_canonical) for every
@@ -527,12 +551,18 @@ def dedup_clusters(
       corpus².
     - "exact": full inverted-index exact Jaccard (jaccard_pairs) —
       the brute-force reference path.
+
+    ``shuffle_partitions`` pins the width of the whole pipeline's
+    execution: the lazy pair stage materializes inside
+    connected_components' first localCheckpoint, so one pin covers
+    both the candidate joins and the iterative loop (see
+    connected_components for the sizing argument).
     """
     if edges == "lsh":
         pairs = minhash_lsh_verified_pairs(df, id_col, text_col, n=n, threshold=threshold)
     else:
         pairs = jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
-    comps = connected_components(pairs)
+    comps = connected_components(pairs, shuffle_partitions=shuffle_partitions)
     all_docs = df.select(F.col(id_col).alias("doc"))
     return (
         all_docs.join(comps, "doc", "left")

@@ -281,9 +281,19 @@ def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The engine's iterative-algorithm shape (driver loop, one join +
     min-agg per step, lineage truncated per iteration); the oracle is
-    the same computation as a DuckDB recursive CTE.
+    the same computation as a DuckDB recursive CTE. The pipeline width
+    is pinned to 8 shuffle partitions, sized to the fixture pair graph
+    (labels are exact min-propagation, width-independent — see
+    connected_components).
     """
-    return D.dedup_clusters(load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5)
+    return D.dedup_clusters(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+        shuffle_partitions=8,
+    )
 
 
 @query(
