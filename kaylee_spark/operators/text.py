@@ -509,3 +509,105 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select("doc", "term", "rank", "score")
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Corpus-wide adjacent token-pair frequencies — the counting step
+    of one BPE/WordPiece merge round (the most-frequent pair is the
+    next merge rule). Complements build_vocabulary (unigram counts)
+    with the bigram statistics a tokenizer trainer actually iterates
+    on.
+
+    Pairs are built row-locally with array ops (slice + transform —
+    zero Python, zero shuffle), then counted in ONE pair-keyed hash
+    aggregate with map-side combine: corpus-size input, |distinct
+    pairs| output. The top-n is orderBy+limit — TakeOrderedAndProject,
+    a per-partition heap + driver merge, never a global sort. Ties
+    break (count desc, pair_a, pair_b) so the output is a pure
+    function of the corpus.
+
+    Output: (pair_a, pair_b, n) — the ``top_n`` most frequent
+    adjacent pairs.
+    """
+    t = tokens(text_col)
+    pairs = (
+        df.select(t.alias("t"))
+        .filter(F.size("t") >= 2)
+        # 0-based SQL subscripts; size>=2 guard keeps sequence ascending
+        .select(
+            F.explode(
+                F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS pair_a, t[i+1] AS pair_b))")
+            ).alias("p")
+        )
+        .select("p.pair_a", "p.pair_b")
+    )
+    return (
+        pairs.groupBy("pair_a", "pair_b")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair_a"), F.asc("pair_b"))
+        .limit(top_n)
+    )
+
+
+def sequence_packing_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    capacity: int = 512,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing accounting, per group: lay
+    the group's documents end-to-end in deterministic (id) order and
+    cut fixed ``capacity``-token training blocks (the GPT-style
+    packing that precedes every pretraining run), reporting how many
+    blocks the group yields, the padding waste in the final block, and
+    how many documents straddle a block boundary (the docs whose
+    attention span a block cut truncates).
+
+    Everything is integer arithmetic on token counts — exact on any
+    engine. The only shuffle is the group-partitioned window (cumsum
+    in (group, id) order) feeding one group-keyed aggregate. Window
+    partitions = groups, so a 100 TB run shards the group key first
+    (e.g. (lang, file_shard)) exactly like the production packer that
+    writes one block file per shard; pass that composite as
+    ``group_col``.
+
+    Output per group: (group, n_docs, total_tokens, n_blocks,
+    waste_tokens, n_boundary_docs, pack_efficiency).
+    """
+    c = capacity
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        token_count(text_col).alias("n_tok"),
+    )
+    w = Window.partitionBy("grp").orderBy("id")
+    cum = base.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
+        "start", F.col("cum") - F.col("n_tok")
+    )
+    # a doc straddles a boundary iff its first and last token land in
+    # different blocks; all operands are >= 0, so truncating DIV ==
+    # floor division on every engine
+    boundary = F.expr(f"CAST(n_tok > 0 AND (cum - 1) DIV {c} > start DIV {c} AS INT)")
+    agg = cum.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.expr(f"CAST((sum(n_tok) + {c - 1}) DIV {c} AS BIGINT)").alias("n_blocks"),
+        F.expr(
+            f"CAST((sum(n_tok) + {c - 1}) DIV {c} * {c} - sum(n_tok) AS BIGINT)"
+        ).alias("waste_tokens"),
+        F.sum(boundary).cast("bigint").alias("n_boundary_docs"),
+    )
+    return agg.withColumn(
+        "pack_efficiency",
+        F.when(F.col("total_tokens") == 0, F.lit(1.0)).otherwise(
+            F.round(
+                F.col("total_tokens").cast("double") / (F.col("n_blocks") * c),
+                6,
+            )
+        ).cast("double"),
+    )

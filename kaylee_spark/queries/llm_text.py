@@ -602,3 +602,69 @@ def t18_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     the term key, per-doc top-k via a doc-partitioned window."""
     docs = load_table(spark, sf_dir, "documents")
     return T.tfidf_keywords(docs, "doc_id", "text", k=3)
+
+
+@query(
+    "t19_bpe_pair_counts",
+    oracle=f"""
+    WITH tok AS (
+        SELECT list_filter({_SQL_TOKS}, t -> t <> '') AS t FROM documents
+    ),
+    p AS (
+        SELECT t[i] AS pair_a, t[i + 1] AS pair_b
+        FROM tok, UNNEST(range(1, len(t))) AS r(i)
+    )
+    SELECT pair_a, pair_b, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p GROUP BY pair_a, pair_b
+    ORDER BY n DESC, pair_a, pair_b LIMIT 100
+    """,
+    extra=True,
+)
+def t19_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 adjacent token pairs — one BPE merge round's counting
+    step (operators/text.bpe_pair_counts): row-local array pairing,
+    one map-side-combined pair-keyed agg, TakeOrderedAndProject top-n
+    with full deterministic tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bpe_pair_counts(docs, "text", top_n=100)
+
+
+@query(
+    "t20_sequence_packing",
+    oracle=f"""
+    WITH d AS (
+        SELECT lang, doc_id, {_SQL_NTOK} AS n_tok FROM documents
+    ),
+    c AS (
+        SELECT lang, n_tok,
+               SUM(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM d
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST((SUM(n_tok) + 511) // 512 AS BIGINT) AS n_blocks,
+           CAST((SUM(n_tok) + 511) // 512 * 512 - SUM(n_tok) AS BIGINT) AS waste_tokens,
+           CAST(SUM(CASE WHEN n_tok > 0
+                          AND (cum - 1) // 512 > (cum - n_tok) // 512
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+           CAST(CASE WHEN SUM(n_tok) = 0 THEN 1.0
+                     ELSE ROUND(CAST(SUM(n_tok) AS DOUBLE)
+                                / ((SUM(n_tok) + 511) // 512 * 512), 6)
+                END AS DOUBLE) AS pack_efficiency
+    FROM c GROUP BY lang
+    """,
+    extra=True,
+)
+def t20_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language concat-and-chunk packing accounting at a 512-token
+    block size (operators/text.sequence_packing_stats): blocks
+    yielded, final-block padding waste, boundary-straddling docs —
+    exact integer arithmetic over a group-partitioned cumsum window.
+    All operands non-negative, so Spark's truncating DIV equals the
+    oracle's floor //."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.sequence_packing_stats(docs, "doc_id", "text", "lang", capacity=512)

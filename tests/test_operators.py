@@ -594,3 +594,79 @@ def test_tfidf_keywords_surfaces_distinctive_terms(spark):
     assert top[1] == "zebra" and top[2] == "yeti"
     ranks = {(r["doc"], r["term"]): r["rank"] for r in out}
     assert all(n <= 2 for n in ranks.values())
+
+
+def test_bpe_pair_counts_hand_corpus(spark):
+    from kaylee_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b c"),     # pairs: (a,b) (b,a) (a,b) (b,c)
+            (2, "a b"),           # (a,b)
+            (3, "solo"),          # no pairs (single token)
+            (4, ""),              # no pairs (empty)
+            (5, "  a   b  "),     # empty tokens dropped -> (a,b)
+        ],
+        "doc_id long, text string",
+    )
+    out = bpe_pair_counts(df, "text", top_n=10).collect()
+    counts = {(r["pair_a"], r["pair_b"]): r["n"] for r in out}
+    assert counts == {("a", "b"): 4, ("b", "a"): 1, ("b", "c"): 1}
+    # deterministic tie-break: n desc, then pair_a, pair_b ascending
+    assert [(r["pair_a"], r["pair_b"]) for r in out] == [
+        ("a", "b"), ("b", "a"), ("b", "c")
+    ]
+
+
+def test_bpe_pair_counts_top_n_boundary(spark):
+    from kaylee_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "p q"), (3, "a b")], "doc_id long, text string"
+    )
+    out = bpe_pair_counts(df, "text", top_n=2).collect()
+    # all ties at n=1 -> lexicographically first two pairs survive
+    assert [(r["pair_a"], r["pair_b"]) for r in out] == [("a", "b"), ("p", "q")]
+
+
+def test_sequence_packing_stats_hand_corpus(spark):
+    from kaylee_spark.operators.text import sequence_packing_stats
+
+    # capacity 4; lang en: docs of 3, 3, 2 tokens laid end-to-end:
+    # [0,3) block0; [3,6) spans block0/1; [6,8) block1 -> 2 blocks,
+    # 8 tokens, waste 0, one boundary doc
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "en"),
+            (2, "d e f", "en"),
+            (3, "g h", "en"),
+            (4, "x", "de"),      # 1 token -> 1 block, waste 3
+            (5, "", "de"),       # 0 tokens
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {
+        r["lang"]: r
+        for r in sequence_packing_stats(
+            df, "doc_id", "text", "lang", capacity=4
+        ).collect()
+    }
+    en, de = rows["en"], rows["de"]
+    assert (en["n_docs"], en["total_tokens"], en["n_blocks"]) == (3, 8, 2)
+    assert (en["waste_tokens"], en["n_boundary_docs"]) == (0, 1)
+    assert en["pack_efficiency"] == 1.0
+    assert (de["n_docs"], de["total_tokens"], de["n_blocks"]) == (2, 1, 1)
+    assert (de["waste_tokens"], de["n_boundary_docs"]) == (3, 0)
+    assert de["pack_efficiency"] == 0.25
+
+
+def test_sequence_packing_stats_all_empty_group(spark):
+    from kaylee_spark.operators.text import sequence_packing_stats
+
+    df = spark.createDataFrame(
+        [(1, "", "fr"), (2, "   ", "fr")], "doc_id long, text string, lang string"
+    )
+    r = sequence_packing_stats(df, "doc_id", "text", "lang", capacity=8).collect()[0]
+    assert (r["total_tokens"], r["n_blocks"], r["waste_tokens"]) == (0, 0, 0)
+    assert r["n_boundary_docs"] == 0
+    assert r["pack_efficiency"] == 1.0

@@ -51,6 +51,8 @@ SHOWCASE = [
     ("a22_equidepth_histogram", "equi-depth histogram: percentile boundaries broadcast, assignment in codegen, no NTILE sort"),
     ("d05_simhash_pairs", "portable SimHash: 62 bit-votes in ONE hash agg, pigeonhole chunk join, arithmetic first-agree dedup"),
     ("s03_embedding_neardup", "sign-LSH near-dups: fixed-point bigint signatures at scan speed, cached 16-byte rows into the hamming join"),
+    ("t19_bpe_pair_counts", "BPE pair counts: row-local array pairing, one pair-keyed partial-agg shuffle, TakeOrdered top-n"),
+    ("t20_sequence_packing", "sequence packing: group-partitioned integer cumsum window into one group-keyed agg"),
 ]
 
 
@@ -88,6 +90,8 @@ MUST_CONTAIN = {
     "a22_equidepth_histogram": ("BroadcastHashJoin", "percentile"),
     "d05_simhash_pairs": ("bit_count", "HashAggregate"),
     "s03_embedding_neardup": ("bit_count", "InMemoryTableScan"),
+    "t19_bpe_pair_counts": ("TakeOrderedAndProject", "HashAggregate"),
+    "t20_sequence_packing": ("Window", "ReadSchema: struct<doc_id:bigint,text:string,lang:string>",),
 }
 
 
