@@ -465,3 +465,53 @@ def d11_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return remove_common_segments(docs, "doc_id", "text", words_per_seg=8, max_df=1)
+
+
+@query(
+    "d12_incremental_neardup",
+    oracle=f"""
+    WITH sh0 AS (
+        SELECT DISTINCT doc_id AS doc, gram AS shingle FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS gram
+            FROM documents
+        )
+    ),
+    inc0 AS (SELECT doc, shingle FROM sh0 WHERE doc % 10 = 0),
+    cor0 AS (SELECT doc, shingle FROM sh0 WHERE doc % 10 <> 0),
+    hot AS (
+        SELECT shingle FROM cor0 GROUP BY shingle
+        HAVING COUNT(*) > {D.DEFAULT_MAX_DF}
+    ),
+    inc AS (SELECT * FROM inc0 i WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.shingle = i.shingle)),
+    cor AS (SELECT * FROM cor0 c WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.shingle = c.shingle)),
+    si AS (SELECT doc, COUNT(*) AS n FROM inc GROUP BY doc),
+    sc AS (SELECT doc, COUNT(*) AS n FROM cor GROUP BY doc),
+    common AS (
+        SELECT i.doc AS doc_new, c.doc AS doc_old, COUNT(*) AS n_common
+        FROM inc i JOIN cor c ON i.shingle = c.shingle
+        GROUP BY i.doc, c.doc
+    )
+    SELECT doc_new, doc_old,
+           CAST(n_common AS DOUBLE) / (si.n + sc.n - n_common) AS jaccard
+    FROM common
+    JOIN si ON si.doc = doc_new
+    JOIN sc ON sc.doc = doc_old
+    WHERE CAST(n_common AS DOUBLE) / (si.n + sc.n - n_common) >= 0.2
+    """,
+    extra=True,
+)
+def d12_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: the doc_id%10==0 slice plays the daily
+    ingest increment, the rest the standing corpus; output is every
+    (new doc, corpus doc) pair with 3-gram Jaccard >= 0.2 over the
+    corpus-rare shingle space (operators/dedup.py
+    incremental_neardup_pairs). Increment-driven cost: corpus
+    postings enter the pair join only if their shingle occurs in the
+    broadcast increment shingle set."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    increment = docs.filter(F.col("doc_id") % 10 == 0)
+    return D.incremental_neardup_pairs(increment, corpus, "doc_id", "text", n=3, threshold=0.2)

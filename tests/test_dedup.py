@@ -342,3 +342,57 @@ def test_plane_sign_matches_oracle_formula():
     ).fetchall()
     for j, k, s in rows:
         assert plane_sign(j, k, 64) == s, (j, k)
+
+
+def test_incremental_neardup_finds_planted_pair(spark):
+    from kaylee_spark.operators.dedup import incremental_neardup_pairs
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated corpus content about databases and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    increment = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            (11, "fresh novel text with no overlap whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_neardup_pairs(
+        increment, corpus, "doc_id", "text", n=3, threshold=0.3
+    ).collect()
+    pairs = {(r["doc_new"], r["doc_old"]) for r in out}
+    assert pairs == {(10, 1)}
+    (row,) = [r for r in out if r["doc_new"] == 10]
+    # 10 tokens -> 8 3-grams per doc, 7 shared (only the final
+    # "lazy dog tonight/today" gram differs) -> J = 7 / (8+8-7) = 7/9
+    assert abs(row["jaccard"] - 7 / 9) < 1e-12
+
+
+def test_incremental_neardup_hot_cap_drops_boilerplate_overlap(spark):
+    from kaylee_spark.operators.dedup import incremental_neardup_pairs
+
+    # every corpus doc shares one boilerplate shingle; with max_df=2
+    # that shingle is dropped from BOTH sides, so the increment doc
+    # whose only overlap is the boilerplate matches nothing
+    boiler = "subscribe to our newsletter"
+    corpus = spark.createDataFrame(
+        [(i, f"{boiler} corpus body number {i} talks about topic {i}") for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    increment = spark.createDataFrame(
+        [(100, f"{boiler} something entirely different")],
+        "doc_id long, text string",
+    )
+    hits = incremental_neardup_pairs(
+        increment, corpus, "doc_id", "text", n=3, threshold=0.1, max_df=2
+    ).count()
+    assert hits == 0
+    # uncapped, the boilerplate shingles connect it to every corpus doc
+    uncapped = incremental_neardup_pairs(
+        increment, corpus, "doc_id", "text", n=3, threshold=0.1, max_df=None
+    ).count()
+    assert uncapped == 4

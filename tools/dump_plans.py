@@ -53,6 +53,7 @@ SHOWCASE = [
     ("s03_embedding_neardup", "sign-LSH near-dups: fixed-point bigint signatures at scan speed, cached 16-byte rows into the hamming join"),
     ("t19_bpe_pair_counts", "BPE pair counts: row-local array pairing, one pair-keyed partial-agg shuffle, TakeOrdered top-n"),
     ("t20_sequence_packing", "sequence packing: group-partitioned integer cumsum window into one group-keyed agg"),
+    ("d12_incremental_neardup", "incremental near-dup: broadcast hot-set anti-join + broadcast increment-shingle semi-join drive the corpus side"),
 ]
 
 
@@ -92,6 +93,7 @@ MUST_CONTAIN = {
     "s03_embedding_neardup": ("bit_count", "InMemoryTableScan"),
     "t19_bpe_pair_counts": ("TakeOrderedAndProject", "HashAggregate"),
     "t20_sequence_packing": ("Window", "ReadSchema: struct<doc_id:bigint,text:string,lang:string>",),
+    "d12_incremental_neardup": ("LeftSemi", "LeftAnti", "BroadcastExchange"),
 }
 
 
