@@ -583,3 +583,117 @@ def nearest_centroid_assign(
         F.col(label_col).alias("true_label"),
         assigned.cast("int").alias("assigned_label"),
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k: greedy re-rank of
+    each query's top-``pool`` cosine candidates so every next pick
+    maximizes  lam * rel(d)  -  (1 - lam) * max_{s in S} sim(d, s)
+    (with the diversity term 0 for the first pick) — the standard
+    knob for retrieval/curation that must not return k near-copies of
+    the same document (RAG contexts, eval-set sampling, labeling
+    batches).
+
+    Output: (query_id, vec_id, rank 1..k, mmr_score) — the objective
+    value AT selection time, rounded 6dp.
+
+    Scale shape: candidate generation is the broadcast-query corpus
+    scan of cosine_topk (the expensive part — everything after runs on
+    pool * |queries| rows). Pairwise sims materialize once (pool² per
+    query, e.g. 400 rows for pool=20 — bounded by the POOL, not the
+    corpus), and the greedy loop is k-1 driver iterations over those
+    tiny cached frames; per-query groups are independent, so
+    parallelism = |queries|. Determinism: every comparison is the
+    identical IEEE double expression on both engines, ties break by
+    id, MAX over selected is order-independent — which is what lets a
+    greedy iterative re-ranker hash-match a SQL oracle at all.
+    ``shuffle_partitions`` pins the loop width (see pagerank); scores
+    are width-independent, the pin is purely physical.
+    """
+    if shuffle_partitions is not None:
+        spark = corpus.sparkSession
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        try:
+            # the loop body checkpoints every step, so the returned
+            # frame's lineage is already materialized in-scope; the
+            # final select is trivial under any caller conf
+            return mmr_topk(corpus, queries, k, pool, lam, id_col, vec_col, query_id_col)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    cands = cosine_topk(
+        corpus, queries, k=pool, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
+    )
+    ce = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    # localCheckpoint (eager) rather than cache: every loop step below
+    # references the previous step's frame THREE times (max-sim join,
+    # anti-join, union), so a lazy lineage grows 3^k plan copies — at
+    # k=5 that is an 81x plan blow-up that costs more to ANALYZE than
+    # to run, and re-invocation OOMs the driver on tree strings.
+    # Checkpointing truncates lineage to the materialized rows (pool x
+    # |queries| at most), keeping every step's plan constant-size.
+    cand_e = (
+        cands.select("query_id", "neighbor_id", F.col("cosine_sim").alias("rel"))
+        .join(ce, "neighbor_id")
+        .localCheckpoint()
+    )
+    a = cand_e.select("query_id", F.col("neighbor_id").alias("a"), F.col("cv").alias("va"))
+    b = cand_e.select("query_id", F.col("neighbor_id").alias("b"), F.col("cv").alias("vb"))
+    psim = (
+        a.join(b, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .select("query_id", "a", "b", "sim")
+        .localCheckpoint()
+    )
+    rels = cand_e.select("query_id", "neighbor_id", "rel")
+    w = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("neighbor_id"))
+    selected = (
+        rels.withColumn("mmr", F.lit(lam) * F.col("rel"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("query_id", "neighbor_id", F.lit(1).alias("rank"), "mmr")
+        .localCheckpoint()
+    )
+    for rank in range(2, k + 1):
+        maxsim = (
+            psim.join(
+                selected.select("query_id", F.col("neighbor_id").alias("b")),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", F.col("a").alias("neighbor_id"))
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        nxt = (
+            rels.join(
+                selected.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_anti",
+            )
+            .join(maxsim, ["query_id", "neighbor_id"])
+            .withColumn(
+                "mmr", F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("maxsim")
+            )
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("query_id", "neighbor_id", F.lit(rank).alias("rank"), "mmr")
+        )
+        selected = selected.unionByName(nxt).localCheckpoint()
+    return selected.select(
+        "query_id",
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.round("mmr", 6).cast("double").alias("mmr_score"),
+    )

@@ -228,3 +228,92 @@ def s06_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy(
         F.col("true_label").cast("int").alias("true_label"), "assigned_label"
     ).agg(F.count("*").alias("n_vectors"))
+
+
+def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.5) -> str:
+    """Greedy MMR unrolled into chained CTEs — one (step, sel) pair
+    per rank, same shape as the g01/g02 iterative oracles. Every
+    comparison is the identical IEEE double expression Spark computes
+    (0.5 * rel - 0.5 * MAX(sim)); ties break by candidate id."""
+    mu = 1.0 - lam
+    parts = [
+        f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    cand AS (
+        SELECT qid, cid, rel FROM (
+            SELECT q.qid, c.cid, list_cosine_similarity(q.e, c.e) AS rel,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.cid ASC
+                   ) AS rnk
+            FROM q CROSS JOIN c WHERE c.cid <> q.qid
+        ) WHERE rnk <= {pool}
+    ),
+    psim AS (
+        SELECT x.qid, x.cid AS a, y.cid AS b,
+               list_cosine_similarity(cx.e, cy.e) AS sim
+        FROM cand x JOIN cand y ON x.qid = y.qid AND x.cid <> y.cid
+        JOIN c cx ON cx.cid = x.cid
+        JOIN c cy ON cy.cid = y.cid
+    ),
+    sel1 AS (
+        SELECT qid, cid, 1 AS rank, mmr FROM (
+            SELECT qid, cid, {lam} * rel AS mmr,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY {lam} * rel DESC, cid ASC
+                   ) AS r
+            FROM cand
+        ) WHERE r = 1
+    )"""
+    ]
+    prev = "sel1"
+    for rank in range(2, k + 1):
+        parts.append(
+            f""",
+    step{rank} AS (
+        SELECT qid, cid, {rank} AS rank, mmr FROM (
+            SELECT g.qid, g.cid, g.mmr,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY g.qid ORDER BY g.mmr DESC, g.cid ASC
+                   ) AS r
+            FROM (
+                SELECT cd.qid, cd.cid, {lam} * cd.rel - {mu} * MAX(p.sim) AS mmr
+                FROM cand cd
+                JOIN psim p ON p.qid = cd.qid AND p.a = cd.cid
+                JOIN {prev} s ON s.qid = p.qid AND s.cid = p.b
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM {prev} x WHERE x.qid = cd.qid AND x.cid = cd.cid
+                )
+                GROUP BY cd.qid, cd.cid, cd.rel
+            ) g
+        ) WHERE r = 1
+    ),
+    sel{rank} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM step{rank})"""
+        )
+        prev = f"sel{rank}"
+    parts.append(
+        f"""
+    SELECT qid AS query_id, cid AS vec_id, CAST(rank AS INT) AS rank,
+           CAST(ROUND(mmr, 6) AS DOUBLE) AS mmr_score
+    FROM {prev}"""
+    )
+    return "".join(parts)
+
+
+@query("s07_mmr_topk", oracle=_mmr_oracle(), extra=True)
+def s07_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 (lambda=0.5, pool=20) for query vectors
+    0..4 (operators/similarity.mmr_topk): greedy diversity-aware
+    re-rank of the cosine top-20 — each pick maximizes relevance
+    minus max-similarity-to-already-picked. The oracle unrolls the
+    greedy loop into chained CTEs (the g01 iterative-oracle pattern
+    applied to doubles: identical IEEE expressions + id tie-breaks
+    instead of fixed-point). Loop width pinned to 4 — every post-pool
+    frame holds <= pool x 5 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.mmr_topk(emb, queries, k=5, pool=20, lam=0.5, shuffle_partitions=4)

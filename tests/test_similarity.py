@@ -225,3 +225,54 @@ def test_nearest_centroid_recovers_planted_clusters(spark):
     # bit-deterministic under repartitioning (decimal folds, exact means)
     again = nearest_centroid_assign(df.repartition(11)).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_mmr_topk_prefers_diverse_over_near_duplicate(spark):
+    from kaylee_spark.operators.similarity import mmr_topk
+
+    # b is the best match; a is a near-copy of b; c is diverse but
+    # equally relevant as a. Pure relevance ranks a second; MMR must
+    # rank c second (a's similarity to the already-picked b erases
+    # its margin) and push the near-copy to last.
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),          # a
+            (2, [1.0, 0.01, 0.0]),         # b (near-dup of a, best rel)
+            (3, [0.0, 1.0, 0.0]),          # c (diverse)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 1.0, 0.0])], "query_id long, embedding array<float>"
+    )
+    out = mmr_topk(corpus, queries, k=3, pool=3, lam=0.5).orderBy("rank").collect()
+    assert [r["vec_id"] for r in out] == [2, 3, 1]
+    # relevance-only order would have been [2, 1, 3]
+    assert [r["rank"] for r in out] == [1, 2, 3]
+
+
+def test_mmr_topk_rank1_is_pure_relevance_argmax(spark):
+    from kaylee_spark.operators.similarity import mmr_topk
+    from kaylee_spark.operators.similarity import cosine_topk
+
+    import random
+
+    rng = random.Random(7)
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(1, 40)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [rng.uniform(-1, 1) for _ in range(8)]),
+         (101, [rng.uniform(-1, 1) for _ in range(8)])],
+        "query_id long, embedding array<float>",
+    )
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk(corpus, queries, k=1).collect()
+    }
+    first_picks = {
+        r["query_id"]: r["vec_id"]
+        for r in mmr_topk(corpus, queries, k=4, pool=10, lam=0.5).filter("rank = 1").collect()
+    }
+    assert first_picks == top1
