@@ -264,3 +264,92 @@ def _hits_loop(edges: DataFrame, iterations: int) -> DataFrame:
     return h.select("id", F.lit("hub").alias("role"), F.col("score").alias("score_e6")).union(
         a.select("id", F.lit("authority").alias("role"), F.col("score").alias("score_e6"))
     )
+
+
+def coorder_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-order edges between parts: (u, v) with u < v iff
+    some order contains both parts — the market-basket projection of
+    lineitem. Per-order pair fan-out is C(items_per_order, 2) with
+    items bounded by the order schema (~7 lineitems), so the pair
+    stream is a constant factor of lineitem, never quadratic; the
+    distinct collapses repeat co-purchases before any downstream work.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Exact triangle counting by degree orientation (compact-forward)
+    over an undirected (u, v) edge list with u < v and no duplicates.
+
+    The naive wedge join costs Σ_v deg(v)² — one celebrity node makes
+    it quadratic. Orienting every edge from its lower-(degree, id)
+    endpoint to the higher one bounds every out-degree by O(√m)
+    (a node of out-degree d points only at nodes of degree ≥ d, and
+    there can be at most 2m/d of those), so the oriented wedge join
+    costs Σ outdeg² ≤ O(m^1.5) — the classic MapReduce triangle bound
+    (Suri & Vassilvitskii's partition-aware variant shards the same
+    algebra). Every wedge (src -> x, src -> y) closes iff the
+    canonical undirected edge (min(x,y), max(x,y)) exists — one more
+    join against the edge list. All counts are integers; the
+    orientation tie-breaks by id, so the wedge set itself (not just
+    its count) is a pure function of the graph.
+
+    Returns ONE row: (n_nodes, n_edges, n_wedges, n_triangles) — the
+    graph-health numbers (closure ratio = 3·triangles/wedges) a
+    curation pipeline tracks on entity co-occurrence graphs. Scalars
+    are pulled via driver actions and folded into a literal row
+    (1-row frames attached by join plan as BroadcastNestedLoopJoin —
+    the constant-folding trap documented in pagerank).
+    """
+    edges = edges.select("u", "v").cache()
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .cache()
+    )
+    e1 = oriented.select("src", F.col("dst").alias("x"))
+    e2 = oriented.select("src", F.col("dst").alias("y"))
+    wedges = (
+        e1.join(e2, "src").filter(F.col("x") < F.col("y")).select("x", "y")
+    ).cache()
+    n_wedges = wedges.count()
+    # inner join, not semi: the same (x, y) endpoint pair can appear
+    # under many srcs and each such wedge closes its own triangle;
+    # (u, v) is unique in edges, so the join multiplies each wedge row
+    # by exactly 0 or 1
+    n_tri = wedges.join(
+        edges.select(F.col("u").alias("_eu"), F.col("v").alias("_ev")),
+        (F.col("_eu") == F.least("x", "y")) & (F.col("_ev") == F.greatest("x", "y")),
+    ).count()
+    n_nodes = deg.count()
+    n_edges = edges.count()
+    spark = edges.sparkSession
+    return spark.range(1).select(
+        F.lit(n_nodes).cast("bigint").alias("n_nodes"),
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.lit(n_wedges).cast("bigint").alias("n_wedges"),
+        F.lit(n_tri).cast("bigint").alias("n_triangles"),
+    )

@@ -15,8 +15,10 @@ from kaylee_spark.operators.graph import (
     DAMPING_NUM,
     RANK_SCALE,
     SUPPLIER_OFFSET,
+    coorder_part_edges,
     customer_supplier_edges,
     pagerank,
+    triangle_stats,
 )
 from kaylee_spark.queries import query
 
@@ -127,3 +129,49 @@ def g02_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kaylee_spark.operators.graph import hits
 
     return hits(customer_supplier_edges(spark, sf_dir), iterations=2, shuffle_partitions=8)
+
+
+@query(
+    "g03_triangle_count",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT n, COUNT(*) AS d FROM (
+            SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges
+        ) GROUP BY n
+    ),
+    o AS (
+        SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                    THEN u ELSE v END AS src,
+               CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                    THEN v ELSE u END AS dst
+        FROM edges
+        JOIN deg du ON du.n = u
+        JOIN deg dv ON dv.n = v
+    ),
+    w AS (
+        SELECT e1.dst AS x, e2.dst AS y
+        FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst < e2.dst
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_wedges,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM w JOIN edges e
+              ON e.u = least(x, y) AND e.v = greatest(x, y)) AS n_triangles
+    """,
+    extra=True,
+)
+def g03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the co-ordered-parts graph (market-
+    basket projection of lineitem) via degree-oriented compact-forward
+    counting (operators/graph.triangle_stats): every out-degree is
+    bounded by O(sqrt(m)) after orientation, so the wedge join costs
+    O(m^1.5) instead of the celebrity-quadratic naive Σdeg². One row:
+    nodes, edges, oriented wedges, triangles."""
+    return triangle_stats(coorder_part_edges(spark, sf_dir))

@@ -80,3 +80,29 @@ def test_hits_popular_authority_outranks(spark):
     out = {(r["id"], r["role"]): r["score_e6"] for r in hits(_edges(spark, pairs)).collect()}
     assert out[(100, "authority")] == HITS_SCALE
     assert out[(200, "authority")] < HITS_SCALE
+
+
+def test_triangle_stats_hand_graph(spark):
+    from kaylee_spark.operators.graph import triangle_stats
+
+    # triangle {1,2,3} + pendant 1-4 + square 5-6-7-8 (no triangle)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (5, 6), (6, 7), (7, 8), (5, 8)],
+        "u long, v long",
+    )
+    r = triangle_stats(edges).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (8, 8, 1)
+    assert r["n_wedges"] >= r["n_triangles"]
+
+
+def test_triangle_stats_k4_every_wedge_closes(spark):
+    from kaylee_spark.operators.graph import triangle_stats
+
+    # K4: all degrees equal -> orientation falls back to id order,
+    # out-degrees (3, 2, 1, 0) -> wedges C(3,2)+C(2,2) = 4, and every
+    # wedge closes: triangles = C(4,3) = 4
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)], "u long, v long"
+    )
+    r = triangle_stats(k4).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (4, 6, 4, 4)
