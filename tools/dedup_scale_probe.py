@@ -188,6 +188,29 @@ def measure(sf_dir: str) -> dict:
         return S.lsh_bucketed_topk(emb, queries, k=10, n_planes=4, n_tables=12, dim=64, parity_rerank=True).count()
 
     timed("s02_annlsh", s02_cands, s02_out)
+
+    # d12: incremental near-dup with the increment PINNED to the base
+    # copy (the stride preserves mod-10, so without the < ID_STRIDE
+    # guard the increment would grow with the corpus and test
+    # nothing). Prediction: pair-join volume = Σ_shared df_inc·df_cor
+    # with df_inc fixed -> candidates grow ~LINEARLY in the corpus
+    # multiplier, the increment-driven cost claim in docs/SCALE.md.
+    inc_pred = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < ID_STRIDE)
+
+    def d12_cands():
+        ish = D.hashed_shingles(docs.filter(inc_pred), "doc_id", "text", 3).withColumnRenamed("sh64", "shingle")
+        csh = D.hashed_shingles(docs.filter(~inc_pred), "doc_id", "text", 3).withColumnRenamed("sh64", "shingle")
+        cdf = csh.groupBy("shingle").agg(F.count("*").alias("dc")).filter(F.col("dc") <= D.DEFAULT_MAX_DF)
+        idf = ish.groupBy("shingle").agg(F.count("*").alias("di"))
+        return int(idf.join(cdf, "shingle").agg(F.sum(F.col("di") * F.col("dc"))).first()[0] or 0)
+
+    timed(
+        "d12_incneardup",
+        d12_cands,
+        lambda: D.incremental_neardup_pairs(
+            docs.filter(inc_pred), docs.filter(~inc_pred), "doc_id", "text", n=3, threshold=0.2
+        ).count(),
+    )
     return out
 
 
@@ -215,7 +238,7 @@ def main() -> int:
     return subprocess.call(
         [sys.executable, tool, top_dir,
          "d03_jaccard_pairs", "d04_minhash_lsh", "d05_simhash_pairs",
-         "s03_embedding_neardup", "s02_lsh_ann_topk"]
+         "s03_embedding_neardup", "s02_lsh_ann_topk", "d12_incremental_neardup"]
     )
 
 
