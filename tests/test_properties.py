@@ -232,3 +232,73 @@ def test_pagerank_total_mass_bounded_any_graph(spark, edges):
     agg = ranks.agg(F.sum("rank_e12").alias("s"), F.min("rank_e12").alias("m")).first()
     assert agg["s"] <= RANK_SCALE
     assert agg["m"] > 0
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 50),
+            st.text(alphabet="xy ", min_size=0, max_size=30),
+            st.sampled_from(["en", "de"]),
+        ),
+        min_size=0,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    capacity=st.integers(min_value=1, max_value=16),
+)
+@SPARK_SETTINGS
+def test_sequence_packing_invariants_any_corpus(spark, docs, capacity):
+    """For ANY corpus and capacity: waste = n_blocks*C - total,
+    0 <= waste < C when total > 0, boundary docs never exceed docs
+    with tokens, and totals equal a python recount."""
+    from kaylee_spark.operators.text import sequence_packing_stats
+
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    rows = sequence_packing_stats(df, "doc_id", "text", "lang", capacity=capacity).collect()
+    by_lang = {}
+    for d, t, lang in docs:
+        by_lang.setdefault(lang, []).append(len([w for w in t.split(" ") if w]))
+    assert {r["lang"] for r in rows} == set(by_lang)
+    for r in rows:
+        toks = by_lang[r["lang"]]
+        total = sum(toks)
+        assert r["n_docs"] == len(toks)
+        assert r["total_tokens"] == total
+        assert r["n_blocks"] == (total + capacity - 1) // capacity
+        assert r["waste_tokens"] == r["n_blocks"] * capacity - total
+        if total > 0:
+            assert 0 <= r["waste_tokens"] < capacity
+        assert 0 <= r["n_boundary_docs"] <= sum(1 for n in toks if n > 0)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0,
+        max_size=25,
+    )
+)
+@SPARK_SETTINGS
+def test_triangle_stats_matches_brute_force_any_graph(spark, edges):
+    """Degree-oriented count == brute-force triple enumeration for ANY
+    small graph (self-loops dropped, edges canonicalized u<v)."""
+    from itertools import combinations
+
+    from kaylee_spark.operators.graph import triangle_stats
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not canon:
+        return
+    df = spark.createDataFrame(canon, "u long, v long")
+    r = triangle_stats(df).collect()[0]
+    es = set(canon)
+    nodes = sorted({n for e in canon for n in e})
+    brute = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in es and (b, c) in es and (a, c) in es
+    )
+    assert r["n_triangles"] == brute
+    assert r["n_nodes"] == len(nodes)
+    assert r["n_edges"] == len(canon)
