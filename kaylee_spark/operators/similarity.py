@@ -697,3 +697,59 @@ def mmr_topk(
         F.col("rank").cast("int").alias("rank"),
         F.round("mmr", 6).cast("double").alias("mmr_score"),
     )
+
+
+def bucket_balanced_sample(
+    corpus: DataFrame,
+    k_per_bucket: int = 2,
+    bucket_bits: int = 6,
+    bits: int = SIGNATURE_BITS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-balanced coreset sample: exact-k vectors per semantic
+    bucket, where the bucket is the low ``bucket_bits`` of the
+    portable sign signature (a coarse SRP-LSH cell — nearby vectors
+    share cells). The SemDeDup-style pruning shape: instead of
+    sampling the corpus uniformly (which over-represents dense
+    regions), keep a fixed quota per semantic cell so the sample
+    covers the embedding space — the standard trick for building
+    eval/labeling subsets and deduplicated coresets from web-scale
+    embeddings.
+
+    Fully deterministic AND externally auditable: the cell comes from
+    the integer-exact sign signature (see sign_signatures) and the
+    within-cell ranking from the portable multiplicative hash
+    (operators/sampling.portable_bucket), so any SQL engine can
+    re-derive the exact member set — no Spark rerun needed for a
+    compliance audit of "which vectors made the coreset".
+
+    Output: (bucket, vec_id, rk) with rk 1..k per bucket.
+
+    Scale shape: signatures come off the scan row-locally; the only
+    shuffle keys on the 2^bucket_bits cells, and exact-k selection is
+    a per-cell window rank (per-cell candidates must co-locate — the
+    same inherent cost as stratified_sample_k). Cell occupancy on
+    isotropic data is |corpus| / 2^bucket_bits: raise ``bucket_bits``
+    with corpus size to keep cells bounded (and the sample's coverage
+    resolution rises with it, which is what you want at scale).
+    """
+    from kaylee_spark.operators.sampling import portable_bucket
+
+    sig = sign_signatures(corpus, bits=bits, dim=dim, id_col=id_col, vec_col=vec_col)
+    b = sig.select(
+        "vid", (F.col("sig") % F.lit(1 << bucket_bits)).alias("bucket")
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        portable_bucket(F.col("vid")).asc(), F.col("vid").asc()
+    )
+    return (
+        b.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k_per_bucket)
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("vid").alias(id_col),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

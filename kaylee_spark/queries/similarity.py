@@ -317,3 +317,62 @@ def s07_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.mmr_topk(emb, queries, k=5, pool=20, lam=0.5, shuffle_partitions=4)
+
+
+def _s08_oracle(k_per_bucket: int = 2, bucket_bits: int = 6) -> str:
+    """DuckDB twin of the bucket-balanced coreset: re-derives the sign
+    signatures exactly as _s03_oracle does, cells them on the low
+    ``bucket_bits``, and ranks within each cell by the portable
+    multiplicative hash (operators/sampling.portable_bucket_sql)."""
+    from kaylee_spark.operators.sampling import portable_bucket_sql
+
+    bits, dim = S.SIGNATURE_BITS, 64
+    return f"""
+    WITH dims AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS k,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * {S.SIGN_FIXED_SCALE}) AS BIGINT) AS v
+        FROM embeddings
+    ),
+    signs AS (
+        SELECT j.range AS j, k.range AS k,
+               CASE WHEN ((j.range * {dim} + k.range + 1) * {S._SIGN_MULT})
+                         % {S._SIGN_FOLD} % 2 = 1 THEN 1 ELSE -1 END AS s
+        FROM range({bits}) j, range({dim}) k
+    ),
+    dots AS (
+        SELECT d.vec_id, s.j,
+               SUM(CASE WHEN s.s = 1 THEN d.v ELSE -d.v END) AS dot
+        FROM dims d JOIN signs s ON d.k = s.k
+        GROUP BY d.vec_id, s.j
+    ),
+    sigs AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j)
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+        FROM dots GROUP BY vec_id
+    ),
+    cells AS (
+        SELECT vec_id, sig % {1 << bucket_bits} AS bucket FROM sigs
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, vec_id,
+           CAST(rk AS INT) AS rk
+    FROM (
+        SELECT bucket, vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY bucket
+                   ORDER BY {portable_bucket_sql('vec_id')} ASC, vec_id ASC
+               ) AS rk
+        FROM cells
+    ) WHERE rk <= {k_per_bucket}
+    """
+
+
+@query("s08_diverse_coreset", oracle=_s08_oracle(), extra=True)
+def s08_diverse_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-balanced coreset: exact-2 vectors per coarse SRP-LSH
+    cell (low 6 signature bits), ranked within each cell by the
+    portable multiplicative hash
+    (operators/similarity.bucket_balanced_sample) — the SemDeDup-style
+    space-covering sample, fully re-derivable by any SQL engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.bucket_balanced_sample(emb, k_per_bucket=2, bucket_bits=6)

@@ -276,3 +276,31 @@ def test_mmr_topk_rank1_is_pure_relevance_argmax(spark):
         for r in mmr_topk(corpus, queries, k=4, pool=10, lam=0.5).filter("rank = 1").collect()
     }
     assert first_picks == top1
+
+
+def test_bucket_balanced_sample_quota_and_determinism(spark):
+    from kaylee_spark.operators.similarity import bucket_balanced_sample
+
+    import random
+
+    rng = random.Random(11)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    out = bucket_balanced_sample(emb, k_per_bucket=3, bucket_bits=4).collect()
+    per_bucket = {}
+    for r in out:
+        per_bucket.setdefault(r["bucket"], []).append(r)
+    # quota respected, ranks dense from 1, buckets within range
+    for b, rows in per_bucket.items():
+        assert 0 <= b < 16
+        assert 1 <= len(rows) <= 3
+        assert sorted(r["rk"] for r in rows) == list(range(1, len(rows) + 1))
+    # deterministic: a repartitioned rerun picks the identical set
+    again = bucket_balanced_sample(
+        emb.repartition(13), k_per_bucket=3, bucket_bits=4
+    ).collect()
+    assert {(r["bucket"], r["vec_id"], r["rk"]) for r in again} == {
+        (r["bucket"], r["vec_id"], r["rk"]) for r in out
+    }
