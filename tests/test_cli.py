@@ -52,3 +52,32 @@ def test_cli_main_prints_sorted_json(spark, tmp_path, capsys):
     assert rc == 0
     assert json.loads(out) == {"a": 3, "b": 2, "c": 1}
     assert out.index('"a"') < out.index('"b"') < out.index('"c"')
+
+
+def test_cli_list_covers_whole_registry(capsys):
+    from kaylee_spark.__main__ import cmd_list
+    from kaylee_spark.queries import load_everything
+
+    assert cmd_list() == 0
+    out = capsys.readouterr().out
+    names = {line.split()[0] for line in out.strip().splitlines()}
+    assert names == set(load_everything())
+
+
+def test_cli_query_runs_and_rejects_unknown(spark, capsys, monkeypatch):
+    import json as _json
+
+    import kaylee_spark.session as sess
+    from kaylee_spark.__main__ import main
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    rc = main(["query", "q07_distinct", "--sf-dir", "/root/testdata/sf0.001", "--limit", "2"])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    assert len(lines) == 2
+    assert set(_json.loads(lines[0])) == {"c_mktsegment", "c_nationkey"}
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="unknown query"):
+        main(["query", "q99_nonexistent"])
