@@ -192,3 +192,29 @@ def test_results_identical_with_ansi_disabled(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.ansi.enabled", old)
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "d12_incremental_neardup",  # broadcast hot-set anti + semi joins
+        "s07_mmr_topk",             # greedy loop over checkpointed frames
+        "g03_triangle_count",       # degree-oriented wedge joins
+        "s08_diverse_coreset",      # sign cells + portable-hash rank
+        "t19_bpe_pair_counts",      # pair-keyed agg + TakeOrdered
+        "t20_sequence_packing",     # group cumsum window, integer arith
+    ],
+)
+def test_sixth_session_results_identical_without_broadcast_or_aqe(spark, sf_dir, name):
+    fn = REG[name].fn
+    want = _rows(fn(spark, sf_dir))
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        got = _rows(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert got == want
