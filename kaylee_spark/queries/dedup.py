@@ -515,3 +515,59 @@ def d12_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     increment = docs.filter(F.col("doc_id") % 10 == 0)
     return D.incremental_neardup_pairs(increment, corpus, "doc_id", "text", n=3, threshold=0.2)
+
+
+@query(
+    "d13_lsh_index_probe",
+    oracle="""
+    WITH sh0 AS (
+        SELECT DISTINCT doc_id AS doc, gram AS shingle FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS gram
+            FROM documents
+        )
+    ),
+    inc AS (SELECT doc, shingle FROM sh0 WHERE doc % 10 = 0),
+    cor AS (SELECT doc, shingle FROM sh0 WHERE doc % 10 <> 0),
+    si AS (SELECT doc, COUNT(*) AS n FROM inc GROUP BY doc),
+    sc AS (SELECT doc, COUNT(*) AS n FROM cor GROUP BY doc),
+    common AS (
+        SELECT i.doc AS doc_new, c.doc AS doc_old, COUNT(*) AS n_common
+        FROM inc i JOIN cor c ON i.shingle = c.shingle
+        GROUP BY i.doc, c.doc
+    )
+    SELECT doc_new, doc_old,
+           CAST(n_common AS DOUBLE) / (si.n + sc.n - n_common) AS jaccard
+    FROM common
+    JOIN si ON si.doc = doc_new
+    JOIN sc ON sc.doc = doc_old
+    WHERE CAST(n_common AS DOUBLE) / (si.n + sc.n - n_common) >= 0.5
+    """,
+    extra=True,
+)
+def d13_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest probe against a PERSISTED MinHash-LSH index: the
+    corpus slice's band buckets + shingle postings are materialized to
+    parquet (operators/dedup.write_lsh_index — the standing state d12
+    recomputes), then the increment probes ONLY the persisted index:
+    broadcast increment buckets -> candidate pairs -> exact verify on
+    candidate postings, never rescanning corpus text. With d04's
+    recall-1.0 banding config the probe output EQUALS the exact
+    bipartite Jaccard >= 0.5 set, which the oracle computes
+    brute-force."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    increment = docs.filter(F.col("doc_id") % 10 == 0)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"kaylee_lsh_index_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    D.write_lsh_index(corpus, path, "doc_id", "text", n=3, num_hashes=32, bands=16)
+    return D.probe_lsh_index(
+        spark, path, increment, "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.5
+    )

@@ -396,3 +396,41 @@ def test_incremental_neardup_hot_cap_drops_boilerplate_overlap(spark):
         increment, corpus, "doc_id", "text", n=3, threshold=0.1, max_df=None
     ).count()
     assert uncapped == 4
+
+
+def test_lsh_index_write_probe_roundtrip(spark, tmp_path):
+    import os
+
+    from kaylee_spark.operators.dedup import probe_lsh_index, write_lsh_index
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated corpus content about databases and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    increment = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            (11, "fresh novel text with no overlap whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lsh_index")
+    write_lsh_index(corpus, path, "doc_id", "text", n=3, num_hashes=32, bands=16)
+    # the persisted layout is band-partitioned (file-level pruning unit)
+    assert any(d.startswith("band=") for d in os.listdir(f"{path}/buckets"))
+    out = probe_lsh_index(
+        spark, path, increment, "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.5
+    ).collect()
+    assert {(r["doc_new"], r["doc_old"]) for r in out} == {(10, 1)}
+    (row,) = out
+    assert abs(row["jaccard"] - 7 / 9) < 1e-12
+    # a second probe reuses the index untouched — identical result
+    again = probe_lsh_index(
+        spark, path, increment, "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.5
+    ).collect()
+    assert [(r["doc_new"], r["doc_old"], r["jaccard"]) for r in again] == [
+        (row["doc_new"], row["doc_old"], row["jaccard"])
+    ]
