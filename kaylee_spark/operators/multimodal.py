@@ -291,3 +291,87 @@ def probe_media(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(process, MEDIA_SCHEMA)
+
+
+def _be32(col):
+    """4-byte big-endian binary of a non-negative int column (codegen:
+    hex -> pad -> unhex)."""
+    return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+
+def _le32(col):
+    """4-byte little-endian binary of a non-negative int column: the
+    padded big-endian hex string with its byte pairs reversed."""
+    h = F.lpad(F.hex(col), 8, "0")
+    return F.unhex(
+        F.concat(
+            F.substring(h, 7, 2), F.substring(h, 5, 2), F.substring(h, 3, 2), F.substring(h, 1, 2)
+        )
+    )
+
+
+def _le16(col):
+    h = F.lpad(F.hex(col), 4, "0")
+    return F.unhex(F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2)))
+
+
+def synth_media_with_headers(docs: DataFrame) -> DataFrame:
+    """Multimodal table whose payloads carry REAL container headers,
+    built with deterministic Spark expressions from doc_id arithmetic:
+    image rows get a minimal PNG (signature + IHDR with
+    width = 16 + id%1024, height = 16 + id%768), audio rows a minimal
+    WAV (RIFF/fmt/data with byte_rate = 8000 + id%32*1000 and
+    data_size = 1000 + id%50000 -> exact duration), video rows keep
+    opaque text bytes (no known magic — the unknown-payload fallback).
+
+    The point: probe_media's Python struct parsing round-trips
+    byte-for-byte against this generator, so a SQL oracle that knows
+    only the ARITHMETIC (never the bytes) can hash-gate the whole
+    Arrow-batched mapInPandas path — generator (codegen binary
+    concat) -> header bytes -> stdlib parse -> fields == arithmetic.
+    """
+    d = F.col("doc_id")
+    w = (F.lit(16) + d % 1024).cast("int")
+    h = (F.lit(16) + d % 768).cast("int")
+    byte_rate = (F.lit(8000) + (d % 32) * 1000).cast("int")
+    data_size = (F.lit(1000) + d % 50000).cast("int")
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),  # PNG signature
+        F.unhex(F.lit("0000000D")),          # IHDR length 13
+        F.unhex(F.lit("49484452")),          # "IHDR"
+        _be32(w),
+        _be32(h),
+    )
+    wav = F.concat(
+        F.unhex(F.lit("52494646")),          # "RIFF"
+        _le32(F.lit(36) + data_size),        # riff size
+        F.unhex(F.lit("57415645")),          # "WAVE"
+        F.unhex(F.lit("666D7420")),          # "fmt "
+        _le32(F.lit(16)),                    # fmt chunk size
+        _le16(F.lit(1)),                     # PCM
+        _le16(F.lit(1)),                     # mono
+        _le32(byte_rate),                    # sample rate (== byte rate here)
+        _le32(byte_rate),                    # byte rate (what the probe reads)
+        _le16(F.lit(1)),                     # block align
+        _le16(F.lit(8)),                     # bits per sample
+        F.unhex(F.lit("64617461")),          # "data"
+        _le32(data_size),                    # data size -> duration
+    )
+    opaque = F.encode(F.col("text"), "utf-8")
+    payload = (
+        F.when(d % 3 == 0, png).when(d % 3 == 1, wav).otherwise(opaque)
+    )
+    return docs.select(
+        d.alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (d % 3 + 1).cast("int")
+        ).alias("modality"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )

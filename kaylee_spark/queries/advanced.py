@@ -762,3 +762,49 @@ def a22_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = equidepth_histogram(ev, "value", "event_type", 10)
     return out.withColumn("bucket", F.col("bucket").cast("int"))
+
+
+@query(
+    "a23_media_probe",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'application/octet-stream' END AS mime,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(16 + doc_id % 1024 AS INT) END AS width,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(16 + doc_id % 768 AS INT) END AS height,
+           CASE WHEN doc_id % 3 = 1
+                THEN CAST((1000 + doc_id % 50000) * 1000
+                          // (8000 + (doc_id % 32) * 1000) AS BIGINT)
+           END AS duration_ms,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 24
+                     WHEN doc_id % 3 = 1 THEN 44
+                     ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    extra=True,
+)
+def a23_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end hash gate for the Arrow-batched mapInPandas media
+    path: codegen-built REAL container headers (PNG IHDR / WAV
+    RIFF-fmt-data, operators/multimodal.synth_media_with_headers) are
+    parsed back by probe_media's stdlib struct sniffing, and the
+    oracle knows only the generator's ARITHMETIC — the round-trip
+    generator -> bytes -> parse -> fields must equal it exactly.
+    Video rows carry no known magic and must keep ingest meta (the
+    unknown-payload fallback)."""
+    from kaylee_spark.operators.multimodal import probe_media, synth_media_with_headers
+
+    media = synth_media_with_headers(load_table(spark, sf_dir, "documents"))
+    probed = probe_media(media)
+    return probed.select(
+        "media_id",
+        "modality",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )

@@ -670,3 +670,28 @@ def test_sequence_packing_stats_all_empty_group(spark):
     assert (r["total_tokens"], r["n_blocks"], r["waste_tokens"]) == (0, 0, 0)
     assert r["n_boundary_docs"] == 0
     assert r["pack_efficiency"] == 1.0
+
+
+def test_synth_media_headers_roundtrip_through_probe(spark):
+    from kaylee_spark.operators.multimodal import probe_media, synth_media_with_headers
+
+    docs = spark.createDataFrame(
+        [(0, "png row"), (1, "wav row"), (2, "opaque video row")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["media_id"]: r["meta"]
+        for r in probe_media(synth_media_with_headers(docs)).collect()
+    }
+    png = rows[0]
+    assert (png["mime"], png["width"], png["height"]) == ("image/png", 16, 16)
+    assert png["duration_ms"] is None and png["n_bytes"] == 24
+    wav = rows[1]
+    # byte_rate = 9000, data_size = 1001 -> 1001*1000 // 9000 = 111 ms
+    assert (wav["mime"], wav["duration_ms"], wav["n_bytes"]) == ("audio/wav", 111, 44)
+    assert wav["width"] is None
+    vid = rows[2]
+    # no known magic: ingest meta kept, n_bytes = utf-8 length
+    assert vid["mime"] == "application/octet-stream"
+    assert vid["width"] is None and vid["duration_ms"] is None
+    assert vid["n_bytes"] == len("opaque video row")

@@ -54,6 +54,7 @@ SHOWCASE = [
     ("t19_bpe_pair_counts", "BPE pair counts: row-local array pairing, one pair-keyed partial-agg shuffle, TakeOrdered top-n"),
     ("t20_sequence_packing", "sequence packing: group-partitioned integer cumsum window into one group-keyed agg"),
     ("d12_incremental_neardup", "incremental near-dup: broadcast hot-set anti-join + broadcast increment-shingle semi-join drive the corpus side"),
+    ("d13_lsh_index_probe", "persisted-index probe: broadcast increment buckets against band-partitioned parquet, verify on candidate postings only"),
 ]
 
 
@@ -94,6 +95,7 @@ MUST_CONTAIN = {
     "t19_bpe_pair_counts": ("TakeOrderedAndProject", "HashAggregate"),
     "t20_sequence_packing": ("Window", "ReadSchema: struct<doc_id:bigint,text:string,lang:string>",),
     "d12_incremental_neardup": ("LeftSemi", "LeftAnti", "BroadcastExchange"),
+    "d13_lsh_index_probe": ("LeftSemi", "BroadcastExchange"),
 }
 
 
