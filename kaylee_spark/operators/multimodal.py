@@ -329,6 +329,10 @@ def synth_media_with_headers(docs: DataFrame) -> DataFrame:
     only the ARITHMETIC (never the bytes) can hash-gate the whole
     Arrow-batched mapInPandas path — generator (codegen binary
     concat) -> header bytes -> stdlib parse -> fields == arithmetic.
+
+    Requires non-negative doc_id: the int->binary packing goes
+    through hex(), whose two's-complement form for negatives would
+    widen the fields past their header slots.
     """
     d = F.col("doc_id")
     w = (F.lit(16) + d % 1024).cast("int")

@@ -620,6 +620,12 @@ def mmr_topk(
     ``shuffle_partitions`` pins the loop width (see pagerank); scores
     are width-independent, the pin is purely physical.
     """
+    if k < 1:
+        raise ValueError(f"mmr_topk requires k >= 1, got {k}")
+    if pool < k:
+        raise ValueError(f"mmr_topk requires pool >= k, got pool={pool} k={k}")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"mmr_topk requires 0 <= lam <= 1, got {lam}")
     if shuffle_partitions is not None:
         spark = corpus.sparkSession
         prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -737,6 +743,12 @@ def bucket_balanced_sample(
     """
     from kaylee_spark.operators.sampling import portable_bucket
 
+    if k_per_bucket < 1:
+        raise ValueError(f"bucket_balanced_sample requires k_per_bucket >= 1, got {k_per_bucket}")
+    if not (1 <= bucket_bits <= bits):
+        raise ValueError(
+            f"bucket_balanced_sample requires 1 <= bucket_bits <= bits ({bits}), got {bucket_bits}"
+        )
     sig = sign_signatures(corpus, bits=bits, dim=dim, id_col=id_col, vec_col=vec_col)
     b = sig.select(
         "vid", (F.col("sig") % F.lit(1 << bucket_bits)).alias("bucket")

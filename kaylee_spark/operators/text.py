@@ -533,6 +533,8 @@ def bpe_pair_counts(
     Output: (pair_a, pair_b, n) — the ``top_n`` most frequent
     adjacent pairs.
     """
+    if top_n < 1:
+        raise ValueError(f"bpe_pair_counts requires top_n >= 1, got {top_n}")
     t = tokens(text_col)
     pairs = (
         df.select(t.alias("t"))
@@ -579,6 +581,8 @@ def sequence_packing_stats(
     Output per group: (group, n_docs, total_tokens, n_blocks,
     waste_tokens, n_boundary_docs, pack_efficiency).
     """
+    if capacity < 1:
+        raise ValueError(f"sequence_packing_stats requires capacity >= 1, got {capacity}")
     c = capacity
     base = df.select(
         F.col(group_col).alias("grp"),

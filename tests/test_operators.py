@@ -695,3 +695,29 @@ def test_synth_media_headers_roundtrip_through_probe(spark):
     assert vid["mime"] == "application/octet-stream"
     assert vid["width"] is None and vid["duration_ms"] is None
     assert vid["n_bytes"] == len("opaque video row")
+
+
+def test_round6_operator_contract_guards(spark):
+    import pytest
+
+    from kaylee_spark.operators.similarity import bucket_balanced_sample, mmr_topk
+    from kaylee_spark.operators.text import bpe_pair_counts, sequence_packing_stats
+
+    emb = spark.createDataFrame([(1, [1.0] * 64)], "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([(9, [1.0] * 64)], "query_id long, embedding array<float>")
+    docs = spark.createDataFrame([(1, "a b", "en")], "doc_id long, text string, lang string")
+
+    with pytest.raises(ValueError, match="k >= 1"):
+        mmr_topk(emb, q, k=0)
+    with pytest.raises(ValueError, match="pool >= k"):
+        mmr_topk(emb, q, k=5, pool=3)
+    with pytest.raises(ValueError, match="lam"):
+        mmr_topk(emb, q, k=1, lam=1.5)
+    with pytest.raises(ValueError, match="k_per_bucket"):
+        bucket_balanced_sample(emb, k_per_bucket=0)
+    with pytest.raises(ValueError, match="bucket_bits"):
+        bucket_balanced_sample(emb, bucket_bits=25)
+    with pytest.raises(ValueError, match="top_n"):
+        bpe_pair_counts(docs, "text", top_n=0)
+    with pytest.raises(ValueError, match="capacity"):
+        sequence_packing_stats(docs, capacity=0)
