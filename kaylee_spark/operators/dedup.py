@@ -920,3 +920,49 @@ def probe_lsh_index(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_new", "doc_old", "jaccard")
     )
+
+
+def leakage_free_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_ppm: int = 100_000,
+    n: int = 3,
+    threshold: float = 0.5,
+    edges: str = "lsh",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Train/eval assignment that can never leak near-duplicates
+    across the split: documents are first clustered by near-dup
+    similarity (dedup_clusters), then the WHOLE CLUSTER is assigned
+    by the portable hash of its canonical id — two documents that are
+    near-copies always share a cluster, hence always share a side.
+    Splitting per-document (train_eval_split on doc id) cannot give
+    this property: a paraphrase pair split across sides leaks eval
+    content into training, the exact failure decontamination audits
+    hunt for after the fact. This operator prevents it by
+    construction.
+
+    ``eval_ppm`` is the eval rate in parts-per-million of CLUSTERS
+    (singletons are their own cluster, so for a mostly-unique corpus
+    this ~equals the document rate). Membership is the portable
+    multiplicative hash (operators/sampling.portable_bucket) of the
+    cluster id — three integer ops any SQL engine re-derives, so the
+    assignment itself is externally auditable.
+
+    Output: (doc, cluster, split) for every input document, split in
+    {'train', 'eval'}.
+    """
+    from kaylee_spark.operators.sampling import portable_bucket
+
+    clusters = dedup_clusters(
+        df, id_col, text_col, n=n, threshold=threshold, edges=edges,
+        shuffle_partitions=shuffle_partitions,
+    )
+    return clusters.select(
+        "doc",
+        "cluster",
+        F.when(portable_bucket(F.col("cluster")) < F.lit(eval_ppm), F.lit("eval"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -571,3 +571,73 @@ def d13_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.probe_lsh_index(
         spark, path, increment, "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.5
     )
+
+
+def _d14_oracle(eval_ppm: int = 100_000) -> str:
+    """d06's recursive-CTE clustering with the portable-hash cluster
+    split appended — the leakage-free property is enforced by
+    assigning the CLUSTER, not the document."""
+    from kaylee_spark.operators.sampling import portable_bucket_sql
+
+    return f"""
+    WITH RECURSIVE
+    sh AS (
+        SELECT DISTINCT doc_id AS doc, gram AS shingle FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS gram
+            FROM documents
+        )
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS doc, MIN(label) AS cluster FROM reach GROUP BY node),
+    assigned AS (
+        SELECT d.doc_id AS doc,
+               COALESCE(c.cluster, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
+    )
+    SELECT doc, cluster,
+           CASE WHEN {portable_bucket_sql('cluster')} < {eval_ppm}
+                THEN 'eval' ELSE 'train' END AS split
+    FROM assigned
+    """
+
+
+@query("d14_leakage_free_split", oracle=_d14_oracle(), extra=True)
+def d14_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/eval split (operators/dedup.py
+    leakage_free_split): near-dup clusters (Jaccard>=0.5, d06's
+    pipeline) are assigned wholesale by the portable hash of the
+    canonical id — near-copies can never straddle the split, the
+    failure mode decontamination audits hunt for after the fact.
+    Oracle = d06's recursive CTE + the same three-integer-op
+    membership arithmetic."""
+    return D.leakage_free_split(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        eval_ppm=100_000,
+        n=3,
+        threshold=0.5,
+        shuffle_partitions=8,
+    )

@@ -434,3 +434,27 @@ def test_lsh_index_write_probe_roundtrip(spark, tmp_path):
     assert [(r["doc_new"], r["doc_old"], r["jaccard"]) for r in again] == [
         (row["doc_new"], row["doc_old"], row["jaccard"])
     ]
+
+
+def test_leakage_free_split_keeps_near_dups_on_one_side(spark):
+    from kaylee_spark.operators.dedup import leakage_free_split
+
+    base = "the quick brown fox jumps over the lazy dog number"
+    rows = []
+    # 20 planted near-dup pairs (J well above 0.5) + 20 unique docs
+    for i in range(20):
+        rows.append((2 * i, f"{base} {i} alpha"))
+        rows.append((2 * i + 1, f"{base} {i} beta"))
+    for i in range(40, 60):
+        rows.append((i, f"completely unique document {i} with words {i * 7} {i * 13} {i * 17}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_free_split(df, "doc_id", "text", eval_ppm=500_000).collect()
+    split_by_doc = {r["doc"]: r["split"] for r in out}
+    cluster_by_doc = {r["doc"]: r["cluster"] for r in out}
+    assert len(split_by_doc) == len(rows)
+    for i in range(20):
+        a, b = 2 * i, 2 * i + 1
+        assert cluster_by_doc[a] == cluster_by_doc[b]
+        assert split_by_doc[a] == split_by_doc[b], f"pair {a},{b} straddles the split"
+    # with eval_ppm=50%, both sides must actually be populated
+    assert {"train", "eval"} == set(split_by_doc.values())
