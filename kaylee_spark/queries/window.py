@@ -163,3 +163,90 @@ def w05_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         F.max(F.col("l_extendedprice").cast("decimal(18,2)")).over(w).cast("double").alias("max_neighbor_price"),
     )
+
+
+@query(
+    "w06_pareto_abc",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey AS custkey,
+               ROUND(SUM(CAST(o_totalprice AS DECIMAL(24,6))), 2) AS rev_dec
+        FROM orders GROUP BY o_custkey
+    ),
+    j AS (
+        SELECT n.n_name AS nation, r.custkey, r.rev_dec
+        FROM rev r
+        JOIN customer c ON c.c_custkey = r.custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    s AS (
+        SELECT nation, custkey,
+               CAST(rev_dec AS DOUBLE) AS revenue,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY nation ORDER BY rev_dec DESC, custkey ASC
+               ) AS INT) AS rank,
+               ROUND(
+                   CAST(SUM(rev_dec) OVER (
+                       PARTITION BY nation ORDER BY rev_dec DESC, custkey ASC
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS DOUBLE)
+                   / CAST(SUM(rev_dec) OVER (PARTITION BY nation) AS DOUBLE),
+                   6
+               ) AS cum_share
+        FROM j
+    )
+    SELECT nation, custkey, revenue, rank, cum_share,
+           CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM s
+    """,
+    extra=True,
+)
+def w06_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC revenue-concentration analysis per nation: rank
+    customers by exact decimal revenue, cumulative share over the
+    deterministic (revenue desc, custkey) order, classes cut at
+    80% / 95%. The cumsum stays DECIMAL through the window (exact,
+    order-independent accumulation) and only the final share divides
+    in doubles, rounded 6dp on both engines. Partitioned by nation —
+    no global-order window; at 100 TB the partition key is whatever
+    business dimension bounds the ranking scope."""
+    from kaylee_spark.functions import dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.round(F.sum(dec("o_totalprice")), 2).alias("rev_dec")
+    )
+    j = (
+        rev.join(customer, rev.custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "custkey", "rev_dec")
+    )
+    order = [F.desc("rev_dec"), F.asc("custkey")]
+    w_run = (
+        Window.partitionBy("nation")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("nation")
+    cum_share = F.round(
+        F.sum("rev_dec").over(w_run).cast("double")
+        / F.sum("rev_dec").over(w_all).cast("double"),
+        6,
+    )
+    out = j.select(
+        "nation",
+        "custkey",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.row_number().over(Window.partitionBy("nation").orderBy(*order)).cast("int").alias("rank"),
+        cum_share.alias("cum_share"),
+    )
+    return out.withColumn(
+        "abc_class",
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C"),
+    )
