@@ -238,3 +238,61 @@ def rollup_cascade(
         ).cache()
         out = out.unionByName(emit(cur, step))
     return out
+
+
+def linear_interpolate(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    key_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time-weighted linear interpolation of null gaps per key — the
+    resampling mode forward_fill cannot express: an interior null at
+    time t between anchors (t0, v0) and (t1, v1) becomes
+    v0 + (v1 - v0) * (t - t0) / (t1 - t0); leading/trailing nulls
+    take the nearest anchor (pandas interpolate(limit_direction=
+    'both') semantics). Adds ``<value_col>_filled``.
+
+    Determinism contract: anchor lookup is two frames over ONE
+    key-partitioned (ts, tiebreak) sort (Spark plans a single
+    exchange+sort; the following-frame window reuses it), gap ratios
+    are exact microsecond bigints divided once in doubles, and the
+    interpolated value rounds 6dp — identical IEEE arithmetic in any
+    engine. Timestamps are NTZ and deltas use pure timestamp
+    arithmetic (timestampdiff vs the NTZ epoch — never
+    unix_timestamp, which shifts with the session timezone). When
+    both anchors share one timestamp the ratio is undefined; the
+    previous anchor wins (mirrored in the oracle).
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak_cols or [])]
+    wp = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+    v = F.col(value_col)
+    anchor_t = F.when(v.isNotNull(), us)
+    pv = F.last(v, ignorenulls=True).over(wp)
+    nv = F.first(v, ignorenulls=True).over(wn)
+    pt = F.last(anchor_t, ignorenulls=True).over(wp)
+    nt = F.first(anchor_t, ignorenulls=True).over(wn)
+    ratio = (us - pt).cast("double") / (nt - pt).cast("double")
+    interp = F.round(pv + (nv - pv) * ratio, 6)
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(pv.isNotNull() & nv.isNotNull() & (nt != pt), interp)
+        .when(pv.isNotNull() & nv.isNotNull(), pv)
+        .otherwise(F.coalesce(pv, nv))
+    )
+    return df.withColumn(f"{value_col}_filled", filled.cast("double"))

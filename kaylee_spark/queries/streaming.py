@@ -554,6 +554,61 @@ def e17_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e22_interpolate",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,
+               date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) AS us
+        FROM events
+    ),
+    anch AS (
+        SELECT event_id, user_id, ts, v, us,
+               last_value(v IGNORE NULLS) OVER wp AS pv,
+               first_value(v IGNORE NULLS) OVER wn AS nv,
+               last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) OVER wp AS pt,
+               first_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) OVER wn AS nt
+        FROM base
+        WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, ts,
+           CAST(CASE WHEN v IS NOT NULL THEN v
+                     WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
+                          THEN ROUND(pv + (nv - pv)
+                               * (CAST(us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)), 6)
+                     WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv
+                     ELSE COALESCE(pv, nv)
+                END AS DOUBLE) AS v_filled
+    FROM anch
+    """,
+    extra=True,
+)
+def e22_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted LINEAR interpolation of sensor gaps — the fill
+    mode e14's carry-forward cannot express: error events' values play
+    the nulls, and each interior null becomes the time-proportional
+    blend of its bracketing anchors (leading/trailing nulls take the
+    nearest anchor). Two frames over ONE user-keyed (ts, event_id)
+    sort; gap ratios are exact microsecond bigints divided once in
+    doubles and rounded 6dp, so the IEEE bits match any engine
+    (operators/timeseries.py linear_interpolate)."""
+    from kaylee_spark.operators.timeseries import linear_interpolate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+    )
+    return linear_interpolate(
+        ev, "v", "ts", "user_id", tiebreak_cols=["event_id"]
+    ).select("event_id", "user_id", "ts", "v_filled")
+
+
+@query(
     "e18_streamed_dedup",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
     extra=True,

@@ -208,3 +208,76 @@ def test_rollup_cascade_equals_direct_aggregation_on_random_data(spark):
             .collect()
         )
         assert got == want, step
+
+
+# ---------------------------------------------------------------------------
+# linear_interpolate
+# ---------------------------------------------------------------------------
+
+
+def test_linear_interpolate_time_weighted_gap(spark):
+    from kaylee_spark.operators.timeseries import linear_interpolate
+
+    # anchors at 00:00 (v=10) and 00:30 (v=40); null at 00:10 sits a
+    # third of the way through the gap -> 10 + 30 * (1/3) = 20
+    df = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:00"), 10.0),
+            (1, ts("2024-01-01 00:10"), None),
+            (1, ts("2024-01-01 00:30"), 40.0),
+        ],
+        ["user", "t", "v"],
+    )
+    out = linear_interpolate(df, "v", "t", "user")
+    got = {r["t"]: r["v_filled"] for r in out.collect()}
+    assert got[ts("2024-01-01 00:00")] == 10.0
+    assert got[ts("2024-01-01 00:10")] == 20.0
+    assert got[ts("2024-01-01 00:30")] == 40.0
+
+
+def test_linear_interpolate_edge_nulls_take_nearest_anchor(spark):
+    from kaylee_spark.operators.timeseries import linear_interpolate
+
+    df = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:00"), None),  # leading -> next anchor
+            (1, ts("2024-01-01 00:10"), 5.0),
+            (1, ts("2024-01-01 00:20"), None),  # trailing -> prev anchor
+            (2, ts("2024-01-01 00:00"), None),  # all-null key stays null
+        ],
+        ["user", "t", "v"],
+    )
+    out = linear_interpolate(df, "v", "t", "user")
+    got = {(r["user"], r["t"]): r["v_filled"] for r in out.collect()}
+    assert got[(1, ts("2024-01-01 00:00"))] == 5.0
+    assert got[(1, ts("2024-01-01 00:20"))] == 5.0
+    assert got[(2, ts("2024-01-01 00:00"))] is None
+
+
+def test_linear_interpolate_equal_timestamp_anchors_take_previous(spark):
+    from kaylee_spark.operators.timeseries import linear_interpolate
+
+    # both anchors and the null share one timestamp: ratio is 0/0, the
+    # documented contract says the previous anchor wins
+    df = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:00"), 1, 3.0),
+            (1, ts("2024-01-01 00:00"), 2, None),
+            (1, ts("2024-01-01 00:00"), 3, 9.0),
+        ],
+        ["user", "t", "seq", "v"],
+    )
+    out = linear_interpolate(df, "v", "t", "user", tiebreak_cols=["seq"])
+    got = {r["seq"]: r["v_filled"] for r in out.collect()}
+    assert got == {1: 3.0, 2: 3.0, 3: 9.0}
+
+
+def test_linear_interpolate_single_exchange_plan(spark):
+    from kaylee_spark.operators.timeseries import linear_interpolate
+
+    df = spark.createDataFrame(
+        [(1, ts("2024-01-01 00:00"), 1.0)], ["user", "t", "v"]
+    )
+    plan = linear_interpolate(df, "v", "t", "user")._jdf.queryExecution().executedPlan().toString()
+    # both window frames must share ONE partition+sort, not shuffle twice
+    assert plan.count("Exchange") == 1

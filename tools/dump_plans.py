@@ -55,6 +55,7 @@ SHOWCASE = [
     ("t20_sequence_packing", "sequence packing: group-partitioned integer cumsum window into one group-keyed agg"),
     ("d12_incremental_neardup", "incremental near-dup: broadcast hot-set anti-join + broadcast increment-shingle semi-join drive the corpus side"),
     ("d13_lsh_index_probe", "persisted-index probe: broadcast increment buckets against band-partitioned parquet, verify on candidate postings only"),
+    ("e22_interpolate", "linear interpolation: both anchor frames share ONE user-keyed sort, no second exchange"),
 ]
 
 
@@ -96,6 +97,7 @@ MUST_CONTAIN = {
     "t20_sequence_packing": ("Window", "ReadSchema: struct<doc_id:bigint,text:string,lang:string>",),
     "d12_incremental_neardup": ("LeftSemi", "LeftAnti", "BroadcastExchange"),
     "d13_lsh_index_probe": ("LeftSemi", "BroadcastExchange"),
+    "e22_interpolate": ("Window",),
 }
 
 
