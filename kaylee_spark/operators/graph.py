@@ -353,3 +353,71 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.lit(n_wedges).cast("bigint").alias("n_wedges"),
         F.lit(n_tri).cast("bigint").alias("n_triangles"),
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-source breadth-first hop distance over a directed
+    (src, dst) bigint edge list: every node reachable from the seed
+    set within ``max_hops`` edges gets its minimum hop count. Pass
+    both edge directions for an undirected graph. Returns (id, dist);
+    unreached nodes are absent. ``sources`` must have an ``id``
+    column.
+
+    Scale shape — FRONTIER expansion, not full relaxation: iteration k
+    joins the edge list against only the nodes FIRST reached at k-1
+    (the frontier), not the whole reached set, and an anti-join
+    against the reached set keeps only genuinely new nodes, so
+    per-iteration work is proportional to the frontier's out-edges
+    and falls as the frontier saturates; the loop exits early when a
+    frontier comes back empty. The reached set is a union of small
+    per-level cached frames (each materialized once — also the
+    lineage-truncation point for the loop), and the edge list is the
+    only large input, cached once and reused every hop. Distances
+    are exact integers (first-reach level), so the result is a pure
+    function of the graph — bit-identical in any engine and at any
+    shuffle width, which is what lets a full-relaxation SQL oracle
+    (min over <= k-hop paths) verify this frontier implementation:
+    both compute the same minimum.
+
+    ``shuffle_partitions`` pins the loop's shuffle width exactly like
+    pagerank() — see its docstring for the near-empty-partition
+    overhead math; integer distances are width-independent.
+    """
+    if max_hops < 0:
+        raise ValueError(f"bfs_distances requires max_hops >= 0, got {max_hops}")
+    if shuffle_partitions is not None:
+        spark = edges.sparkSession
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        try:
+            out = bfs_distances(edges, sources, max_hops).cache()
+            out.count()
+            return out
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    edges = edges.select("src", "dst").cache()
+    frontier = sources.select(F.col("id").cast("bigint").alias("id")).distinct().cache()
+    if frontier.count() == 0:
+        raise ValueError("bfs_distances requires a non-empty source set")
+    levels = [frontier.select("id", F.lit(0).cast("int").alias("dist"))]
+    reached = levels[0]
+    for k in range(1, max_hops + 1):
+        new = (
+            edges.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(reached.select("id"), "id", "left_anti")
+            .select("id", F.lit(k).cast("int").alias("dist"))
+            .cache()
+        )
+        if new.count() == 0:
+            break
+        levels.append(new)
+        reached = reached.unionByName(new)
+        frontier = new.select("id")
+    return reached

@@ -9,6 +9,7 @@ all arithmetic integer multiply / floor-divide / sum.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kaylee_spark.operators.graph import (
     DAMPING_DEN,
@@ -21,6 +22,7 @@ from kaylee_spark.operators.graph import (
     triangle_stats,
 )
 from kaylee_spark.queries import query
+from kaylee_spark.sources import load_table
 
 _BASE = RANK_SCALE * 3 // 20  # (1 - 0.85) * RANK_SCALE, exactly
 
@@ -175,3 +177,61 @@ def g03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(m^1.5) instead of the celebrity-quadratic naive Σdeg². One row:
     nodes, edges, oriented wedges, triangles."""
     return triangle_stats(coorder_part_edges(spark, sf_dir))
+
+
+def _bfs_oracle(max_hops: int = 3) -> str:
+    steps = []
+    prev = "r0"
+    for k in range(1, max_hops + 1):
+        steps.append(
+            f"""r{k} AS (
+        SELECT id, MIN(dist) AS dist FROM (
+            SELECT id, dist FROM {prev}
+            UNION ALL
+            SELECT e.dst AS id, r.dist + 1 AS dist
+            FROM edges e JOIN {prev} r ON e.src = r.id
+        ) GROUP BY id
+    )"""
+        )
+        prev = f"r{k}"
+    return f"""
+    WITH fwd AS (
+        SELECT DISTINCT o_custkey AS src,
+               l_suppkey + {SUPPLIER_OFFSET} AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd
+    ),
+    r0 AS (
+        SELECT DISTINCT s_suppkey + {SUPPLIER_OFFSET} AS id, 0 AS dist
+        FROM supplier WHERE s_nationkey = 0
+    ),
+    {",".join(steps)}
+    SELECT id, CAST(dist AS INT) AS dist FROM {prev}
+    """
+
+
+@query("g04_bfs_reach", oracle=_bfs_oracle(3), extra=True)
+def g04_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain blast radius: minimum hop distance from nation-0's
+    suppliers to every node of the UNDIRECTED customer<->supplier
+    demand graph within 3 hops (0 = seed suppliers, 1 = their
+    customers, 2 = those customers' other suppliers, 3 = the wider
+    customer ring). Frontier-expansion BFS — each hop joins edges
+    against only the newly-reached frontier and anti-joins the
+    reached set (operators/graph.py bfs_distances); the oracle
+    verifies it against the full-relaxation form (min over <= 3-hop
+    paths), which computes the same minimum."""
+    from kaylee_spark.operators.graph import bfs_distances
+
+    fwd = customer_supplier_edges(spark, sf_dir)
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select((F.col("s_suppkey") + F.lit(SUPPLIER_OFFSET)).alias("id"))
+    )
+    return bfs_distances(edges, seeds, max_hops=3, shuffle_partitions=8)

@@ -106,3 +106,61 @@ def test_triangle_stats_k4_every_wedge_closes(spark):
     )
     r = triangle_stats(k4).collect()[0]
     assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (4, 6, 4, 4)
+
+
+# ---------------------------------------------------------------------------
+# bfs_distances
+# ---------------------------------------------------------------------------
+
+
+def _bfs(spark, edges, sources, **kw):
+    from kaylee_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    s = spark.createDataFrame([(x,) for x in sources], ["id"])
+    out = bfs_distances(e, s, **kw)
+    return {r["id"]: r["dist"] for r in out.collect()}
+
+
+def test_bfs_path_graph_levels(spark):
+    # 1 -> 2 -> 3 -> 4 -> 5, seeds {1}: dist = position; 5 beyond max_hops=3
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    got = _bfs(spark, edges, [1], max_hops=3)
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_multi_source_takes_minimum(spark):
+    # seeds {1, 5} on a path: node 3 is 2 hops from both sides
+    edges = [(1, 2), (2, 3), (5, 4), (4, 3)]
+    got = _bfs(spark, edges, [1, 5], max_hops=3)
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_early_exit_and_unreachable_absent(spark):
+    # component {1,2} exhausts at hop 1; {8,9} never appears
+    edges = [(1, 2), (8, 9)]
+    got = _bfs(spark, edges, [1], max_hops=5)
+    assert got == {1: 0, 2: 1}
+
+
+def test_bfs_cycle_does_not_relabel(spark):
+    edges = [(1, 2), (2, 3), (3, 1)]
+    got = _bfs(spark, edges, [1], max_hops=4)
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_zero_hops_returns_seeds_only(spark):
+    got = _bfs(spark, [(1, 2)], [1], max_hops=0)
+    assert got == {1: 0}
+
+
+def test_bfs_contract_errors(spark):
+    import pytest
+    from kaylee_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    s = spark.createDataFrame([], "id bigint")
+    with pytest.raises(ValueError):
+        bfs_distances(e, s)
+    with pytest.raises(ValueError):
+        bfs_distances(e, spark.createDataFrame([(1,)], ["id"]), max_hops=-1)
