@@ -296,3 +296,51 @@ def linear_interpolate(
         .otherwise(F.coalesce(pv, nv))
     )
     return df.withColumn(f"{value_col}_filled", filled.cast("double"))
+
+
+def rolling_zscore(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    key_col: str,
+    window_rows: int = 20,
+    threshold: float = 3.0,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly detection: each value is scored
+    against the mean/stddev of its key's PREVIOUS ``window_rows``
+    values — the row's own value is excluded, because an inclusive
+    window dilutes the very spike being tested (a lone 50-sigma spike
+    in a 20-row inclusive window caps its own z below 4.4). Adds ``z``
+    (6dp, null when the history is empty or constant) and
+    ``is_anomaly`` (|z| > threshold, never null).
+
+    Determinism contract: the window moments are EXACT — values
+    accumulate as decimal(18,2) and squares as decimal(38,4) (2-dp
+    inputs have 4-dp squares; the double multiply's error is orders of
+    magnitude below the cast's half-ulp, so the cast recovers the
+    exact rational in any engine). mean/variance/sqrt are then one
+    fixed IEEE expression over those exact sums; variance clamps at 0
+    before sqrt (float cancellation can leave ~-1e-16). The flag
+    compares the ROUNDED z so both engines threshold the same number.
+
+    Scale shape: ONE key-partitioned (ts, tiebreak) sort carries all
+    three frame aggregates — a single exchange, no self-join, and the
+    window slides in O(1) per row (count/sum frames, not holistic).
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak_cols or [])]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-window_rows, -1)
+    )
+    v = F.col(value_col)
+    n = F.count(v).over(w)
+    sv = F.sum(v.cast("decimal(18,2)")).over(w).cast("double")
+    svv = F.sum((v * v).cast("decimal(38,4)")).over(w).cast("double")
+    mean = sv / n
+    sd = F.sqrt(F.greatest((svv - sv * sv / n) / n, F.lit(0.0)))
+    z = F.round((v - mean) / sd, 6)
+    return df.withColumn("z", F.when(sd > 0, z)).withColumn(
+        "is_anomaly", F.coalesce(F.abs(F.col("z")) > F.lit(threshold), F.lit(False))
+    )

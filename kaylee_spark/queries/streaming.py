@@ -609,6 +609,48 @@ def e22_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e23_rolling_anomaly",
+    oracle="""
+    WITH w AS (
+        SELECT event_id, user_id, ts, value,
+               COUNT(value) OVER win AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER win AS DOUBLE) AS sv,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,4))) OVER win AS DOUBLE) AS svv
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ),
+    m AS (
+        SELECT event_id, user_id, ts, value, sv / n AS mean,
+               sqrt(greatest((svv - sv * sv / n) / n, 0.0)) AS sd
+        FROM w
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN sd > 0 THEN ROUND((value - mean) / sd, 6) END AS z,
+           COALESCE(abs(CASE WHEN sd > 0
+                             THEN ROUND((value - mean) / sd, 6) END) > 3.0,
+                    FALSE) AS is_anomaly
+    FROM m
+    """,
+    extra=True,
+)
+def e23_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags: each event scored against its
+    user's PREVIOUS 20 events' mean/stddev (self-excluded so a spike
+    cannot dilute its own score). Window moments accumulate as
+    exact decimals (values 18,2; squares 38,4) so the mean/variance
+    bits match any engine; one key-partitioned sort carries all three
+    frame aggregates (operators/timeseries.py rolling_zscore)."""
+    from kaylee_spark.operators.timeseries import rolling_zscore
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_zscore(
+        ev, "value", "ts", "user_id", window_rows=20, threshold=3.0,
+        tiebreak_cols=["event_id"],
+    ).select("event_id", "user_id", "ts", "z", "is_anomaly")
+
+
+@query(
     "e18_streamed_dedup",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
     extra=True,

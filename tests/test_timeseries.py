@@ -281,3 +281,63 @@ def test_linear_interpolate_single_exchange_plan(spark):
     plan = linear_interpolate(df, "v", "t", "user")._jdf.queryExecution().executedPlan().toString()
     # both window frames must share ONE partition+sort, not shuffle twice
     assert plan.count("Exchange") == 1
+
+
+# ---------------------------------------------------------------------------
+# rolling_zscore
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    from kaylee_spark.operators.timeseries import rolling_zscore
+
+    # mildly noisy history (sd = 1) so the window is non-degenerate,
+    # then a spike; scoring is vs the PRECEDING window, so the spike
+    # cannot dilute its own z
+    rows = [(1, ts(f"2024-01-01 00:{m:02d}"), 10.0 + (m % 2) * 2) for m in range(10)]
+    rows[7] = (1, ts("2024-01-01 00:07"), 500.0)  # the spike
+    df = spark.createDataFrame(rows, ["user", "t", "v"])
+    out = rolling_zscore(df, "v", "t", "user", window_rows=20).collect()
+    flagged = {r["t"]: r["is_anomaly"] for r in out}
+    assert flagged[ts("2024-01-01 00:07")] is True
+    assert sum(flagged.values()) == 1  # nothing else trips, incl. post-spike rows
+
+
+def test_rolling_zscore_constant_series_never_flags(spark):
+    from kaylee_spark.operators.timeseries import rolling_zscore
+
+    df = spark.createDataFrame(
+        [(1, ts(f"2024-01-01 00:{m:02d}"), 7.0) for m in range(5)],
+        ["user", "t", "v"],
+    )
+    out = rolling_zscore(df, "v", "t", "user").collect()
+    assert all(r["z"] is None for r in out)        # sd == 0 -> degenerate
+    assert all(r["is_anomaly"] is False for r in out)  # flag never null
+
+
+def test_rolling_zscore_window_is_trailing_and_bounded(spark):
+    from kaylee_spark.operators.timeseries import rolling_zscore
+
+    # window_rows=3: at 00:03 the window is {100, 10, 10} — the old
+    # spike at 00:00 must have slid out by 00:04 where it's {10,10,10}
+    rows = [
+        (1, ts("2024-01-01 00:00"), 100.0),
+        (1, ts("2024-01-01 00:01"), 10.0),
+        (1, ts("2024-01-01 00:02"), 10.0),
+        (1, ts("2024-01-01 00:03"), 10.0),
+        (1, ts("2024-01-01 00:04"), 10.0),
+    ]
+    out = rolling_zscore(
+        spark.createDataFrame(rows, ["user", "t", "v"]), "v", "t", "user", window_rows=3
+    ).collect()
+    got = {r["t"]: r["z"] for r in out}
+    assert got[ts("2024-01-01 00:03")] is not None  # spike still in window
+    assert got[ts("2024-01-01 00:04")] is None      # constant window again
+
+
+def test_rolling_zscore_single_exchange_plan(spark):
+    from kaylee_spark.operators.timeseries import rolling_zscore
+
+    df = spark.createDataFrame([(1, ts("2024-01-01 00:00"), 1.0)], ["user", "t", "v"])
+    plan = rolling_zscore(df, "v", "t", "user")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
