@@ -344,3 +344,72 @@ def rolling_zscore(
     return df.withColumn("z", F.when(sd > 0, z)).withColumn(
         "is_anomaly", F.coalesce(F.abs(F.col("z")) > F.lit(threshold), F.lit(False))
     )
+
+
+def ewma(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    max_lags: int = 24,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average (pandas
+    ``ewm(adjust=True)`` semantics, truncated at ``max_lags`` terms):
+
+        ewma_n = Σ_k w_k · v_{n-k} / Σ_k w_k,   w_k = (1-α)^k,
+                 k over the row's most recent min(n, max_lags) values.
+
+    Adds ``<value_col>_ewma`` (6dp). The truncation is part of the
+    operator's definition, not an approximation error: with α = 0.5
+    and 24 lags the dropped tail weighs < 6e-8 of the total — below
+    the 6dp rounding — and BOTH the operator and any SQL twin compute
+    the same truncated sum, so results stay bit-identical.
+
+    Determinism contract: the weights are precomputed driver-side and
+    emitted as full-precision double literals, so any engine multiplies
+    and adds the SAME numbers in the SAME left-to-right order — one
+    fixed IEEE expression, no accumulation-order freedom. Nulls in the
+    value column contribute nothing to numerator or denominator (their
+    weight is skipped, matching pandas ignore_na=False only for
+    non-null tails; document gaps accordingly).
+
+    Scale shape: ``max_lags`` lag() calls over ONE key-partitioned
+    (ts, tiebreak) sort — a single exchange; the chain is a row-local
+    codegen projection after the sort, no self-joins, no state.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"ewma requires 0 < alpha <= 1, got {alpha}")
+    if max_lags < 1:
+        raise ValueError(f"ewma requires max_lags >= 1, got {max_lags}")
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    weights = [(1.0 - alpha) ** k for k in range(max_lags)]
+    v = F.col(value_col)
+    num = F.coalesce(v * F.lit(weights[0]), F.lit(0.0))
+    den = F.when(v.isNotNull(), F.lit(weights[0])).otherwise(F.lit(0.0))
+    for k in range(1, max_lags):
+        lagged = F.lag(v, k).over(w)
+        num = num + F.coalesce(lagged * F.lit(weights[k]), F.lit(0.0))
+        den = den + F.when(lagged.isNotNull(), F.lit(weights[k])).otherwise(F.lit(0.0))
+    out = F.when(den > 0, F.round(num / den, 6))
+    return df.withColumn(f"{value_col}_ewma", out)
+
+
+def ewma_oracle_terms(alpha: float = 0.5, max_lags: int = 24, value_sql: str = "value") -> tuple[str, str]:
+    """The (numerator, denominator) SQL for ewma()'s weighted chain,
+    with the SAME driver-computed weight literals in the SAME
+    left-to-right order — the ANSI twin any SQL engine evaluates to
+    identical bits. lag() references must resolve against a window
+    named ``win`` in the calling query."""
+    weights = [(1.0 - alpha) ** k for k in range(max_lags)]
+    num = [f"COALESCE({value_sql} * {weights[0]!r}, 0.0)"]
+    den = [f"CASE WHEN {value_sql} IS NOT NULL THEN {weights[0]!r} ELSE 0.0 END"]
+    for k in range(1, max_lags):
+        num.append(f"COALESCE(lag({value_sql}, {k}) OVER win * {weights[k]!r}, 0.0)")
+        den.append(
+            f"CASE WHEN lag({value_sql}, {k}) OVER win IS NOT NULL"
+            f" THEN {weights[k]!r} ELSE 0.0 END"
+        )
+    return " + ".join(num), " + ".join(den)

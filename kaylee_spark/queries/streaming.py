@@ -650,6 +650,36 @@ def e23_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "z", "is_anomaly")
 
 
+def _ewma_oracle() -> str:
+    from kaylee_spark.operators.timeseries import ewma_oracle_terms
+
+    num, den = ewma_oracle_terms(alpha=0.5, max_lags=24, value_sql="value")
+    return f"""
+    SELECT event_id, user_id, ts,
+           CASE WHEN ({den}) > 0
+                THEN ROUND(({num}) / ({den}), 6) END AS value_ewma
+    FROM events
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@query("e24_ewma", oracle=_ewma_oracle(), extra=True)
+def e24_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average (alpha 0.5,
+    24-lag truncation, pandas adjust=True semantics) of event values.
+    The lag weights are driver-computed double literals shared with
+    the oracle SQL, so both engines run the identical left-to-right
+    IEEE chain over ONE user-keyed sort
+    (operators/timeseries.py ewma / ewma_oracle_terms)."""
+    from kaylee_spark.operators.timeseries import ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma(
+        ev, "value", "ts", "user_id", alpha=0.5, max_lags=24,
+        tiebreak_cols=["event_id"],
+    ).select("event_id", "user_id", "ts", "value_ewma")
+
+
 @query(
     "e18_streamed_dedup",
     oracle="SELECT DISTINCT user_id, event_type FROM events",

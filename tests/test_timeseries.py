@@ -341,3 +341,59 @@ def test_rolling_zscore_single_exchange_plan(spark):
     df = spark.createDataFrame([(1, ts("2024-01-01 00:00"), 1.0)], ["user", "t", "v"])
     plan = rolling_zscore(df, "v", "t", "user")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+# ---------------------------------------------------------------------------
+# ewma
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_pandas_adjusted(spark):
+    import pandas as pd
+
+    from kaylee_spark.operators.timeseries import ewma
+
+    vals = [10.0, 20.0, 5.0, 40.0, 15.0, 30.0]
+    df = spark.createDataFrame(
+        [(1, ts(f"2024-01-01 00:{m:02d}"), v) for m, v in enumerate(vals)],
+        ["user", "t", "v"],
+    )
+    out = ewma(df, "v", "t", "user", alpha=0.5, max_lags=24)
+    got = [r["v_ewma"] for r in out.orderBy("t").collect()]
+    want = pd.Series(vals).ewm(alpha=0.5, adjust=True).mean()
+    # series shorter than max_lags -> identical to untruncated pandas
+    assert got == [round(x, 6) for x in want]
+
+
+def test_ewma_truncation_and_null_handling(spark):
+    from kaylee_spark.operators.timeseries import ewma
+
+    # max_lags=2: row 3 sees only {v3, v2}; null v2 drops out of both
+    # numerator and denominator (weights renormalize over what's there)
+    df = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:00"), 100.0),
+            (1, ts("2024-01-01 00:01"), None),
+            (1, ts("2024-01-01 00:02"), 30.0),
+        ],
+        ["user", "t", "v"],
+    )
+    out = ewma(df, "v", "t", "user", alpha=0.5, max_lags=2)
+    got = {r["t"]: r["v_ewma"] for r in out.collect()}
+    assert got[ts("2024-01-01 00:00")] == 100.0
+    assert got[ts("2024-01-01 00:01")] == 100.0   # only the lag survives
+    assert got[ts("2024-01-01 00:02")] == 30.0    # null lag contributes nothing
+
+
+def test_ewma_contract_errors_and_plan(spark):
+    import pytest
+
+    from kaylee_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame([(1, ts("2024-01-01 00:00"), 1.0)], ["user", "t", "v"])
+    with pytest.raises(ValueError):
+        ewma(df, "v", "t", "user", alpha=0.0)
+    with pytest.raises(ValueError):
+        ewma(df, "v", "t", "user", max_lags=0)
+    plan = ewma(df, "v", "t", "user")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # 24 lags ride one sort
