@@ -262,3 +262,46 @@ def sessionize(
         )
         .drop("__prev", "__brk")
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    type_col: str = "event_type",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-order Markov transition matrix of an event stream: for
+    every ordered pair of consecutive event types WITHIN a key's
+    timeline, the transition count and the conditional probability
+    ``P(next | prev)``.
+
+    Output: one row per observed (prev_type, next_type) pair with
+    ``n_transitions`` (exact bigint) and ``p_transition`` (count /
+    prev-type total, rounded to 6dp — integer inputs, one IEEE
+    division, so any engine reproduces it bit-for-bit).
+
+    Scale shape: ONE exchange keyed on ``key_col`` for the lag, then a
+    map-side-combined count aggregate whose output cardinality is at
+    most |types|² — the window that turns counts into probabilities
+    runs over that tiny aggregate, never over the raw events. At
+    100 TB the only full-data shuffle is the per-user sort, which any
+    sequence analytics needs anyway and which AQE can share with
+    other per-user windows in the same job.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    seq = events.withColumn("__prev", F.lag(type_col).over(w)).where(
+        F.col("__prev").isNotNull()
+    )
+    counts = seq.groupBy(
+        F.col("__prev").alias("prev_type"), F.col(type_col).alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    tw = Window.partitionBy("prev_type")
+    total = F.sum("n_transitions").over(tw)
+    return counts.withColumn(
+        "p_transition",
+        F.round(
+            F.col("n_transitions").cast("double") / total.cast("double"), 6
+        ),
+    )

@@ -681,6 +681,41 @@ def e24_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e25_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           COUNT(*) AS n_transitions,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS DOUBLE),
+                 6) AS p_transition
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    extra=True,
+)
+def e25_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event streams:
+    P(next event type | previous event type) with exact transition
+    counts. One user-keyed exchange for the lag, a map-side-combined
+    count over at most |types|^2 keys, and the probability window runs
+    over that tiny aggregate — never the raw events
+    (operators/analytics.py markov_transitions)."""
+    from kaylee_spark.operators.analytics import markov_transitions
+
+    ev = load_table(spark, sf_dir, "events")
+    return markov_transitions(ev, tiebreak_cols=["event_id"]).select(
+        "prev_type", "next_type", "n_transitions", "p_transition"
+    )
+
+
+@query(
     "e18_streamed_dedup",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
     extra=True,

@@ -135,3 +135,64 @@ def test_sessionize_single_exchange(spark):
     plan = sessionize(ev)._jdf.queryExecution().executedPlan().toString()
     # lag + running sum must ride ONE user-keyed exchange
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_markov_transitions_counts_and_probs(spark):
+    from kaylee_spark.operators.analytics import markov_transitions
+
+    # user 1: A -> B -> A -> C ; user 2: B -> A
+    rows = [
+        (1, 1, ts("2024-01-01 10:00:00"), "A"),
+        (2, 1, ts("2024-01-01 10:01:00"), "B"),
+        (3, 1, ts("2024-01-01 10:02:00"), "A"),
+        (4, 1, ts("2024-01-01 10:03:00"), "C"),
+        (5, 2, ts("2024-01-01 10:00:00"), "B"),
+        (6, 2, ts("2024-01-01 10:01:00"), "A"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    out = markov_transitions(ev, tiebreak_cols=["event_id"])
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n_transitions"], r["p_transition"])
+        for r in out.collect()
+    }
+    # transitions: A->B (1), B->A (2), A->C (1); first event per user excluded
+    assert got == {
+        ("A", "B"): (1, 0.5),
+        ("A", "C"): (1, 0.5),
+        ("B", "A"): (2, 1.0),
+    }
+
+
+def test_markov_transitions_probs_sum_to_one(spark):
+    from pyspark.sql import functions as F
+
+    from kaylee_spark.operators.analytics import markov_transitions
+    from kaylee_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = markov_transitions(ev, tiebreak_cols=["event_id"])
+    sums = (
+        out.groupBy("prev_type")
+        .agg(F.round(F.sum("p_transition"), 4).alias("s"))
+        .collect()
+    )
+    assert sums and all(abs(r["s"] - 1.0) < 1e-3 for r in sums)
+
+
+def test_markov_transitions_single_full_exchange(spark):
+    from kaylee_spark.operators.analytics import markov_transitions
+
+    ev = spark.createDataFrame(
+        [(1, 1, ts("2024-01-01 10:00:00"), "A")],
+        ["event_id", "user_id", "ts", "event_type"],
+    )
+    plan = (
+        markov_transitions(ev, tiebreak_cols=["event_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the raw events shuffle once (user-keyed lag); everything after
+    # operates on the |types|^2-row aggregate
+    before_agg = plan.split("HashAggregate")[-1]
+    assert before_agg.count("Exchange hashpartitioning") == 1
