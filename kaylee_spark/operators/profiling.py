@@ -18,7 +18,7 @@ call for a wide 100 TB table where ±2% cardinality is plenty.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: dtypes whose min/max are emitted (cast to double — exact for the
@@ -117,4 +117,64 @@ def equidepth_histogram(
             F.min(value_col).alias("min_value"),
             F.max(value_col).alias("max_value"),
         )
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-group Spearman rank correlation between two numeric columns,
+    with average ranks for ties (the textbook definition).
+
+    Output: one row per group with ``n`` and ``spearman_rho`` (6dp;
+    null when either column is constant within the group).
+
+    Determinism contract: ranks are exact integers. The doubled
+    average rank ``2·rank + peers − 1`` (an integer — avoids the .5
+    halves ties introduce) feeds exact BIGINT sufficient statistics
+    (Σr, Σr², Σrxry, all ≤ 4n³ so they fit bigint up to ~10⁸ rows per
+    group); the final Pearson-on-ranks combination is a fixed sequence
+    of individually-rounded IEEE double ops (each a single mul/sub/
+    sqrt on exact-integer inputs), so any engine reproduces the same
+    bits. The doubling cancels: numerator and the two variance factors
+    each scale by 4.
+
+    Scale shape: per axis, ONE group-keyed exchange carries both the
+    rank window and the tie-peer count (the peer count is a RANGE
+    CURRENT ROW frame riding the SAME sort, not a second partitioning);
+    Spark plans one Exchange + two sorts for both axes, then the final
+    aggregate reuses the group partitioning. No self-joins, no
+    collect. Groups larger than ~10⁸ rows would overflow the bigint
+    Σr² — at that size switch the sums to decimal(38,0).
+    """
+    wx = Window.partitionBy(*group_cols).orderBy(F.col(x_col).asc())
+    wy = Window.partitionBy(*group_cols).orderBy(F.col(y_col).asc())
+    peers_x = F.count(F.lit(1)).over(wx.rangeBetween(Window.currentRow, Window.currentRow))
+    peers_y = F.count(F.lit(1)).over(wy.rangeBetween(Window.currentRow, Window.currentRow))
+    rx = (2 * F.rank().over(wx) + peers_x - 1).cast("long")
+    ry = (2 * F.rank().over(wy) + peers_y - 1).cast("long")
+    ranked = df.select(*group_cols, rx.alias("__rx"), ry.alias("__ry"))
+    s = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__rx").alias("__sx"),
+        F.sum("__ry").alias("__sy"),
+        F.sum(F.col("__rx") * F.col("__rx")).alias("__sxx"),
+        F.sum(F.col("__ry") * F.col("__ry")).alias("__syy"),
+        F.sum(F.col("__rx") * F.col("__ry")).alias("__sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    cov = nd * sxy - sx * sy
+    varx = nd * sxx - sx * sx
+    vary = nd * syy - sy * sy
+    rho = F.when(
+        (varx > 0) & (vary > 0), F.round(cov / F.sqrt(varx * vary), 6)
+    )
+    return s.withColumn("spearman_rho", rho).drop(
+        "__sx", "__sy", "__sxx", "__syy", "__sxy"
     )

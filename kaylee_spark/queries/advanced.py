@@ -808,3 +808,62 @@ def a23_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.duration_ms").alias("duration_ms"),
         F.col("meta.n_bytes").alias("n_bytes"),
     )
+
+
+@query(
+    "a24_spearman_corr",
+    oracle="""
+    WITH r AS (
+        SELECT l_returnflag, l_linestatus,
+               2 * RANK() OVER (PARTITION BY l_returnflag, l_linestatus
+                                ORDER BY l_quantity)
+                 + COUNT(*) OVER (PARTITION BY l_returnflag, l_linestatus
+                                  ORDER BY l_quantity
+                                  RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+                 - 1 AS rx,
+               2 * RANK() OVER (PARTITION BY l_returnflag, l_linestatus
+                                ORDER BY l_extendedprice)
+                 + COUNT(*) OVER (PARTITION BY l_returnflag, l_linestatus
+                                  ORDER BY l_extendedprice
+                                  RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+                 - 1 AS ry
+        FROM lineitem
+    ), s AS (
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+               CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+               CAST(SUM(ry * ry) AS BIGINT) AS syy,
+               CAST(SUM(rx * ry) AS BIGINT) AS sxy
+        FROM r GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus, n,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                           6)
+           END AS spearman_rho
+    FROM s
+    """,
+    extra=True,
+)
+def a24_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(returnflag, linestatus) Spearman rank correlation between
+    quantity and extended price, average-rank tie handling. Ranks are
+    exact integers (doubled to keep tie halves integral), the
+    sufficient statistics are exact BIGINT sums, and the final
+    Pearson-on-ranks combination is a fixed chain of single IEEE ops —
+    so the oracle bit-matches despite being a float statistic
+    (operators/profiling.py spearman_corr)."""
+    from kaylee_spark.operators.profiling import spearman_corr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return spearman_corr(
+        li, "l_quantity", "l_extendedprice", ["l_returnflag", "l_linestatus"]
+    ).select("l_returnflag", "l_linestatus", "n", "spearman_rho")

@@ -158,3 +158,51 @@ def test_equidepth_histogram_counts_are_exhaustive(spark):
     for r in out.collect():
         got[r["grp"]] += r["n_rows"]
     assert got == {"a": 500, "b": 300}
+
+
+# ---------------------------------------------------------------------------
+# spearman_corr
+# ---------------------------------------------------------------------------
+
+
+def test_spearman_matches_pandas_with_ties(spark):
+    import pandas as pd
+
+    from kaylee_spark.operators.profiling import spearman_corr
+
+    xs = [1.0, 2.0, 2.0, 3.0, 5.0, 4.0, 2.5, 7.0]
+    ys = [2.0, 4.0, 3.0, 7.0, 9.0, 9.0, 5.0, 12.0]
+    df = spark.createDataFrame([("g", x, y) for x, y in zip(xs, ys)], ["g", "x", "y"])
+    got = spearman_corr(df, "x", "y", ["g"]).collect()[0]
+    # pearson on average ranks == spearman (avoids pandas' scipy dep)
+    want = pd.Series(xs).rank().corr(pd.Series(ys).rank())
+    assert got["n"] == len(xs)
+    assert got["spearman_rho"] == round(want, 6)
+
+
+def test_spearman_perfect_and_constant(spark):
+    from kaylee_spark.operators.profiling import spearman_corr
+
+    rows = [("up", float(i), float(i * 10)) for i in range(5)]
+    rows += [("down", float(i), float(-i)) for i in range(5)]
+    rows += [("flat", float(i), 3.0) for i in range(5)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    got = {r["g"]: r["spearman_rho"] for r in spearman_corr(df, "x", "y", ["g"]).collect()}
+    assert got["up"] == 1.0
+    assert got["down"] == -1.0
+    assert got["flat"] is None  # zero variance -> undefined, not a crash
+
+
+def test_spearman_single_exchange_plan(spark):
+    from kaylee_spark.operators.profiling import spearman_corr
+
+    df = spark.createDataFrame([("g", 1.0, 2.0)], ["g", "x", "y"])
+    plan = (
+        spearman_corr(df, "x", "y", ["g"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # both rank windows and the final aggregate ride ONE group-keyed
+    # exchange (two sorts, zero re-shuffles)
+    assert plan.count("Exchange hashpartitioning") == 1
