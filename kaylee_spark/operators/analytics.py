@@ -305,3 +305,78 @@ def markov_transitions(
             F.col("n_transitions").cast("double") / total.cast("double"), 6
         ),
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_item_support: int = 10,
+    min_pair_support: int = 3,
+) -> DataFrame:
+    """Pairwise market-basket association rules (the apriori 2-itemset
+    pass): for every unordered item pair that co-occurs in at least
+    ``min_pair_support`` baskets, the joint support plus directional
+    confidence and symmetric lift.
+
+    Output: (item_a, item_b) with item_a < item_b, ``n_both``,
+    ``n_a``, ``n_b``, ``confidence_a_to_b`` = n_both/n_a,
+    ``confidence_b_to_a`` = n_both/n_b, and
+    ``lift`` = n_both·N / (n_a·n_b), each 6dp. All inputs to the
+    ratios are exact bigint counts and each ratio is a fixed chain of
+    single IEEE ops, so any engine reproduces the bits.
+
+    Scale shape — the apriori prune is the whole game: items below
+    ``min_item_support`` are dropped BEFORE pair expansion via a
+    broadcast semi-join of the frequent-item set, so a basket of k
+    surviving items expands to k(k−1)/2 pairs and the self-join is
+    keyed on the basket id (both sides share one hash partitioning;
+    AQE reuses the exchange). The basket count N is pulled to the
+    driver once and folded into the plan as a literal — a scalar
+    ATTACHED as a 1-row frame would compile to a nested-loop join.
+    A pathological basket with millions of items would still blow up
+    k²; cap basket size upstream (e.g. approx_count per basket gate)
+    if the domain allows such baskets.
+    """
+    items = df.select(basket_col, item_col).distinct()
+    n_baskets = items.select(basket_col).distinct().count()
+    supp = items.groupBy(item_col).agg(F.count(F.lit(1)).alias("n_item"))
+    frequent = supp.where(F.col("n_item") >= min_item_support)
+    kept = items.join(
+        F.broadcast(frequent.select(item_col)), item_col, "semi"
+    )
+    a = kept.select(
+        F.col(basket_col).alias("__bk"), F.col(item_col).alias("item_a")
+    )
+    b = kept.select(
+        F.col(basket_col).alias("__bk"), F.col(item_col).alias("item_b")
+    )
+    pairs = (
+        a.join(b, "__bk")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= min_pair_support)
+    )
+    sa = frequent.select(
+        F.col(item_col).alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    sb = frequent.select(
+        F.col(item_col).alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    out = pairs.join(F.broadcast(sa), "item_a").join(F.broadcast(sb), "item_b")
+    nb = F.col("n_both").cast("double")
+    na = F.col("n_a").cast("double")
+    nbb = F.col("n_b").cast("double")
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        F.round(nb / na, 6).alias("confidence_a_to_b"),
+        F.round(nb / nbb, 6).alias("confidence_b_to_a"),
+        F.round(
+            (nb * F.lit(float(n_baskets))) / (na * nbb), 6
+        ).alias("lift"),
+    )

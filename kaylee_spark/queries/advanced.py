@@ -867,3 +867,50 @@ def a24_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_corr(
         li, "l_quantity", "l_extendedprice", ["l_returnflag", "l_linestatus"]
     ).select("l_returnflag", "l_linestatus", "n", "spearman_rho")
+
+
+@query(
+    "a25_association_rules",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem
+    ), freq AS (
+        SELECT item, COUNT(*) AS n_item FROM items
+        GROUP BY item HAVING COUNT(*) >= 10
+    ), kept AS (
+        SELECT i.bk, i.item FROM items i JOIN freq f ON i.item = f.item
+    ), pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_both
+        FROM kept a JOIN kept b ON a.bk = b.bk AND a.item < b.item
+        GROUP BY a.item, b.item HAVING COUNT(*) >= 3
+    ), tot AS (SELECT COUNT(DISTINCT bk) AS n_orders FROM items)
+    SELECT item_a, item_b, n_both,
+           fa.n_item AS n_a, fb.n_item AS n_b,
+           ROUND(CAST(n_both AS DOUBLE) / CAST(fa.n_item AS DOUBLE), 6)
+               AS confidence_a_to_b,
+           ROUND(CAST(n_both AS DOUBLE) / CAST(fb.n_item AS DOUBLE), 6)
+               AS confidence_b_to_a,
+           ROUND((CAST(n_both AS DOUBLE) * CAST(tot.n_orders AS DOUBLE))
+                 / (CAST(fa.n_item AS DOUBLE) * CAST(fb.n_item AS DOUBLE)), 6)
+               AS lift
+    FROM pairs
+    JOIN freq fa ON pairs.item_a = fa.item
+    JOIN freq fb ON pairs.item_b = fb.item
+    CROSS JOIN tot
+    """,
+    extra=True,
+)
+def a25_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: part pairs
+    co-ordered in >= 3 orders, with support, directional confidence,
+    and lift. The apriori prune (items in >= 10 orders, broadcast
+    semi-join) bounds the basket-keyed pair self-join BEFORE
+    expansion; the basket total is driver-folded into the plan as a
+    literal (operators/analytics.py association_rules)."""
+    from kaylee_spark.operators.analytics import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey",
+        min_item_support=10, min_pair_support=3,
+    )

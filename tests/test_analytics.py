@@ -196,3 +196,56 @@ def test_markov_transitions_single_full_exchange(spark):
     # operates on the |types|^2-row aggregate
     before_agg = plan.split("HashAggregate")[-1]
     assert before_agg.count("Exchange hashpartitioning") == 1
+
+
+def test_association_rules_exact_counts(spark):
+    from kaylee_spark.operators.analytics import association_rules
+
+    # baskets: {A,B,C}, {A,B}, {A,C}, {B}  -> N=4
+    rows = [(1, "A"), (1, "B"), (1, "C"), (2, "A"), (2, "B"), (3, "A"), (3, "C"), (4, "B")]
+    df = spark.createDataFrame(rows, ["bk", "item"])
+    out = association_rules(df, "bk", "item", min_item_support=1, min_pair_support=1)
+    got = {(r["item_a"], r["item_b"]): r for r in out.collect()}
+    ab = got[("A", "B")]
+    assert (ab["n_both"], ab["n_a"], ab["n_b"]) == (2, 3, 3)
+    assert ab["confidence_a_to_b"] == round(2 / 3, 6)
+    assert ab["lift"] == round(2 * 4 / (3 * 3), 6)
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+
+
+def test_association_rules_apriori_prune(spark):
+    from kaylee_spark.operators.analytics import association_rules
+
+    # item C appears once -> pruned before pair expansion
+    rows = [(1, "A"), (1, "B"), (1, "C"), (2, "A"), (2, "B")]
+    df = spark.createDataFrame(rows, ["bk", "item"])
+    out = association_rules(df, "bk", "item", min_item_support=2, min_pair_support=1)
+    assert {(r["item_a"], r["item_b"]) for r in out.collect()} == {("A", "B")}
+
+
+def test_association_rules_duplicate_lines_one_vote(spark):
+    from kaylee_spark.operators.analytics import association_rules
+
+    # the same item twice in one basket counts once (distinct first)
+    rows = [(1, "A"), (1, "A"), (1, "B"), (2, "A"), (2, "B")]
+    df = spark.createDataFrame(rows, ["bk", "item"])
+    out = association_rules(df, "bk", "item", min_item_support=1, min_pair_support=1)
+    r = out.collect()[0]
+    assert (r["n_both"], r["n_a"], r["n_b"]) == (2, 2, 2)
+    assert r["lift"] == round(2 * 2 / (2 * 2), 6)
+
+
+def test_association_rules_broadcast_prune_plan(spark):
+    from kaylee_spark.operators.analytics import association_rules
+
+    df = spark.createDataFrame([(1, "A"), (1, "B")], ["bk", "item"])
+    plan = (
+        association_rules(df, "bk", "item", 1, 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # frequent-item prune and both support re-joins broadcast; the
+    # only shuffled join is the basket-keyed pair expansion
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
