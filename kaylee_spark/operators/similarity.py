@@ -765,3 +765,160 @@ def bucket_balanced_sample(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+#: k-means lattice: embeddings land on an exact integer grid of 1e-6
+#: resolution, then shift by +2^20 so every coordinate is non-negative
+#: (floor-division and truncating division agree on non-negatives, so
+#: Spark's DIV, DuckDB's //, and Python's // all compute the same
+#: centroid means). Distances are shift-invariant, so the offset never
+#: reaches the output.
+KMEANS_QUANT_SCALE = 1_000_000
+KMEANS_QUANT_OFFSET = 1 << 20  # > max|x| * scale for unit-ish embeddings
+
+
+def kmeans_lattice(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project a float embedding column onto the exact k-means integer
+    lattice: one BIGINT column per dimension, ``x0..x{dim-1}``, each
+    ``FLOOR(CAST(v AS DOUBLE) * 1e6) + 2^20``.
+
+    float->double widening is exact and the scale multiply is a single
+    IEEE op, so every engine lands on the same integer — the lattice
+    is the determinism boundary; everything after it is exact integer
+    arithmetic. The 1e-6 resolution is part of the operator contract
+    (embeddings carry ~7 significant digits; the lattice keeps 6).
+    """
+    # string expressions, ONE Py4J/parse round-trip each: building the
+    # same chains from Column objects costs ~6 JVM calls per dimension
+    # (~1.5 s of pure driver time at dim=64 — measured; see
+    # _kmeans_distances for the same finding on the distance chains)
+    cols = [
+        f"CAST(FLOOR(CAST({vec_col}[{i}] AS DOUBLE) * {float(KMEANS_QUANT_SCALE)!r})"
+        f" AS BIGINT) + {KMEANS_QUANT_OFFSET} AS x{i}"
+        for i in range(dim)
+    ]
+    return df.selectExpr(f"{id_col} AS vec_id", *cols)
+
+
+def _kmeans_distances(v: DataFrame, centroids: list[tuple[int, list[int]]], dim: int):
+    """Flat codegen'd squared-euclidean distance columns, one per
+    centroid (bigint — exact). Flat binary chains, not HOF lambdas:
+    interpreted lambdas over arrays cost ~20us/element (measured on
+    the MMR work). Expanded form ``Σx² − Σ2c·x + Σc²`` instead of
+    ``Σ(x−c)²``: Σx² is ONE shared 64-term column and Σc² folds to a
+    literal, so each per-centroid chain is a single multiply-add per
+    dimension — the naive form generated ~1.3 MB task binaries that
+    Janino recompiled EVERY iteration (the centroid literals change,
+    so the codegen cache can't hit). Integer arithmetic makes the two
+    forms exactly equal, not just approximately.
+
+    Built as SQL strings, not Column objects: every Column operator is
+    a Py4J JVM round-trip, and k×dim of them cost ~2 s of pure driver
+    time PER ITERATION at (5, 64) — measured; string building is
+    Python-local and Catalyst parses each expression once."""
+    s2 = " + ".join(f"x{i} * x{i}" for i in range(dim))
+    out = v.selectExpr("*", f"{s2} AS __s2")
+    dcols = []
+    for cl, c in centroids:
+        chain = " + ".join(f"x{i} * {-2 * int(c[i])}" for i in range(dim))
+        dcols.append(
+            f"__s2 + ({int(sum(ci * ci for ci in c))} + {chain}) AS __d{cl}"
+        )
+    return out.selectExpr("*", *dcols)
+
+
+def kmeans_fit_assign(
+    df: DataFrame,
+    dim: int,
+    k: int = 5,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means over an embedding column, exact
+    to the bit across engines and partitionings.
+
+    Contract: seeds are the vectors of the k smallest ids (a
+    deterministic init — k-means++ needs a random stream no two
+    engines share); ``iterations`` assignment/update rounds follow;
+    clusters that lose every member are dropped (never respawned).
+    Returns (vec_id, cluster, dist_sq) for the FINAL assignment, with
+    dist_sq the exact integer squared distance on the 1e-6 lattice
+    (kmeans_lattice). Ties assign the lowest cluster id.
+
+    Why integer arithmetic: the update step is a per-dimension mean —
+    a repeated float sum would be merge-order-dependent and could
+    never hash-match an oracle or reproduce across restarts. On the
+    lattice, sums are exact bigints and the mean is one floor
+    division; coordinates stay under 2^21, so a 64-dim squared
+    distance tops out near 2^48 and per-cluster coordinate sums fit
+    bigint up to ~2^42 members.
+
+    Scale shape — broadcast-Lloyd, the textbook Spark layout: the
+    model (k x dim ints, KBs) lives driver-side; each iteration folds
+    it into codegen literals (zero joins — the parameters-as-literals
+    shape s06 uses), scans the cached lattice frame ONCE, and reduces
+    to k x (dim+1) map-side-combined sums. 3 iterations = 3 scans + 3
+    model-sized collects; nothing else moves. ``shuffle_partitions``
+    pins the trajectory's shuffle width like pagerank()/hits() —
+    the per-iteration aggregate has k rows, so batch-width shuffles
+    pay near-empty partition commits per step on fixture data.
+    """
+    if iterations < 1:
+        raise ValueError(f"kmeans requires iterations >= 1, got {iterations}")
+    if k < 2:
+        raise ValueError(f"kmeans requires k >= 2, got {k}")
+    if shuffle_partitions is not None:
+        spark = df.sparkSession
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        try:
+            out = kmeans_fit_assign(
+                df, dim, k=k, iterations=iterations,
+                id_col=id_col, vec_col=vec_col,
+            ).cache()
+            out.count()
+            return out
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    v = kmeans_lattice(df, dim, id_col=id_col, vec_col=vec_col).cache()
+    seeds = v.orderBy("vec_id").limit(k).collect()
+    if len(seeds) < k:
+        raise ValueError(f"kmeans with k={k} needs >= k vectors, got {len(seeds)}")
+    centroids = [(j, [r[f"x{i}"] for i in range(dim)]) for j, r in enumerate(seeds)]
+    for it in range(iterations):
+        dists = _kmeans_distances(v, centroids, dim)
+        mind = F.least(*[F.col(f"__d{cl}") for cl, _ in centroids])
+        cluster = None
+        for cl, _ in centroids:
+            cond = F.col(f"__d{cl}") == mind
+            cluster = (
+                F.when(cond, F.lit(cl)) if cluster is None else cluster.when(cond, F.lit(cl))
+            )
+        assigned = dists.select(
+            "vec_id",
+            *[f"x{i}" for i in range(dim)],
+            cluster.cast("int").alias("cluster"),
+            mind.alias("dist_sq"),
+        )
+        if it == iterations - 1:
+            return assigned.select("vec_id", "cluster", "dist_sq")
+        stats = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(f"x{i}").alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        centroids = sorted(
+            (int(r["cluster"]), [r[f"s{i}"] // r["n"] for i in range(dim)])
+            for r in stats
+        )
+    raise AssertionError("unreachable")

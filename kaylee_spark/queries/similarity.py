@@ -376,3 +376,70 @@ def s08_diverse_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     space-covering sample, fully re-derivable by any SQL engine."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.bucket_balanced_sample(emb, k_per_bucket=2, bucket_bits=6)
+
+
+def _kmeans_oracle(dim: int = 64, k: int = 5, iterations: int = 3) -> str:
+    """Unrolled Lloyd's iteration (the g01 pattern): every CTE pair
+    (d_t, a_t) is one assignment step, c_t one exact integer centroid
+    update — all arithmetic on the shared 1e-6 lattice, so DuckDB
+    replays the Spark trajectory bit-for-bit."""
+    from kaylee_spark.operators.similarity import (
+        KMEANS_QUANT_OFFSET,
+        KMEANS_QUANT_SCALE,
+    )
+
+    quant = ", ".join(
+        f"CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * {KMEANS_QUANT_SCALE}.0)"
+        f" AS BIGINT) + {KMEANS_QUANT_OFFSET} AS x{i}"
+        for i in range(dim)
+    )
+    dist = " + ".join(f"(v.x{i} - c.x{i}) * (v.x{i} - c.x{i})" for i in range(dim))
+    means = ", ".join(
+        f"CAST(SUM(v.x{i}) // COUNT(*) AS BIGINT) AS x{i}" for i in range(dim)
+    )
+    ctes = [
+        f"v AS (SELECT vec_id, {quant} FROM embeddings)",
+        f"""c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
+               {", ".join(f"x{i}" for i in range(dim))}
+        FROM v QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {k})""",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"d{t} AS (SELECT v.vec_id, c.cl, CAST({dist} AS BIGINT) AS dist"
+            f" FROM v CROSS JOIN c{t - 1} c)"
+        )
+        ctes.append(
+            f"a{t} AS (SELECT vec_id, cl, dist FROM d{t}"
+            f" QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id"
+            f" ORDER BY dist, cl) = 1)"
+        )
+        if t < iterations:
+            ctes.append(
+                f"c{t} AS (SELECT a{t}.cl, {means} FROM a{t}"
+                f" JOIN v ON a{t}.vec_id = v.vec_id GROUP BY a{t}.cl)"
+            )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT vec_id, cl AS cluster, dist AS dist_sq FROM a{iterations}"
+    )
+
+
+@query("s09_kmeans", oracle=_kmeans_oracle(64, 5, 3), extra=True)
+def s09_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration Lloyd's k-means (k=5) over the 64-dim embeddings,
+    exact on the 1e-6 integer lattice: deterministic smallest-id
+    seeds, broadcast-Lloyd iterations (the k x dim model rides the
+    plan as codegen literals, one cached scan + one k-row
+    map-side-combined aggregate per iteration), lowest-cluster tie
+    breaks. Returns every vector's final cluster and exact squared
+    lattice distance (operators/similarity.py kmeans_fit_assign).
+    Loop width pinned to 4 shuffle partitions, fixture-sized like
+    g01's."""
+    from kaylee_spark.operators.similarity import kmeans_fit_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_fit_assign(
+        emb, dim=64, k=5, iterations=3, shuffle_partitions=4
+    )

@@ -304,3 +304,105 @@ def test_bucket_balanced_sample_quota_and_determinism(spark):
     assert {(r["bucket"], r["vec_id"], r["rk"]) for r in again} == {
         (r["bucket"], r["vec_id"], r["rk"]) for r in out
     }
+
+
+# ---------------------------------------------------------------------------
+# kmeans_fit_assign
+# ---------------------------------------------------------------------------
+
+
+def _ref_kmeans(vecs, k, iterations):
+    """Pure-Python replay of the exact lattice trajectory."""
+    import math
+
+    from kaylee_spark.operators.similarity import (
+        KMEANS_QUANT_OFFSET,
+        KMEANS_QUANT_SCALE,
+    )
+
+    lat = {
+        vid: [math.floor(float(x) * KMEANS_QUANT_SCALE) + KMEANS_QUANT_OFFSET for x in v]
+        for vid, v in vecs
+    }
+    ids = sorted(lat)
+    cents = {j: list(lat[ids[j]]) for j in range(k)}
+    assign = {}
+    for it in range(iterations):
+        assign = {}
+        for vid, x in lat.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(x, c)), cl)
+                for cl, c in sorted(cents.items())
+            )
+            assign[vid] = (best[1], best[0])
+        if it == iterations - 1:
+            break
+        nxt = {}
+        for cl in sorted(cents):
+            members = [lat[vid] for vid, (c, _) in assign.items() if c == cl]
+            if members:
+                n = len(members)
+                nxt[cl] = [sum(col) // n for col in zip(*members)]
+        cents = nxt
+    return assign
+
+
+def test_kmeans_matches_python_reference(spark):
+    import random
+
+    from kaylee_spark.operators.similarity import kmeans_fit_assign
+
+    rng = random.Random(7)
+    vecs = [(i, [rng.uniform(-0.6, 0.6) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist_sq"])
+        for r in kmeans_fit_assign(df, dim=8, k=3, iterations=3).collect()
+    }
+    assert got == _ref_kmeans(vecs, 3, 3)
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    import random
+
+    from kaylee_spark.operators.similarity import kmeans_fit_assign
+
+    rng = random.Random(11)
+    vecs = []
+    for i in range(30):
+        center = [0.5 if (i % 3) == j else -0.5 for j in range(4)]
+        vecs.append((i, [c + rng.uniform(-0.05, 0.05) for c in center]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = kmeans_fit_assign(df, dim=4, k=3, iterations=3).collect()
+    by_truth = {}
+    for r in out:
+        by_truth.setdefault(r["vec_id"] % 3, set()).add(r["cluster"])
+    # each planted cluster maps to exactly one learned cluster, all distinct
+    assert all(len(s) == 1 for s in by_truth.values())
+    assert len({s.pop() for s in by_truth.values()}) == 3
+
+
+def test_kmeans_width_independent_and_contract(spark):
+    import pytest
+
+    from kaylee_spark.operators.similarity import kmeans_fit_assign
+
+    vecs = [(i, [float(i % 5) / 10, float(i % 7) / 10]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    base = {
+        (r["vec_id"], r["cluster"], r["dist_sq"])
+        for r in kmeans_fit_assign(df, dim=2, k=2, iterations=2).collect()
+    }
+    pinned = {
+        (r["vec_id"], r["cluster"], r["dist_sq"])
+        for r in kmeans_fit_assign(
+            df.repartition(9), dim=2, k=2, iterations=2, shuffle_partitions=3
+        ).collect()
+    }
+    assert base == pinned  # exact integers: partitioning is purely physical
+    with pytest.raises(ValueError):
+        kmeans_fit_assign(df, dim=2, k=1)
+    with pytest.raises(ValueError):
+        kmeans_fit_assign(df, dim=2, k=2, iterations=0)
+    with pytest.raises(ValueError):
+        kmeans_fit_assign(df.limit(1), dim=2, k=2)

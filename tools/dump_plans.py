@@ -56,6 +56,10 @@ SHOWCASE = [
     ("d12_incremental_neardup", "incremental near-dup: broadcast hot-set anti-join + broadcast increment-shingle semi-join drive the corpus side"),
     ("d13_lsh_index_probe", "persisted-index probe: broadcast increment buckets against band-partitioned parquet, verify on candidate postings only"),
     ("e22_interpolate", "linear interpolation: both anchor frames share ONE user-keyed sort, no second exchange"),
+    ("a24_spearman_corr", "spearman: both rank axes + final agg ride ONE group-keyed exchange; tie peers via RANGE frame"),
+    ("a25_association_rules", "association rules: broadcast frequent-item prune BEFORE the basket-keyed pair expansion"),
+    ("e25_markov_transitions", "markov transitions: lag on one user sort; probability window over the |types|^2 aggregate"),
+    ("s09_kmeans", "broadcast-Lloyd k-means: centroids as codegen literals, cached integer lattice, k-row agg per iteration"),
 ]
 
 
@@ -98,6 +102,10 @@ MUST_CONTAIN = {
     "d12_incremental_neardup": ("LeftSemi", "LeftAnti", "BroadcastExchange"),
     "d13_lsh_index_probe": ("LeftSemi", "BroadcastExchange"),
     "e22_interpolate": ("Window",),
+    "a24_spearman_corr": ("Window",),
+    "a25_association_rules": ("BroadcastHashJoin", "LeftSemi"),
+    "e25_markov_transitions": ("Window", "HashAggregate"),
+    "s09_kmeans": ("InMemoryTableScan",),
 }
 
 
