@@ -805,31 +805,80 @@ def kmeans_lattice(
     return df.selectExpr(f"{id_col} AS vec_id", *cols)
 
 
-def _kmeans_distances(v: DataFrame, centroids: list[tuple[int, list[int]]], dim: int):
-    """Flat codegen'd squared-euclidean distance columns, one per
-    centroid (bigint — exact). Flat binary chains, not HOF lambdas:
+def _kmeans_distances(
+    v: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    dims: list[int],
+    tag: str = "",
+):
+    """Flat codegen'd squared-euclidean distance columns over the
+    lattice dimensions ``dims``, one per centroid (bigint — exact),
+    named ``__d{tag}{cl}``. Flat binary chains, not HOF lambdas:
     interpreted lambdas over arrays cost ~20us/element (measured on
     the MMR work). Expanded form ``Σx² − Σ2c·x + Σc²`` instead of
-    ``Σ(x−c)²``: Σx² is ONE shared 64-term column and Σc² folds to a
-    literal, so each per-centroid chain is a single multiply-add per
-    dimension — the naive form generated ~1.3 MB task binaries that
-    Janino recompiled EVERY iteration (the centroid literals change,
-    so the codegen cache can't hit). Integer arithmetic makes the two
-    forms exactly equal, not just approximately.
+    ``Σ(x−c)²``: Σx² is ONE shared |dims|-term column and Σc² folds
+    to a literal, so each per-centroid chain is a single multiply-add
+    per dimension — the naive form generated ~1.3 MB task binaries
+    that Janino recompiled EVERY iteration (the centroid literals
+    change, so the codegen cache can't hit). Integer arithmetic makes
+    the two forms exactly equal, not just approximately.
 
     Built as SQL strings, not Column objects: every Column operator is
     a Py4J JVM round-trip, and k×dim of them cost ~2 s of pure driver
     time PER ITERATION at (5, 64) — measured; string building is
     Python-local and Catalyst parses each expression once."""
-    s2 = " + ".join(f"x{i} * x{i}" for i in range(dim))
-    out = v.selectExpr("*", f"{s2} AS __s2")
+    s2 = " + ".join(f"x{i} * x{i}" for i in dims)
+    out = v.selectExpr("*", f"{s2} AS __s2{tag}")
     dcols = []
     for cl, c in centroids:
-        chain = " + ".join(f"x{i} * {-2 * int(c[i])}" for i in range(dim))
+        chain = " + ".join(f"x{i} * {-2 * int(ci)}" for i, ci in zip(dims, c))
         dcols.append(
-            f"__s2 + ({int(sum(ci * ci for ci in c))} + {chain}) AS __d{cl}"
+            f"__s2{tag} + ({int(sum(ci * ci for ci in c))} + {chain}) AS __d{tag}{cl}"
         )
     return out.selectExpr("*", *dcols)
+
+
+def _kmeans_argmin(centroids: list[tuple[int, list[int]]], tag: str = ""):
+    """(cluster, min-distance) Column pair for a distance-augmented
+    frame: LEAST over the ``__d{tag}{cl}`` columns plus a when-chain
+    walked in ascending cluster order, so ties land on the lowest
+    cluster id — the same tie-break the oracle's ORDER BY dist, cl
+    expresses."""
+    dcols = [F.col(f"__d{tag}{cl}") for cl, _ in centroids]
+    mind = dcols[0] if len(dcols) == 1 else F.least(*dcols)
+    cluster = None
+    for cl, _ in centroids:
+        cond = F.col(f"__d{tag}{cl}") == mind
+        cluster = (
+            F.when(cond, F.lit(cl)) if cluster is None else cluster.when(cond, F.lit(cl))
+        )
+    return cluster.cast("int"), mind
+
+
+def _lloyd_update(
+    v: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    dims: list[int],
+) -> list[tuple[int, list[int]]]:
+    """One Lloyd's update step on the lattice dimensions ``dims``:
+    assign every vector to its nearest current centroid, then replace
+    each surviving cluster's centroid with the exact floor-division
+    mean of its members. Empty clusters are dropped (never respawned).
+    One cached-frame scan reducing to ≤k map-side-combined rows."""
+    dists = _kmeans_distances(v, centroids, dims)
+    cluster, _ = _kmeans_argmin(centroids)
+    stats = (
+        dists.select(cluster.alias("cluster"), *[f"x{i}" for i in dims])
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(f"x{i}").alias(f"s{i}") for i in dims],
+        )
+        .collect()
+    )
+    return sorted(
+        (int(r["cluster"]), [r[f"s{i}"] // r["n"] for i in dims]) for r in stats
+    )
 
 
 def kmeans_fit_assign(
@@ -891,34 +940,88 @@ def kmeans_fit_assign(
     seeds = v.orderBy("vec_id").limit(k).collect()
     if len(seeds) < k:
         raise ValueError(f"kmeans with k={k} needs >= k vectors, got {len(seeds)}")
-    centroids = [(j, [r[f"x{i}"] for i in range(dim)]) for j, r in enumerate(seeds)]
-    for it in range(iterations):
-        dists = _kmeans_distances(v, centroids, dim)
-        mind = F.least(*[F.col(f"__d{cl}") for cl, _ in centroids])
-        cluster = None
-        for cl, _ in centroids:
-            cond = F.col(f"__d{cl}") == mind
-            cluster = (
-                F.when(cond, F.lit(cl)) if cluster is None else cluster.when(cond, F.lit(cl))
-            )
-        assigned = dists.select(
-            "vec_id",
-            *[f"x{i}" for i in range(dim)],
-            cluster.cast("int").alias("cluster"),
-            mind.alias("dist_sq"),
-        )
-        if it == iterations - 1:
-            return assigned.select("vec_id", "cluster", "dist_sq")
-        stats = (
-            assigned.groupBy("cluster")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(f"x{i}").alias(f"s{i}") for i in range(dim)],
-            )
-            .collect()
-        )
-        centroids = sorted(
-            (int(r["cluster"]), [r[f"s{i}"] // r["n"] for i in range(dim)])
-            for r in stats
-        )
-    raise AssertionError("unreachable")
+    dims = list(range(dim))
+    centroids = [(j, [r[f"x{i}"] for i in dims]) for j, r in enumerate(seeds)]
+    for _ in range(iterations - 1):
+        centroids = _lloyd_update(v, centroids, dims)
+    dists = _kmeans_distances(v, centroids, dims)
+    cluster, mind = _kmeans_argmin(centroids)
+    return dists.select(
+        "vec_id", cluster.alias("cluster"), mind.alias("dist_sq")
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Product quantization: split each embedding into ``m`` equal
+    subspaces, learn an independent exact-lattice Lloyd's codebook of
+    ``k`` centroids per subspace (same contract as kmeans_fit_assign:
+    smallest-id seeds, ``iterations`` assignment rounds, empty
+    clusters dropped, lowest-code tie-break), and encode every vector
+    as its per-subspace nearest-centroid codes.
+
+    Returns (vec_id, c0..c{m-1}, dist_sq): the m int codes plus the
+    exact total squared reconstruction error on the 1e-6 lattice —
+    the sum of per-subspace residuals, since the decoded vector is
+    the concatenation of the selected centroids.
+
+    Why PQ at 100 TB: codes are m bytes instead of dim floats (64-dim
+    float32 → 4 bytes here, a 64x cut), so the quantized corpus rides
+    every shuffle and fits executor memory where raw vectors cannot;
+    asymmetric-distance ANN then scans codes and only re-ranks
+    candidates against raw vectors. Training cost is m small
+    broadcast-Lloyd runs over ONE shared cached lattice scan —
+    each update is a ≤k-row map-side-combined aggregate, and the
+    final encode pass computes all m argmins in a single select
+    (per-subspace distance chains are column-pruned independently,
+    so no subspace pays for another's arithmetic). Nothing but
+    (m x k x dim/m) ints ever reaches the driver.
+    """
+    if dim % m != 0 or m < 1:
+        raise ValueError(f"pq_encode needs m >= 1 dividing dim, got m={m} dim={dim}")
+    if iterations < 1:
+        raise ValueError(f"pq_encode requires iterations >= 1, got {iterations}")
+    if k < 2:
+        raise ValueError(f"pq_encode requires k >= 2, got {k}")
+    if shuffle_partitions is not None:
+        spark = df.sparkSession
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        try:
+            out = pq_encode(
+                df, dim, m=m, k=k, iterations=iterations,
+                id_col=id_col, vec_col=vec_col,
+            ).cache()
+            out.count()
+            return out
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    v = kmeans_lattice(df, dim, id_col=id_col, vec_col=vec_col).cache()
+    seeds = v.orderBy("vec_id").limit(k).collect()
+    if len(seeds) < k:
+        raise ValueError(f"pq_encode with k={k} needs >= k vectors, got {len(seeds)}")
+    sub = dim // m
+    subspaces = [list(range(s * sub, (s + 1) * sub)) for s in range(m)]
+    books = []
+    for dims in subspaces:
+        cents = [(j, [r[f"x{i}"] for i in dims]) for j, r in enumerate(seeds)]
+        for _ in range(iterations - 1):
+            cents = _lloyd_update(v, cents, dims)
+        books.append(cents)
+    out = v
+    for s, (dims, cents) in enumerate(zip(subspaces, books)):
+        out = _kmeans_distances(out, cents, dims, tag=f"s{s}_")
+    cols, total = [F.col("vec_id")], None
+    for s, cents in enumerate(books):
+        code, mind = _kmeans_argmin(cents, tag=f"s{s}_")
+        cols.append(code.alias(f"c{s}"))
+        total = mind if total is None else total + mind
+    return out.select(*cols, total.alias("dist_sq"))

@@ -443,3 +443,83 @@ def s09_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fit_assign(
         emb, dim=64, k=5, iterations=3, shuffle_partitions=4
     )
+
+
+def _pq_oracle(dim: int = 64, m: int = 4, k: int = 4, iterations: int = 2) -> str:
+    """m independent unrolled Lloyd's trajectories (the s09 pattern),
+    one per subspace, sharing the v lattice and seed CTEs, joined on
+    vec_id at the end — DuckDB replays every codebook bit-for-bit and
+    re-derives the exact total reconstruction error."""
+    from kaylee_spark.operators.similarity import (
+        KMEANS_QUANT_OFFSET,
+        KMEANS_QUANT_SCALE,
+    )
+
+    sub = dim // m
+    quant = ", ".join(
+        f"CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * {KMEANS_QUANT_SCALE}.0)"
+        f" AS BIGINT) + {KMEANS_QUANT_OFFSET} AS x{i}"
+        for i in range(dim)
+    )
+    ctes = [
+        f"v AS (SELECT vec_id, {quant} FROM embeddings)",
+        f"""seed AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cl,
+               {", ".join(f"x{i}" for i in range(dim))}
+        FROM v QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {k})""",
+    ]
+    for s in range(m):
+        dims = range(s * sub, (s + 1) * sub)
+        dist = " + ".join(f"(v.x{i} - c.x{i}) * (v.x{i} - c.x{i})" for i in dims)
+        means = ", ".join(
+            f"CAST(SUM(v.x{i}) // COUNT(*) AS BIGINT) AS x{i}" for i in dims
+        )
+        ctes.append(
+            f"c{s}_0 AS (SELECT cl, {', '.join(f'x{i}' for i in dims)} FROM seed)"
+        )
+        for t in range(1, iterations + 1):
+            ctes.append(
+                f"d{s}_{t} AS (SELECT v.vec_id, c.cl, CAST({dist} AS BIGINT) AS dist"
+                f" FROM v CROSS JOIN c{s}_{t - 1} c)"
+            )
+            ctes.append(
+                f"a{s}_{t} AS (SELECT vec_id, cl, dist FROM d{s}_{t}"
+                f" QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id"
+                f" ORDER BY dist, cl) = 1)"
+            )
+            if t < iterations:
+                ctes.append(
+                    f"c{s}_{t} AS (SELECT a{s}_{t}.cl, {means} FROM a{s}_{t}"
+                    f" JOIN v ON a{s}_{t}.vec_id = v.vec_id GROUP BY a{s}_{t}.cl)"
+                )
+    codes = ", ".join(f"a{s}_{iterations}.cl AS c{s}" for s in range(m))
+    total = " + ".join(f"a{s}_{iterations}.dist" for s in range(m))
+    joins = " ".join(
+        f"JOIN a{s}_{iterations} ON a0_{iterations}.vec_id = a{s}_{iterations}.vec_id"
+        for s in range(1, m)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT a0_{iterations}.vec_id, {codes}, {total} AS dist_sq"
+        + f"\n    FROM a0_{iterations} {joins}"
+    )
+
+
+@query("s10_pq_encode", oracle=_pq_oracle(64, 4, 4, 2), extra=True)
+def s10_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the 64-dim embeddings: 4 subspaces of
+    16 dims, an independent exact-lattice Lloyd's codebook (k=4, 2
+    iterations, smallest-id seeds) per subspace, every vector encoded
+    as 4 codes + its exact total squared reconstruction error. Codes
+    are 4 bytes where the raw vector is 256 — the compressed corpus
+    rides shuffles and memory at 64x less weight, with raw vectors
+    touched only at re-rank (operators/similarity.py pq_encode).
+    All 4 codebooks train off ONE shared cached lattice; the encode
+    pass computes all 4 argmins in a single column-pruned select."""
+    from kaylee_spark.operators.similarity import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(
+        emb, dim=64, m=4, k=4, iterations=2, shuffle_partitions=4
+    )

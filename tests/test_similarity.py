@@ -406,3 +406,117 @@ def test_kmeans_width_independent_and_contract(spark):
         kmeans_fit_assign(df, dim=2, k=2, iterations=0)
     with pytest.raises(ValueError):
         kmeans_fit_assign(df.limit(1), dim=2, k=2)
+
+
+# ---------------------------------------------------------------------------
+# pq_encode
+# ---------------------------------------------------------------------------
+
+
+def _ref_pq(vecs, m, k, iterations):
+    """Pure-Python replay: m independent lattice Lloyd's runs."""
+    import math
+
+    from kaylee_spark.operators.similarity import (
+        KMEANS_QUANT_OFFSET,
+        KMEANS_QUANT_SCALE,
+    )
+
+    dim = len(vecs[0][1])
+    sub = dim // m
+    lat = {
+        vid: [math.floor(float(x) * KMEANS_QUANT_SCALE) + KMEANS_QUANT_OFFSET for x in v]
+        for vid, v in vecs
+    }
+    ids = sorted(lat)
+    out = {vid: [0] * m for vid in lat}
+    err = {vid: 0 for vid in lat}
+    for s in range(m):
+        dims = range(s * sub, (s + 1) * sub)
+        sl = {vid: [lat[vid][i] for i in dims] for vid in lat}
+        cents = {j: list(sl[ids[j]]) for j in range(k)}
+        for it in range(iterations):
+            assign = {
+                vid: min(
+                    (sum((a - b) ** 2 for a, b in zip(x, c)), cl)
+                    for cl, c in sorted(cents.items())
+                )
+                for vid, x in sl.items()
+            }
+            if it == iterations - 1:
+                break
+            nxt = {}
+            for cl in sorted(cents):
+                members = [sl[vid] for vid, (_, c) in assign.items() if c == cl]
+                if members:
+                    n = len(members)
+                    nxt[cl] = [sum(col) // n for col in zip(*members)]
+            cents = nxt
+        for vid, (d, cl) in assign.items():
+            out[vid][s] = cl
+            err[vid] += d
+    return {vid: (tuple(out[vid]), err[vid]) for vid in lat}
+
+
+def test_pq_matches_python_reference(spark):
+    import random
+
+    from kaylee_spark.operators.similarity import pq_encode
+
+    rng = random.Random(3)
+    vecs = [(i, [rng.uniform(-0.6, 0.6) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: ((r["c0"], r["c1"]), r["dist_sq"])
+        for r in pq_encode(df, dim=8, m=2, k=3, iterations=2).collect()
+    }
+    assert got == _ref_pq(vecs, 2, 3, 2)
+
+
+def test_pq_m1_equals_kmeans(spark):
+    import random
+
+    from kaylee_spark.operators.similarity import kmeans_fit_assign, pq_encode
+
+    rng = random.Random(5)
+    vecs = [(i, [rng.uniform(-0.5, 0.5) for _ in range(6)]) for i in range(30)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    pq = {
+        r["vec_id"]: (r["c0"], r["dist_sq"])
+        for r in pq_encode(df, dim=6, m=1, k=3, iterations=3).collect()
+    }
+    km = {
+        r["vec_id"]: (r["cluster"], r["dist_sq"])
+        for r in kmeans_fit_assign(df, dim=6, k=3, iterations=3).collect()
+    }
+    assert pq == km
+
+
+def test_pq_width_independent_and_contract(spark):
+    import pytest
+
+    from kaylee_spark.operators.similarity import pq_encode
+
+    vecs = [(i, [float(i % 5) / 10, float(i % 7) / 10, float(i % 3) / 10, 0.1])
+            for i in range(24)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    base = {
+        tuple(r) for r in pq_encode(df, dim=4, m=2, k=2, iterations=2).collect()
+    }
+    pinned = {
+        tuple(r)
+        for r in pq_encode(
+            df.repartition(7), dim=4, m=2, k=2, iterations=2, shuffle_partitions=3
+        ).collect()
+    }
+    assert base == pinned
+    # every code addresses a real centroid: 0 <= c < k
+    assert all(0 <= r[1] < 2 and 0 <= r[2] < 2 for r in base)
+    with pytest.raises(ValueError):
+        pq_encode(df, dim=4, m=3)  # m must divide dim
+    with pytest.raises(ValueError):
+        pq_encode(df, dim=4, m=2, k=1)
+    with pytest.raises(ValueError):
+        pq_encode(df, dim=4, m=2, iterations=0)
+    with pytest.raises(ValueError):
+        pq_encode(df.limit(1), dim=4, m=2, k=2)

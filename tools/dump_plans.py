@@ -60,6 +60,7 @@ SHOWCASE = [
     ("a25_association_rules", "association rules: broadcast frequent-item prune BEFORE the basket-keyed pair expansion"),
     ("e25_markov_transitions", "markov transitions: lag on one user sort; probability window over the |types|^2 aggregate"),
     ("s09_kmeans", "broadcast-Lloyd k-means: centroids as codegen literals, cached integer lattice, k-row agg per iteration"),
+    ("s10_pq_encode", "product quantization: 4 subspace codebooks trained off one cached lattice; all 4 argmins in one column-pruned select"),
 ]
 
 
