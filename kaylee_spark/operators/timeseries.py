@@ -413,3 +413,82 @@ def ewma_oracle_terms(alpha: float = 0.5, max_lags: int = 24, value_sql: str = "
             f" THEN {weights[k]!r} ELSE 0.0 END"
         )
     return " + ".join(num), " + ".join(den)
+
+
+def acf_final_exprs(lags: list[int]) -> list[str]:
+    """The autocorrelation ratio expressions, shared VERBATIM between
+    the Spark projection and the DuckDB oracle: operands are the
+    exact decimal/bigint aggregates (cast to double once each), so
+    both engines execute the identical IEEE parse tree and land on
+    the same bits before the final 6dp round.
+
+    Sample ACF with the full-series mean and variance as the anchor:
+    r_k = (Spp_k - m*(Sh_k + St_k) + n_k*m*m) / (S2 - S*m), m = S/n.
+    """
+    m = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    den = f"(CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * {m})"
+    return [
+        f"CASE WHEN n_{k} > 0 AND {den} > 0 THEN "
+        f"ROUND((CAST(spp_{k} AS DOUBLE) - {m} * (CAST(sh_{k} AS DOUBLE)"
+        f" + CAST(st_{k} AS DOUBLE)) + CAST(n_{k} AS DOUBLE) * {m} * {m})"
+        f" / {den}, 6) END AS acf_{k}"
+        for k in lags
+    ]
+
+
+def autocorrelation(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    key_col: str,
+    lags: list[int] | None = None,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key sample autocorrelation of a value series at the given
+    lags — the seasonality/persistence diagnostic (is yesterday's
+    value predictive? is there a 24-bucket cycle?).
+
+    Each series is ordered by (order_col, tiebreaks); r_k correlates
+    the series with itself shifted k steps, anchored on the FULL
+    series mean/variance (the standard sample-ACF estimator, so all
+    lags share one denominator). Returns (key, n, acf_k...) with NULL
+    where a lag has no pairs or the series is constant.
+
+    Determinism: every aggregate is an exact decimal/bigint sum
+    (values 18,2; cross-products 38,4 — order-independent), and the
+    final ratios are ONE shared double expression (acf_final_exprs)
+    evaluated identically by any engine, rounded 6dp.
+
+    Scale shape: one key-partitioned sort carries every lag column,
+    then ONE map-side-combined aggregate collapses each key to a
+    handful of scalars — the expensive exchange is shared by all
+    lags, and nothing wider than (2 + 4*|lags|) numbers per key ever
+    shuffles again.
+    """
+    lags = lags or [1, 2, 3]
+    if any(k < 1 for k in lags) or len(set(lags)) != len(lags):
+        raise ValueError(f"lags must be distinct positive ints, got {lags}")
+    order = [F.col(order_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    v = F.col(value_col)
+    cols = [F.col(key_col), v.alias("__v")]
+    for k in lags:
+        cols.append(F.lag(v, k).over(w).alias(f"__l{k}"))
+    laged = df.select(*cols)
+    d182 = "decimal(18,2)"
+    d384 = "decimal(38,4)"
+    aggs = [
+        F.count("__v").alias("n"),
+        F.sum(F.col("__v").cast(d182)).alias("s"),
+        F.sum((F.col("__v") * F.col("__v")).cast(d384)).alias("s2"),
+    ]
+    for k in lags:
+        lk = F.col(f"__l{k}")
+        aggs += [
+            F.count(lk).alias(f"n_{k}"),
+            F.sum((F.col("__v") * lk).cast(d384)).alias(f"spp_{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("__v")).cast(d182)).alias(f"sh_{k}"),
+            F.sum(lk.cast(d182)).alias(f"st_{k}"),
+        ]
+    stats = laged.groupBy(key_col).agg(*aggs)
+    return stats.selectExpr(key_col, "n", *acf_final_exprs(lags))

@@ -847,3 +847,59 @@ def e21_streamed_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             output_mode="append",
         ),
     )
+
+
+def _acf_oracle() -> str:
+    from kaylee_spark.operators.timeseries import acf_final_exprs
+
+    finals = ",\n           ".join(acf_final_exprs([1, 2, 3]))
+    lag_cols = ",\n               ".join(
+        f"lag(value, {k}) OVER (PARTITION BY event_type"
+        f" ORDER BY ts, event_id) AS l{k}"
+        for k in (1, 2, 3)
+    )
+    per_lag = ",\n               ".join(
+        f"COUNT(l{k}) AS n_{k},"
+        f" SUM(CAST(value * l{k} AS DECIMAL(38,4))) AS spp_{k},"
+        f" SUM(CAST(CASE WHEN l{k} IS NOT NULL THEN value END"
+        f" AS DECIMAL(18,2))) AS sh_{k},"
+        f" SUM(CAST(l{k} AS DECIMAL(18,2))) AS st_{k}"
+        for k in (1, 2, 3)
+    )
+    return f"""
+    WITH seq AS (
+        SELECT event_type, value,
+               {lag_cols}
+        FROM events
+    ),
+    agg AS (
+        SELECT event_type,
+               COUNT(value) AS n,
+               SUM(CAST(value AS DECIMAL(18,2))) AS s,
+               SUM(CAST(value * value AS DECIMAL(38,4))) AS s2,
+               {per_lag}
+        FROM seq GROUP BY event_type
+    )
+    SELECT event_type, n,
+           {finals}
+    FROM agg
+    """
+
+
+@query("e26_autocorrelation", oracle=_acf_oracle(), extra=True)
+def e26_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type sample autocorrelation at lags 1-3 — the
+    persistence/seasonality diagnostic over each type's time-ordered
+    value series. Exact decimal moments (18,2 values, 38,4 cross
+    products) ride one type-keyed sort shared by all three lag
+    columns, collapse to 14 scalars per type in a single map-side-
+    combined aggregate, and the final ratios are the acf_final_exprs
+    double chain shared verbatim with the oracle
+    (operators/timeseries.py autocorrelation)."""
+    from kaylee_spark.operators.timeseries import autocorrelation
+
+    ev = load_table(spark, sf_dir, "events")
+    return autocorrelation(
+        ev, "value", "ts", "event_type", lags=[1, 2, 3],
+        tiebreak_cols=["event_id"],
+    )

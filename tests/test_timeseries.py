@@ -397,3 +397,92 @@ def test_ewma_contract_errors_and_plan(spark):
         ewma(df, "v", "t", "user", max_lags=0)
     plan = ewma(df, "v", "t", "user")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # 24 lags ride one sort
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation
+# ---------------------------------------------------------------------------
+
+
+def _rows_to_ts(i):
+    from datetime import datetime, timedelta
+
+    return datetime(2024, 1, 1) + timedelta(minutes=i)
+
+
+def test_acf_matches_numpy_reference(spark):
+    import numpy as np
+
+    from kaylee_spark.operators.timeseries import autocorrelation
+
+    rng = np.random.default_rng(9)
+    vals = np.round(rng.uniform(1, 50, size=120), 2)
+    rows = [(i, _rows_to_ts(i), "k", float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, key string, value double"
+    )
+    out = autocorrelation(
+        df, "value", "ts", "key", lags=[1, 2], tiebreak_cols=["event_id"]
+    ).collect()[0]
+    m = vals.mean()
+    den = ((vals - m) ** 2).sum()
+    for k in (1, 2):
+        ref = ((vals[k:] - m) * (vals[:-k] - m)).sum() / den
+        assert abs(out[f"acf_{k}"] - ref) < 1e-6
+    assert out["n"] == 120
+
+
+def test_acf_detects_planted_period(spark):
+    from kaylee_spark.operators.timeseries import autocorrelation
+
+    # period-4 sawtooth: lag 4 correlates perfectly, lag 2 anti-correlates
+    rows = [
+        (i, _rows_to_ts(i), "k", float([1.0, 5.0, 9.0, 5.0][i % 4]))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, key string, value double"
+    )
+    out = autocorrelation(
+        df, "value", "ts", "key", lags=[2, 4], tiebreak_cols=["event_id"]
+    ).collect()[0]
+    assert out["acf_4"] > 0.95
+    assert out["acf_2"] < -0.95
+
+
+def test_acf_constant_and_short_series_null(spark):
+    import pytest
+
+    from kaylee_spark.operators.timeseries import autocorrelation
+
+    rows = [(i, _rows_to_ts(i), "const", 7.0) for i in range(10)]
+    rows += [(i, _rows_to_ts(i), "short", float(i)) for i in range(2)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, key string, value double"
+    )
+    out = {
+        r["key"]: r
+        for r in autocorrelation(
+            df, "value", "ts", "key", lags=[1, 3], tiebreak_cols=["event_id"]
+        ).collect()
+    }
+    assert out["const"]["acf_1"] is None  # zero variance
+    assert out["short"]["acf_3"] is None  # no lag-3 pairs
+    with pytest.raises(ValueError):
+        autocorrelation(df, "value", "ts", "key", lags=[0])
+    with pytest.raises(ValueError):
+        autocorrelation(df, "value", "ts", "key", lags=[1, 1])
+
+
+def test_acf_single_exchange_plan(spark):
+    from kaylee_spark.operators.timeseries import autocorrelation
+
+    rows = [(i, _rows_to_ts(i), "k" + str(i % 3), float(i % 7)) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, key string, value double"
+    )
+    plan = autocorrelation(
+        df, "value", "ts", "key", tiebreak_cols=["event_id"]
+    )._jdf.queryExecution().executedPlan().toString()
+    # all lag columns + the aggregate ride ONE key-hash exchange
+    assert plan.count("Exchange hashpartitioning") == 1
