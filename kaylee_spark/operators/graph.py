@@ -421,3 +421,107 @@ def bfs_distances(
         reached = reached.unionByName(new)
         frontier = new.select("id")
     return reached
+
+
+def weighted_demand_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed weighted demand edges customer -> supplier: one edge
+    per distinct trading relationship, weighted by the CHEAPEST link
+    between the pair — ``min(l_quantity)`` as an exact bigint (TPC-H
+    quantities are whole numbers, so the cast is lossless).
+
+    Same one-shuffle key-on-key join as customer_supplier_edges; the
+    min-aggregate collapses the lineitem fan-out map-side before any
+    downstream relaxation sees the edges.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(SUPPLIER_OFFSET)).alias("dst"),
+        )
+        .agg(F.min("l_quantity").cast("bigint").alias("w"))
+    )
+
+
+def weighted_sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 3,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Multi-source single-source-shortest-path (Bellman-Ford) over a
+    directed (src, dst, w) bigint edge list: after ``rounds``
+    relaxation rounds every node gets the minimum total weight of any
+    path from the seed set using at most ``rounds`` edges. Pass both
+    edge directions for an undirected graph; weights must be
+    non-negative bigints (exact integers are what make the result a
+    pure function of the graph — bit-identical in any engine and at
+    any shuffle width). ``sources`` must have an ``id`` column.
+    Returns (id, dist); unreached nodes are absent.
+
+    Scale shape — DELTA relaxation, not full relaxation: round k
+    relaxes only the edges leaving nodes whose distance IMPROVED in
+    round k-1 (initially the seeds). A node whose distance did not
+    change re-offers exactly the candidates it already offered, so
+    skipping it loses nothing — which is why a full-relaxation SQL
+    oracle (min over <= k-edge paths) verifies this frontier
+    implementation bit-for-bit. Per-round work is proportional to the
+    improved set's out-edges and collapses as distances converge; the
+    loop exits early once a round improves nothing. Each round's
+    distance map is localCheckpoint'ed: the map is referenced twice
+    per round (min-merge + anti-join), so an uncheckpointed loop
+    doubles the lazy plan every round (the k^n analyze blow-up the
+    MMR work measured). The edge list is the only large input,
+    cached once.
+
+    ``shuffle_partitions`` pins the loop's shuffle width exactly like
+    pagerank() — see its docstring for the near-empty-partition math.
+    """
+    if rounds < 0:
+        raise ValueError(f"weighted_sssp requires rounds >= 0, got {rounds}")
+    if shuffle_partitions is not None:
+        spark = edges.sparkSession
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        try:
+            out = weighted_sssp(edges, sources, rounds).cache()
+            out.count()
+            return out
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    edges = edges.select("src", "dst", F.col("w").cast("bigint").alias("w")).cache()
+    dist = (
+        sources.select(F.col("id").cast("bigint").alias("id"))
+        .distinct()
+        .select("id", F.lit(0).cast("bigint").alias("dist"))
+        .localCheckpoint()
+    )
+    if dist.count() == 0:
+        raise ValueError("weighted_sssp requires a non-empty source set")
+    improved = dist
+    for _ in range(rounds):
+        offers = (
+            edges.join(
+                improved.select(F.col("id").alias("src"), "dist"), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
+        )
+        improved = (
+            offers.join(dist, "id", "left")
+            .filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("id", F.col("nd").alias("dist"))
+            .localCheckpoint()
+        )
+        if improved.count() == 0:
+            break
+        dist = (
+            dist.join(improved.select("id"), "id", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint()
+        )
+    return dist

@@ -235,3 +235,64 @@ def g04_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("s_suppkey") + F.lit(SUPPLIER_OFFSET)).alias("id"))
     )
     return bfs_distances(edges, seeds, max_hops=3, shuffle_partitions=8)
+
+
+def _sssp_oracle(rounds: int = 3) -> str:
+    steps = []
+    prev = "r0"
+    for k in range(1, rounds + 1):
+        steps.append(
+            f"""r{k} AS (
+        SELECT id, MIN(dist) AS dist FROM (
+            SELECT id, dist FROM {prev}
+            UNION ALL
+            SELECT e.dst AS id, r.dist + e.w AS dist
+            FROM edges e JOIN {prev} r ON e.src = r.id
+        ) GROUP BY id
+    )"""
+        )
+        prev = f"r{k}"
+    return f"""
+    WITH fwd AS (
+        SELECT o_custkey AS src,
+               l_suppkey + {SUPPLIER_OFFSET} AS dst,
+               CAST(MIN(l_quantity) AS BIGINT) AS w
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT src, dst, w FROM fwd UNION ALL SELECT dst, src, w FROM fwd
+    ),
+    r0 AS (
+        SELECT DISTINCT s_suppkey + {SUPPLIER_OFFSET} AS id,
+               CAST(0 AS BIGINT) AS dist
+        FROM supplier WHERE s_nationkey = 0
+    ),
+    {",".join(steps)}
+    SELECT id, dist FROM {prev}
+    """
+
+
+@query("g05_weighted_sssp", oracle=_sssp_oracle(3), extra=True)
+def g05_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest-path supply cost: minimum total weight from nation-0's
+    suppliers to every node of the undirected demand graph within 3
+    relaxation rounds, edge weight = the pair's smallest lineitem
+    quantity (exact bigint). Bellman-Ford with DELTA relaxation —
+    each round relaxes only the edges leaving nodes whose distance
+    improved, localCheckpoints the distance map, and exits early on
+    convergence (operators/graph.py weighted_sssp); the oracle
+    verifies it against the full-relaxation form (min over <=3-edge
+    paths), which computes the same minimum."""
+    from kaylee_spark.operators.graph import weighted_demand_edges, weighted_sssp
+
+    fwd = weighted_demand_edges(spark, sf_dir)
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    seeds = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 0)
+        .select((F.col("s_suppkey") + F.lit(SUPPLIER_OFFSET)).alias("id"))
+    )
+    return weighted_sssp(edges, seeds, rounds=3, shuffle_partitions=8)

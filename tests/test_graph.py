@@ -164,3 +164,77 @@ def test_bfs_contract_errors(spark):
         bfs_distances(e, s)
     with pytest.raises(ValueError):
         bfs_distances(e, spark.createDataFrame([(1,)], ["id"]), max_hops=-1)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sssp
+# ---------------------------------------------------------------------------
+
+
+def _ref_sssp(edges, seeds, rounds):
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for s, d, w in edges:
+            if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                nxt[d] = dist[s] + w
+        if nxt == dist:
+            break
+        dist = nxt
+    return dist
+
+
+def test_sssp_matches_python_reference(spark):
+    import random
+
+    from kaylee_spark.operators.graph import weighted_sssp
+
+    rng = random.Random(13)
+    edges = [
+        (rng.randrange(30), rng.randrange(30), rng.randrange(1, 20))
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(0,), (1,)], "id long")
+    for rounds in (0, 1, 3):
+        got = {
+            r["id"]: r["dist"]
+            for r in weighted_sssp(df, seeds, rounds=rounds).collect()
+        }
+        assert got == _ref_sssp(edges, [0, 1], rounds)
+
+
+def test_sssp_prefers_cheap_multi_hop(spark):
+    from kaylee_spark.operators.graph import weighted_sssp
+
+    # direct edge costs 10; two-hop detour costs 2+3
+    df = spark.createDataFrame(
+        [(0, 9, 10), (0, 1, 2), (1, 9, 3)], "src long, dst long, w long"
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    one = {r["id"]: r["dist"] for r in weighted_sssp(df, seeds, rounds=1).collect()}
+    two = {r["id"]: r["dist"] for r in weighted_sssp(df, seeds, rounds=2).collect()}
+    assert one[9] == 10 and two[9] == 5
+
+
+def test_sssp_early_exit_width_independence_and_contract(spark):
+    import pytest
+
+    from kaylee_spark.operators.graph import weighted_sssp
+
+    df = spark.createDataFrame([(0, 1, 4), (1, 2, 4)], "src long, dst long, w long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    # rounds far beyond the diameter converge via the empty-improvement exit
+    far = {r["id"]: r["dist"] for r in weighted_sssp(df, seeds, rounds=50).collect()}
+    assert far == {0: 0, 1: 4, 2: 8}
+    pinned = {
+        r["id"]: r["dist"]
+        for r in weighted_sssp(
+            df.repartition(5), seeds, rounds=50, shuffle_partitions=3
+        ).collect()
+    }
+    assert pinned == far
+    with pytest.raises(ValueError):
+        weighted_sssp(df, seeds, rounds=-1)
+    with pytest.raises(ValueError):
+        weighted_sssp(df, seeds.limit(0), rounds=2)
