@@ -492,3 +492,74 @@ def autocorrelation(
         ]
     stats = laged.groupBy(key_col).agg(*aggs)
     return stats.selectExpr(key_col, "n", *acf_final_exprs(lags))
+
+
+def cusum(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    key_col: str,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key one-sided CUSUM control chart — the changepoint
+    detector for "did this series' mean shift upward, and when":
+    S_t = max(0, S_{t-1} + (x_t - mean - slack)), flagged when S_t
+    exceeds ``threshold``.
+
+    The textbook recursion looks inherently sequential, but it has a
+    closed window form: with y_t = x_t - mean - slack and C_t = Σy,
+    S_t = C_t - min(0, min_{j<=t} C_j) — so the whole chart is two
+    cumulative frames over ONE key-partitioned sort, no recursion,
+    no UDF, no driver loop. The reference target is the key's own
+    full-series mean (two analytic frames on the same sort; the
+    unbounded mean never joins).
+
+    Determinism: values are exact cents (18,2 → bigint) and every
+    per-row term is multiplied through by the key's row count n, so
+    y'_t = n*cents_t - total_cents - n*slack_cents stays an exact
+    bigint through both cumulative frames; the single scale-back
+    division (by n*100) is one shared double op rounded 6dp.
+    Magnitudes: |y'| <= n * max_cents, the cumsum <= n^2 * max_cents
+    — bigint holds to ~10^7 rows per key at 10^4 cents; beyond that,
+    chunk the series or pre-center on a fixed target.
+
+    Returns the input keys/order plus (cusum double, is_shift bool).
+    """
+    if slack < 0 or threshold <= 0:
+        raise ValueError(
+            f"cusum requires slack >= 0 and threshold > 0, got {slack}, {threshold}"
+        )
+    slack_c = round(slack * 100)
+    thresh_c = round(threshold * 100)
+    order = [F.col(order_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    wfull = Window.partitionBy(key_col)
+    wrun = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # exact cents via the e23 decimal recipe: a 2dp DECIMAL cast is
+    # lossless and engine-agnostic, where ROUND(x*100) would hang the
+    # result on a rounding-mode tie
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    base = df.withColumn("__c", cents).withColumn(
+        "__n", F.count("__c").over(wfull)
+    ).withColumn("__s", F.sum("__c").over(wfull))
+    y = F.col("__n") * F.col("__c") - F.col("__s") - F.col("__n") * F.lit(slack_c)
+    run = base.withColumn("__cum", F.sum(y).over(wrun))
+    run = run.withColumn(
+        "__st", F.col("__cum") - F.least(F.lit(0), F.min("__cum").over(wrun))
+    )
+    # UNROUNDED on purpose: __st and __n*100 are exactly-representable
+    # bigints (<= ~2^45), so the single IEEE division is bit-identical
+    # in any engine — while ROUND(...,6) would DIVERGE on 7th-decimal
+    # ties (a .xxxxxx5 quotient rounds half-up in Spark, half-even in
+    # DuckDB; observed on the events fixture)
+    return run.withColumn(
+        "cusum",
+        F.expr("CAST(__st AS DOUBLE) / (CAST(__n AS DOUBLE) * 100.0)"),
+    ).withColumn(
+        "is_shift", F.col("__st") > F.col("__n") * F.lit(thresh_c)
+    ).drop("__c", "__n", "__s", "__cum", "__st")

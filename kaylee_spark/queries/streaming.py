@@ -903,3 +903,54 @@ def e26_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "value", "ts", "event_type", lags=[1, 2, 3],
         tiebreak_cols=["event_id"],
     )
+
+
+@query(
+    "e27_cusum_shift",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, user_id, ts,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+               COUNT(*) OVER (PARTITION BY user_id) AS n,
+               SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   OVER (PARTITION BY user_id) AS s
+        FROM events
+    ),
+    run AS (
+        SELECT event_id, user_id, ts, n,
+               SUM(n * c - s - n * 50) OVER win AS cum
+        FROM base
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    st AS (
+        SELECT event_id, user_id, ts, n,
+               cum - LEAST(0, MIN(cum) OVER win) AS stv
+        FROM run
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts,
+           CAST(stv AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0) AS cusum,
+           stv > n * 500 AS is_shift
+    FROM st
+    """,
+    extra=True,
+)
+def e27_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user one-sided CUSUM changepoint chart (slack 0.5,
+    threshold 5.0 against each user's own mean): the recursive
+    S_t = max(0, S_{t-1} + y_t) rewritten as its closed cumulative
+    form C_t - min(0, running-min C), so two window frames on ONE
+    user-keyed sort replace the sequential scan. All terms are exact
+    n-scaled bigint cents; the one scale-back division is shared
+    verbatim with the oracle and left UNROUNDED — its operands are
+    exactly-representable bigints, so the quotient is bit-identical
+    everywhere, where a 6dp round would diverge on half-tie quotients (operators/timeseries.py cusum)."""
+    from kaylee_spark.operators.timeseries import cusum
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum(
+        ev, "value", "ts", "user_id", slack=0.5, threshold=5.0,
+        tiebreak_cols=["event_id"],
+    ).select("event_id", "user_id", "ts", "cusum", "is_shift")

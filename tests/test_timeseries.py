@@ -486,3 +486,81 @@ def test_acf_single_exchange_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     # all lag columns + the aggregate ride ONE key-hash exchange
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# cusum
+# ---------------------------------------------------------------------------
+
+
+def _ref_cusum(vals, slack, threshold):
+    """Textbook recursion, exact integer replay of the operator math."""
+    cents = [round(v * 100) for v in vals]
+    n, s = len(cents), sum(cents)
+    st, out = 0, []
+    for c in cents:
+        st = max(0, st + (n * c - s - n * round(slack * 100)))
+        out.append((st / (n * 100.0), st > n * round(threshold * 100)))
+    return out
+
+
+def test_cusum_matches_recursive_reference(spark):
+    import random
+
+    from kaylee_spark.operators.timeseries import cusum
+
+    rng = random.Random(21)
+    vals = [round(rng.uniform(1, 30), 2) for _ in range(150)]
+    rows = [(i, _rows_to_ts(i), "k", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, key string, value double"
+    )
+    got = [
+        (r["cusum"], r["is_shift"])
+        for r in cusum(
+            df, "value", "ts", "key", slack=0.5, threshold=5.0,
+            tiebreak_cols=["event_id"],
+        ).orderBy("event_id").collect()
+    ]
+    assert got == _ref_cusum(vals, 0.5, 5.0)
+
+
+def test_cusum_flags_planted_mean_shift(spark):
+    from kaylee_spark.operators.timeseries import cusum
+
+    # stable around 10, then the mean jumps to 18 halfway
+    vals = [10.0 + (i % 3) * 0.1 for i in range(60)]
+    vals += [18.0 + (i % 3) * 0.1 for i in range(60)]
+    rows = [(i, _rows_to_ts(i), "k", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, key string, value double"
+    )
+    out = cusum(
+        df, "value", "ts", "key", slack=0.5, threshold=5.0,
+        tiebreak_cols=["event_id"],
+    ).orderBy("event_id").collect()
+    flags = [r["is_shift"] for r in out]
+    assert not any(flags[:60])          # quiet before the shift
+    assert any(flags[60:])              # fires after it
+    first = flags.index(True)
+    assert 60 <= first <= 75            # and promptly
+    assert all(flags[first:])           # one-sided chart stays latched here
+
+
+def test_cusum_contract_and_single_exchange(spark):
+    import pytest
+
+    from kaylee_spark.operators.timeseries import cusum
+
+    rows = [(i, _rows_to_ts(i), "k" + str(i % 3), float(i % 7)) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, key string, value double"
+    )
+    with pytest.raises(ValueError):
+        cusum(df, "value", "ts", "key", slack=-0.1)
+    with pytest.raises(ValueError):
+        cusum(df, "value", "ts", "key", threshold=0)
+    plan = cusum(
+        df, "value", "ts", "key", tiebreak_cols=["event_id"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
