@@ -380,3 +380,78 @@ def association_rules(
             (nb * F.lit(float(n_baskets))) / (na * nbb), 6
         ).alias("lift"),
     )
+
+
+def welch_final_exprs() -> list[str]:
+    """Welch's t-test expressions, shared VERBATIM between the Spark
+    projection and the DuckDB oracle so both engines run the identical
+    IEEE tree over the exact decimal aggregates (n/s/s2 per side):
+
+    t = (m1 - m2) / sqrt(v1/n1 + v2/n2), with the Welch-Satterthwaite
+    degrees of freedom; "significant" is the |t| > 1.96 screen (a
+    normal approximation — fine at experiment n's; exact p-values
+    need a t CDF no SQL engine shares).
+    """
+    m1 = "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    m2 = "(CAST(s2_ AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    v1 = f"((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * {m1}) / CAST(n1 - 1 AS DOUBLE))"
+    v2 = f"((CAST(q2 AS DOUBLE) - CAST(s2_ AS DOUBLE) * {m2}) / CAST(n2 - 1 AS DOUBLE))"
+    se2 = f"({v1} / CAST(n1 AS DOUBLE) + {v2} / CAST(n2 AS DOUBLE))"
+    t = f"(({m1} - {m2}) / sqrt({se2}))"
+    dof = (
+        f"({se2} * {se2} / "
+        f"({v1} * {v1} / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))"
+        f" + {v2} * {v2} / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE))))"
+    )
+    guard = f"n1 > 1 AND n2 > 1 AND {se2} > 0"
+    return [
+        f"ROUND({m1} - {m2}, 6) AS mean_diff",
+        f"CASE WHEN {guard} THEN ROUND({t}, 6) END AS t_stat",
+        f"CASE WHEN {guard} THEN ROUND({dof}, 6) END AS dof",
+        f"COALESCE(CASE WHEN {guard} THEN abs({t}) > 1.96 END, FALSE) AS significant",
+    ]
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    control: str,
+) -> DataFrame:
+    """Two-sample Welch's t-test of every treatment group against the
+    ``control`` group — the A/B-experiment readout (unequal variances,
+    unequal sizes; the test that stays valid when the arms differ).
+
+    Returns one row per non-control group: (group, n1, n2, mean_diff,
+    t_stat, dof, significant), where side 1 is the treatment and side
+    2 the control; t_stat/dof are NULL (significant FALSE) for
+    degenerate arms (n <= 1 or zero variance).
+
+    Determinism: per-arm moments are exact decimal sums (values 18,2;
+    squares 38,4 — order-independent), and every downstream ratio is
+    the welch_final_exprs double tree shared verbatim with the oracle,
+    rounded 6dp.
+
+    Scale shape: the raw table collapses to |groups| rows in ONE
+    map-side-combined aggregate; the control row joins back by cross
+    join (1 row — a broadcast nested loop over the tiny group frame,
+    never the data). Nothing but 4 scalars per arm leaves the scan.
+    """
+    d182, d384 = "decimal(18,2)", "decimal(38,4)"
+    v = F.col(value_col)
+    stats = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(value_col).alias("n"),
+        F.sum(v.cast(d182)).alias("s"),
+        F.sum((v * v).cast(d384)).alias("q"),
+    )
+    ctl = stats.filter(F.col("grp") == control).select(
+        F.col("n").alias("n2"), F.col("s").alias("s2_"), F.col("q").alias("q2")
+    )
+    if ctl.isEmpty():
+        raise ValueError(f"control group {control!r} not found in {group_col}")
+    arms = stats.filter(F.col("grp") != control).select(
+        "grp", F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("q").alias("q1")
+    )
+    return arms.crossJoin(ctl).selectExpr(
+        "grp", "n1", "n2", *welch_final_exprs()
+    )

@@ -914,3 +914,41 @@ def a25_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_orderkey", "l_partkey",
         min_item_support=10, min_pair_support=3,
     )
+
+
+def _welch_oracle() -> str:
+    from kaylee_spark.operators.analytics import welch_final_exprs
+
+    finals = ",\n           ".join(welch_final_exprs())
+    return f"""
+    WITH stats AS (
+        SELECT event_type AS grp,
+               COUNT(value) AS n,
+               SUM(CAST(value AS DECIMAL(18,2))) AS s,
+               SUM(CAST(value * value AS DECIMAL(38,4))) AS q
+        FROM events GROUP BY event_type
+    ),
+    ctl AS (
+        SELECT n AS n2, s AS s2_, q AS q2 FROM stats WHERE grp = 'view'
+    )
+    SELECT grp, n1, n2,
+           {finals}
+    FROM (SELECT grp, n AS n1, s AS s1, q AS q1 FROM stats WHERE grp <> 'view')
+    CROSS JOIN ctl
+    """
+
+
+@query("a26_welch_ttest", oracle=_welch_oracle(), extra=True)
+def a26_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: Welch's unequal-variance t-test of every
+    event type's value distribution against the 'view' control arm —
+    mean lift, t statistic, Welch-Satterthwaite degrees of freedom,
+    and the |t| > 1.96 significance screen. Exact decimal moments
+    collapse the table to one row per arm in a single map-side-
+    combined aggregate; the 1-row control then cross-joins the tiny
+    arm frame, and the ratio tree (welch_final_exprs) is shared
+    verbatim with the oracle (operators/analytics.py welch_ttest)."""
+    from kaylee_spark.operators.analytics import welch_ttest
+
+    ev = load_table(spark, sf_dir, "events")
+    return welch_ttest(ev, "value", "event_type", control="view")

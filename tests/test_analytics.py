@@ -249,3 +249,68 @@ def test_association_rules_broadcast_prune_plan(spark):
     # only shuffled join is the basket-keyed pair expansion
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# welch_ttest
+# ---------------------------------------------------------------------------
+
+
+def test_welch_matches_scipy_formula(spark):
+    import math
+    import random
+
+    from kaylee_spark.operators.analytics import welch_ttest
+
+    rng = random.Random(31)
+    a = [round(rng.gauss(12, 3), 2) for _ in range(80)]
+    b = [round(rng.gauss(10, 5), 2) for _ in range(50)]
+    rows = [("treat", v) for v in a] + [("ctl", v) for v in b]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = welch_ttest(df, "value", "grp", control="ctl").collect()[0]
+
+    def mv(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        return n, m, sum((x - m) ** 2 for x in xs) / (n - 1)
+
+    n1, m1, v1 = mv(a)
+    n2, m2, v2 = mv(b)
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / math.sqrt(se2)
+    dof = se2 * se2 / (v1 * v1 / (n1 * n1 * (n1 - 1)) + v2 * v2 / (n2 * n2 * (n2 - 1)))
+    assert out["n1"] == n1 and out["n2"] == n2
+    assert abs(out["t_stat"] - t) < 1e-5
+    assert abs(out["dof"] - dof) < 1e-4
+    assert abs(out["mean_diff"] - (m1 - m2)) < 1e-6
+
+
+def test_welch_significance_direction(spark):
+    from kaylee_spark.operators.analytics import welch_ttest
+
+    # planted lift: treatment clearly above control; noise arm flat
+    rows = [("ctl", 10.0 + (i % 5) * 0.1) for i in range(100)]
+    rows += [("lift", 14.0 + (i % 5) * 0.1) for i in range(100)]
+    rows += [("flat", 10.0 + ((i + 2) % 5) * 0.1) for i in range(100)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = {r["grp"]: r for r in welch_ttest(df, "value", "grp", control="ctl").collect()}
+    assert set(out) == {"lift", "flat"}
+    assert out["lift"]["significant"] and out["lift"]["t_stat"] > 1.96
+    assert not out["flat"]["significant"]
+
+
+def test_welch_degenerate_arms_and_missing_control(spark):
+    import pytest
+
+    from kaylee_spark.operators.analytics import welch_ttest
+
+    df = spark.createDataFrame(
+        [("ctl", 1.0), ("ctl", 2.0), ("tiny", 5.0), ("const", 3.0), ("const", 3.0)],
+        "grp string, value double",
+    )
+    out = {r["grp"]: r for r in welch_ttest(df, "value", "grp", control="ctl").collect()}
+    assert out["tiny"]["t_stat"] is None and not out["tiny"]["significant"]
+    # constant arm + tiny control variance still guards se2 > 0 path
+    assert out["const"]["t_stat"] is not None or out["const"]["significant"] is False
+    with pytest.raises(ValueError):
+        welch_ttest(df, "value", "grp", control="nope")
