@@ -615,3 +615,69 @@ def sequence_packing_stats(
             )
         ).cast("double"),
     )
+
+
+PMI_EXPR = (
+    "ROUND(ln(CAST(c_xy AS DOUBLE) * CAST({n} AS DOUBLE)"
+    " / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))), 6) AS pmi"
+)
+
+
+def pmi_cooccurrence(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+    max_df: int = 1000,
+    min_pair: int = 3,
+) -> DataFrame:
+    """Document-level pointwise mutual information of token pairs —
+    the collocation/phrase detector: PMI = ln(P(x,y) / (P(x)P(y)))
+    over document co-occurrence, positive when two tokens appear
+    together far more than chance.
+
+    Returns (tok_x, tok_y, c_xy, c_x, c_y, pmi) for ordered pairs
+    tok_x < tok_y with co-occurrence >= ``min_pair``, counting each
+    token at most once per document. PMI follows the t17 ln recipe:
+    exact bigint counts cast to double feed ONE ln whose input bits
+    match in any engine, rounded 6dp.
+
+    Scale shape — the Σdf² cap is the WHOLE design (the d03 lesson):
+    the per-document pair expansion is quadratic in a document's
+    distinct eligible tokens, so eligibility is gated by a
+    df ∈ [min_df, max_df] vocabulary BEFORE pairing — min_df kills
+    the long tail that can't reach min_pair anyway, max_df kills the
+    stop-token heads whose pairs dominate Σdf² while carrying ~zero
+    PMI. The vocabulary is one term-keyed count broadcast back as a
+    semi-join; pairs then group map-side on (x, y). N_docs is folded
+    into the PMI expression as a codegen literal (g01's scalar-fold
+    pattern), so no 1-row frame ever joins the pair aggregate.
+    """
+    if not (0 < min_df <= max_df) or min_pair < 1:
+        raise ValueError(
+            f"need 0 < min_df <= max_df and min_pair >= 1,"
+            f" got {min_df}, {max_df}, {min_pair}"
+        )
+    n_docs = df.select(id_col).distinct().count()
+    toks = (
+        df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok"))
+        .distinct()
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    )
+    eligible = toks.join(F.broadcast(vocab), "tok").select("doc", "tok", "df")
+    left = eligible.select("doc", F.col("tok").alias("tok_x"), F.col("df").alias("c_x"))
+    right = eligible.select("doc", F.col("tok").alias("tok_y"), F.col("df").alias("c_y"))
+    pairs = (
+        left.join(right, "doc")
+        .filter(F.col("tok_x") < F.col("tok_y"))
+        .groupBy("tok_x", "tok_y", "c_x", "c_y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_pair)
+    )
+    return pairs.selectExpr(
+        "tok_x", "tok_y", "c_xy", "c_x", "c_y", PMI_EXPR.format(n=n_docs)
+    )

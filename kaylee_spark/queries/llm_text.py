@@ -668,3 +668,46 @@ def t20_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's floor //."""
     docs = load_table(spark, sf_dir, "documents")
     return T.sequence_packing_stats(docs, "doc_id", "text", "lang", capacity=512)
+
+
+@query(
+    "t21_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc, tok FROM (
+            SELECT doc_id AS doc,
+                   UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+            FROM documents
+        )
+    ),
+    vocab AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks
+        GROUP BY tok HAVING COUNT(*) BETWEEN 5 AND 1000
+    ),
+    elig AS (SELECT t.doc, t.tok, v.df FROM toks t JOIN vocab v USING (tok)),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+    pairs AS (
+        SELECT a.tok AS tok_x, b.tok AS tok_y, a.df AS c_x, b.df AS c_y,
+               CAST(COUNT(*) AS BIGINT) AS c_xy
+        FROM elig a JOIN elig b ON a.doc = b.doc AND a.tok < b.tok
+        GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 3
+    )
+    SELECT tok_x, tok_y, c_xy, c_x, c_y,
+           ROUND(ln(CAST(c_xy AS DOUBLE) * CAST(n.n AS DOUBLE)
+                 / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))), 6) AS pmi
+    FROM pairs CROSS JOIN n
+    """,
+    extra=True,
+)
+def t21_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: document-level pointwise mutual information
+    of token pairs (each counted once per doc, pairs seen >= 3 times).
+    The df ∈ [5, 1000] vocabulary gate bounds the quadratic per-doc
+    pair expansion BEFORE it happens (the d03 Σdf² lesson); N_docs
+    folds into the ln as a codegen literal, and the single ln over
+    exact bigint counts follows t17's cross-engine recipe
+    (operators/text.py pmi_cooccurrence)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.pmi_cooccurrence(
+        docs, "doc_id", "text", min_df=5, max_df=1000, min_pair=3
+    )

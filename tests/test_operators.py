@@ -721,3 +721,62 @@ def test_round6_operator_contract_guards(spark):
         bpe_pair_counts(docs, "text", top_n=0)
     with pytest.raises(ValueError, match="capacity"):
         sequence_packing_stats(docs, capacity=0)
+
+
+# ---------------------------------------------------------------------------
+# pmi_cooccurrence
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_planted_collocation(spark):
+    import math
+
+    from kaylee_spark.operators.text import pmi_cooccurrence
+
+    # "neural nets" always together; "cats" co-occurs with them at chance
+    docs = []
+    for i in range(40):
+        parts = ["neural", "nets"] if i < 20 else ["solo"]
+        if i % 2 == 0:
+            parts.append("cats")
+        docs.append((i, " ".join(parts + [f"pad{i % 4}"])))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        (r["tok_x"], r["tok_y"]): r
+        for r in pmi_cooccurrence(df, min_df=5, max_df=100, min_pair=3).collect()
+    }
+    pair = out[("nets", "neural")]
+    # exact: c_xy=20, c_x=c_y=20, N=40 -> ln(20*40/400) = ln 2
+    assert pair["c_xy"] == 20
+    assert abs(pair["pmi"] - round(math.log(2), 6)) < 1e-9
+    chance = out[("cats", "neural")]
+    assert abs(chance["pmi"]) < 0.05  # independent ~ 0
+
+
+def test_pmi_df_and_pair_gates(spark):
+    import pytest
+
+    from kaylee_spark.operators.text import pmi_cooccurrence
+
+    docs = [(i, "stop rare" + str(i) + " mid") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_cooccurrence(df, min_df=2, max_df=9, min_pair=2).collect()
+    toks = {t for r in out for t in (r["tok_x"], r["tok_y"])}
+    assert "stop" not in toks        # df=10 > max_df
+    assert not any("rare" in t for t in toks)  # df=1 < min_df
+    with pytest.raises(ValueError):
+        pmi_cooccurrence(df, min_df=0)
+    with pytest.raises(ValueError):
+        pmi_cooccurrence(df, min_df=5, max_df=4)
+    with pytest.raises(ValueError):
+        pmi_cooccurrence(df, min_pair=0)
+
+
+def test_pmi_counts_each_doc_once(spark):
+    from kaylee_spark.operators.text import pmi_cooccurrence
+
+    # repetition inside one doc must not inflate the pair count
+    docs = [(i, "a b a b a b") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_cooccurrence(df, min_df=1, max_df=10, min_pair=1).collect()
+    assert len(out) == 1 and out[0]["c_xy"] == 6 and abs(out[0]["pmi"]) < 1e-9
