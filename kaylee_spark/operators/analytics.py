@@ -455,3 +455,69 @@ def welch_ttest(
     return arms.crossJoin(ctl).selectExpr(
         "grp", "n1", "n2", *welch_final_exprs()
     )
+
+
+import math as _math
+
+#: Benford expected first-digit probabilities as FULL-PRECISION double
+#: literals (repr round-trips exactly), so both engines fold the same
+#: IEEE constants into the chi-square chain.
+BENFORD_P = {d: repr(_math.log10(1 + 1 / d)) for d in range(1, 10)}
+
+
+def benford_exprs() -> list[str]:
+    """Chi-square-vs-Benford expressions over the nine pivoted digit
+    counts (o1..o9, n), shared VERBATIM with the oracle. The digit sum
+    is a flat left-to-right literal chain — NEVER a SUM aggregate over
+    digit rows, whose merge order no two engines share."""
+    terms = " + ".join(
+        f"(CAST(o{d} AS DOUBLE) - CAST(n AS DOUBLE) * {BENFORD_P[d]})"
+        f" * (CAST(o{d} AS DOUBLE) - CAST(n AS DOUBLE) * {BENFORD_P[d]})"
+        f" / (CAST(n AS DOUBLE) * {BENFORD_P[d]})"
+        for d in range(1, 10)
+    )
+    chi2 = f"({terms})"
+    return [
+        f"CASE WHEN n > 0 THEN ROUND({chi2}, 6) END AS chi2",
+        # 20.09 = chi-square critical value, 8 dof, alpha 0.01
+        f"COALESCE(CASE WHEN n > 0 THEN {chi2} > 20.09 END, FALSE) AS suspicious",
+    ]
+
+
+def benford_screen(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | str,
+) -> DataFrame:
+    """Benford's-law first-digit screen per group — the forensic
+    anomaly detector for fabricated or systematically rounded
+    numbers: natural multi-magnitude amounts follow
+    P(d) = log10(1 + 1/d); a group whose digit histogram departs
+    (chi-square over 8 dof beyond the 1% critical value) is flagged.
+
+    First digits come from the VALUE's exact cents (a lossless 2dp
+    decimal cast, then the bigint's leading character) — scaling by
+    100 never changes the leading significant digit, and bigint
+    string rendering is engine-invariant where decimal/double
+    formatting is not. Non-positive values are excluded.
+
+    Returns (group_cols…, n, o1..o9, chi2, suspicious).
+
+    Scale shape: ONE map-side-combined aggregate pivots each group to
+    nine exact conditional counts; the chi-square is a flat codegen
+    chain over those columns (benford_exprs) — no digit-row shuffle,
+    no double sum whose order could drift.
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    base = df.filter(cents > 0).select(
+        *group_cols, digit.alias("__d")
+    )
+    counts = [
+        F.count(F.when(F.col("__d") == d, 1)).alias(f"o{d}") for d in range(1, 10)
+    ]
+    agged = base.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n"), *counts)
+    return agged.selectExpr(
+        *group_cols, "n", *[f"o{d}" for d in range(1, 10)], *benford_exprs()
+    )

@@ -952,3 +952,47 @@ def a26_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return welch_ttest(ev, "value", "event_type", control="view")
+
+
+def _benford_oracle() -> str:
+    from kaylee_spark.operators.analytics import benford_exprs
+
+    finals = ",\n           ".join(benford_exprs())
+    counts = ",\n               ".join(
+        f"CAST(COUNT(*) FILTER (WHERE d = {d}) AS BIGINT) AS o{d}"
+        for d in range(1, 10)
+    )
+    return f"""
+    WITH cents AS (
+        SELECT l_suppkey,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM lineitem
+    ),
+    digits AS (
+        SELECT l_suppkey, CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT) AS d
+        FROM cents WHERE c > 0
+    ),
+    agged AS (
+        SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+               {counts}
+        FROM digits GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, n, {", ".join(f"o{d}" for d in range(1, 10))},
+           {finals}
+    FROM agged
+    """
+
+
+@query("a27_benford_screen", oracle=_benford_oracle(), extra=True)
+def a27_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forensic first-digit screen: each supplier's extended prices
+    against Benford's law — nine pivoted exact digit counts per
+    supplier from ONE map-side-combined aggregate, chi-square as a
+    flat literal chain over those columns (never a digit-row double
+    sum), flagged past the 8-dof 1% critical value. Digit extraction
+    renders the exact bigint cents, the engine-invariant path
+    (operators/analytics.py benford_screen)."""
+    from kaylee_spark.operators.analytics import benford_screen
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return benford_screen(li, "l_extendedprice", "l_suppkey")

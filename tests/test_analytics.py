@@ -314,3 +314,50 @@ def test_welch_degenerate_arms_and_missing_control(spark):
     assert out["const"]["t_stat"] is not None or out["const"]["significant"] is False
     with pytest.raises(ValueError):
         welch_ttest(df, "value", "grp", control="nope")
+
+
+# ---------------------------------------------------------------------------
+# benford_screen
+# ---------------------------------------------------------------------------
+
+
+def test_benford_accepts_benford_and_flags_uniform(spark):
+    import math
+    import random
+
+    from kaylee_spark.operators.analytics import benford_screen
+
+    rng = random.Random(41)
+    rows = []
+    # "natural": log-uniform over 4 decades follows Benford closely
+    for _ in range(2000):
+        rows.append(("natural", round(10 ** rng.uniform(0, 4), 2)))
+    # "fabricated": uniform [100, 1000) — first digits uniform, not Benford
+    for _ in range(2000):
+        rows.append(("fab", round(rng.uniform(100, 999), 2)))
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = {r["grp"]: r for r in benford_screen(df, "value", "grp").collect()}
+    assert not out["natural"]["suspicious"]
+    assert out["fab"]["suspicious"] and out["fab"]["chi2"] > 100
+    # counts pivot exactly
+    assert sum(out["fab"][f"o{d}"] for d in range(1, 10)) == out["fab"]["n"] == 2000
+    # replay chi2 by hand for the fabricated arm
+    n = out["fab"]["n"]
+    chi2 = sum(
+        (out["fab"][f"o{d}"] - n * math.log10(1 + 1 / d)) ** 2
+        / (n * math.log10(1 + 1 / d))
+        for d in range(1, 10)
+    )
+    assert abs(out["fab"]["chi2"] - chi2) < 1e-4
+
+
+def test_benford_digit_extraction_and_filters(spark):
+    from kaylee_spark.operators.analytics import benford_screen
+
+    df = spark.createDataFrame(
+        [("g", 0.95), ("g", 912.44), ("g", 0.07), ("g", -5.0), ("g", 0.0)],
+        "grp string, value double",
+    )
+    out = benford_screen(df, "value", "grp").collect()[0]
+    # 0.95 -> 9, 912.44 -> 9, 0.07 -> 7; negatives and zero excluded
+    assert out["n"] == 3 and out["o9"] == 2 and out["o7"] == 1
