@@ -1025,3 +1025,61 @@ def pq_encode(
         cols.append(code.alias(f"c{s}"))
         total = mind if total is None else total + mind
     return out.select(*cols, total.alias("dist_sq"))
+
+
+def pq_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Semantic near-duplicate candidates via product quantization:
+    vectors that land in the SAME cell of all ``m`` subspace codebooks
+    (pq_encode) pair up, and each pair carries its exact full-lattice
+    squared distance so callers threshold on real geometry, not on
+    code equality alone. Returns (id_a, id_b, dist_sq), id_a < id_b.
+
+    This is the candidate→verify shape of the dedup family (d04's
+    LSH banding with learned, data-adaptive buckets instead of random
+    planes): the self-join runs on the m-code tuple — k^m cells — so
+    cost is Σ|cell|², never |corpus|², and the verify join touches
+    only candidate ids. Codes are m ints; the wide vectors stay out
+    of the candidate shuffle entirely and are re-joined (id, lattice)
+    only for surviving pairs. Cell skew is the knob: raise k or m
+    until the hottest cell's |cell|² fits a task.
+    """
+    if shuffle_partitions is not None:
+        spark = df.sparkSession
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        try:
+            out = pq_neardup_pairs(
+                df, dim, m=m, k=k, iterations=iterations,
+                id_col=id_col, vec_col=vec_col,
+            ).cache()
+            out.count()
+            return out
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    codes = pq_encode(
+        df, dim, m=m, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+    ).select("vec_id", *[f"c{s}" for s in range(m)]).cache()
+    code_cols = [f"c{s}" for s in range(m)]
+    a = codes.select(F.col("vec_id").alias("id_a"), *code_cols)
+    b = codes.select(F.col("vec_id").alias("id_b"), *code_cols)
+    pairs = a.join(b, code_cols).filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+    v = kmeans_lattice(df, dim, id_col=id_col, vec_col=vec_col)
+    va = v.select(F.col("vec_id").alias("id_a"), *[F.col(f"x{i}").alias(f"ax{i}") for i in range(dim)])
+    vb = v.select(F.col("vec_id").alias("id_b"), *[F.col(f"x{i}").alias(f"bx{i}") for i in range(dim)])
+    chain = " + ".join(f"(ax{i} - bx{i}) * (ax{i} - bx{i})" for i in range(dim))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .selectExpr("id_a", "id_b", f"CAST({chain} AS BIGINT) AS dist_sq")
+    )

@@ -523,3 +523,48 @@ def s10_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(
         emb, dim=64, m=4, k=4, iterations=2, shuffle_partitions=4
     )
+
+
+def _pq_neardup_oracle(dim: int = 64, m: int = 4, k: int = 4, iterations: int = 2) -> str:
+    """The s10 trajectory CTEs, extended with a same-cell self-join and
+    an exact full-lattice pair distance — all integer arithmetic."""
+    base = _pq_oracle(dim, m, k, iterations)
+    head, _, final = base.rpartition("\n    SELECT ")
+    assert final.startswith("a0_")
+    codes_cte = (
+        "codes AS (SELECT " + final.replace(", "
+        + " + ".join(f"a{s}_{iterations}.dist" for s in range(m))
+        + " AS dist_sq", "") + ")"
+    )
+    chain = " + ".join(f"(va.x{i} - vb.x{i}) * (va.x{i} - vb.x{i})" for i in range(dim))
+    on = " AND ".join(f"a.c{s} = b.c{s}" for s in range(m))
+    return (
+        head
+        + ",\n    " + codes_cte
+        + f""",
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM codes a JOIN codes b ON {on} AND a.vec_id < b.vec_id
+    )
+    SELECT p.id_a, p.id_b, CAST({chain} AS BIGINT) AS dist_sq
+    FROM pairs p JOIN v va ON p.id_a = va.vec_id JOIN v vb ON p.id_b = vb.vec_id
+    """
+    )
+
+
+@query("d15_pq_neardup", oracle=_pq_neardup_oracle(64, 4, 4, 2), extra=True)
+def d15_pq_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-duplicate candidates from learned quantization:
+    embedding pairs landing in the SAME cell of all 4 PQ subspace
+    codebooks, each carrying its exact full-lattice squared distance
+    for geometric thresholding downstream. The candidate→verify shape
+    of d04 with data-adaptive buckets: the self-join runs on 4-int
+    code tuples (k^m = 256 cells, Σ|cell|² cost), and the 64-wide
+    vectors re-join only for surviving pairs
+    (operators/similarity.py pq_neardup_pairs)."""
+    from kaylee_spark.operators.similarity import pq_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_neardup_pairs(
+        emb, dim=64, m=4, k=4, iterations=2, shuffle_partitions=4
+    )

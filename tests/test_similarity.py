@@ -520,3 +520,61 @@ def test_pq_width_independent_and_contract(spark):
         pq_encode(df, dim=4, m=2, iterations=0)
     with pytest.raises(ValueError):
         pq_encode(df.limit(1), dim=4, m=2, k=2)
+
+
+# ---------------------------------------------------------------------------
+# pq_neardup_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_pq_neardup_matches_reference_buckets(spark):
+    import math
+    import random
+
+    from kaylee_spark.operators.similarity import (
+        KMEANS_QUANT_OFFSET,
+        KMEANS_QUANT_SCALE,
+        pq_neardup_pairs,
+    )
+
+    rng = random.Random(17)
+    vecs = [(i, [rng.uniform(-0.6, 0.6) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist_sq"]
+        for r in pq_neardup_pairs(df, dim=8, m=2, k=3, iterations=2).collect()
+    }
+    ref_codes = _ref_pq(vecs, 2, 3, 2)
+    lat = {
+        vid: [math.floor(float(x) * KMEANS_QUANT_SCALE) + KMEANS_QUANT_OFFSET for x in v]
+        for vid, v in vecs
+    }
+    want = {}
+    ids = sorted(lat)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if ref_codes[a][0] == ref_codes[b][0]:
+                want[(a, b)] = sum((x - y) ** 2 for x, y in zip(lat[a], lat[b]))
+    assert got == want
+
+
+def test_pq_neardup_planted_duplicates_pair_up(spark):
+    from kaylee_spark.operators.similarity import pq_neardup_pairs
+
+    # 3 tight planted clusters; exact duplicates must always share cells
+    base = [[0.5, -0.5, 0.5, -0.5], [-0.5, 0.5, -0.5, 0.5], [0.5, 0.5, -0.5, -0.5]]
+    vecs = []
+    for i in range(30):
+        c = base[i % 3]
+        vecs.append((i, [x + (i // 3) * 1e-6 for x in c]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = pq_neardup_pairs(df, dim=4, m=2, k=3, iterations=3).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    # same-cluster near-identical vectors must co-bucket
+    same = [(a, b) for a in range(30) for b in range(a + 1, 30) if a % 3 == b % 3]
+    assert pairs.issuperset(same)
+    # and their exact distances are tiny vs cross-cluster scale:
+    # members differ by <= 9 lattice units per coordinate (i//3 * 1e-6),
+    # so dist_sq <= 9^2 * 4 = 324; cross-cluster is ~(10^6)^2
+    dist = {(r["id_a"], r["id_b"]): r["dist_sq"] for r in out}
+    assert all(dist[p] <= 324 for p in same)
