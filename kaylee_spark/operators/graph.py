@@ -111,11 +111,22 @@ def pagerank(
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         try:
-            out = pagerank(edges, iterations).cache()
+            ranks, caches = _pagerank_loop(edges, iterations)
+            out = ranks.cache()
             out.count()
+            # the result is materialized — the loop-invariant caches
+            # can be released (repeated registry runs in one session
+            # otherwise accumulate executor storage).
+            for c in caches:
+                c.unpersist()
             return out
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+    ranks, _ = _pagerank_loop(edges, iterations)
+    return ranks
+
+
+def _pagerank_loop(edges: DataFrame, iterations: int):
     # cache the EDGE LIST itself, not just its derivatives: nodes and
     # edges_deg each scan it, and when the edge list is itself a join
     # (orders ⋈ lineitem + distinct in g01) an uncached base pays that
@@ -163,7 +174,10 @@ def pagerank(
                 )
             ).alias("r"),
         )
-    return ranks.select("id", F.col("r").alias("rank_e12"))
+    return (
+        ranks.select("id", F.col("r").alias("rank_e12")),
+        [edges, nodes, edges_deg],
+    )
 
 
 #: HITS works max-normalized in units of 1e-6: after each step scores
@@ -234,6 +248,10 @@ def _hits_loop(edges: DataFrame, iterations: int) -> DataFrame:
             raise ValueError("hits requires a non-empty edge list")
         # each score frame is read twice (next half-step + final
         # output) and anchors the next step's lineage — cache it
+        # localCheckpoint (eager) instead of cache: the score frame is
+        # materialized before its raw input is unpersisted, the next
+        # half-step's lineage is truncated, and superseded frames free
+        # their blocks via GC — no per-iteration storage accumulation.
         a = (
             auths.join(a_raw, "id", "left")
             .select(
@@ -242,8 +260,9 @@ def _hits_loop(edges: DataFrame, iterations: int) -> DataFrame:
                     f"(coalesce(raw, CAST(0 AS BIGINT)) * {HITS_SCALE}) DIV {max_a}"
                 ).alias("score"),
             )
-            .cache()
+            .localCheckpoint()
         )
+        a_raw.unpersist()
         h_raw = (
             edges.join(a.withColumnRenamed("id", "dst").withColumnRenamed("score", "a"), "dst")
             .groupBy(F.col("src").alias("id"))
@@ -259,11 +278,19 @@ def _hits_loop(edges: DataFrame, iterations: int) -> DataFrame:
                     f"(coalesce(raw, CAST(0 AS BIGINT)) * {HITS_SCALE}) DIV {max_h}"
                 ).alias("score"),
             )
-            .cache()
+            .localCheckpoint()
         )
-    return h.select("id", F.lit("hub").alias("role"), F.col("score").alias("score_e6")).union(
+        h_raw.unpersist()
+    out = h.select(
+        "id", F.lit("hub").alias("role"), F.col("score").alias("score_e6")
+    ).union(
         a.select("id", F.lit("authority").alias("role"), F.col("score").alias("score_e6"))
     )
+    # the final frames are checkpointed (materialized), so the loop
+    # invariants can be released.
+    for c in (edges, hubs, auths):
+        c.unpersist()
+    return out
 
 
 def coorder_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,6 +374,11 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     n_nodes = deg.count()
     n_edges = edges.count()
     spark = edges.sparkSession
+    # the returned row is pure literals — nothing downstream depends
+    # on the caches, so release them (repeated registry runs in one
+    # session otherwise accumulate executor storage).
+    for c in (wedges, oriented, edges):
+        c.unpersist()
     return spark.range(1).select(
         F.lit(n_nodes).cast("bigint").alias("n_nodes"),
         F.lit(n_edges).cast("bigint").alias("n_edges"),
@@ -401,25 +433,34 @@ def bfs_distances(
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     edges = edges.select("src", "dst").cache()
-    frontier = sources.select(F.col("id").cast("bigint").alias("id")).distinct().cache()
+    frontier = (
+        sources.select(F.col("id").cast("bigint").alias("id"))
+        .distinct()
+        .localCheckpoint()
+    )
     if frontier.count() == 0:
         raise ValueError("bfs_distances requires a non-empty source set")
-    levels = [frontier.select("id", F.lit(0).cast("int").alias("dist"))]
-    reached = levels[0]
+    reached = frontier.select("id", F.lit(0).cast("int").alias("dist"))
     for k in range(1, max_hops + 1):
+        # localCheckpoint truncates the per-hop lineage: hop k's
+        # anti-join references the reached set (a union of k legs),
+        # so an uncheckpointed loop re-analyzes a growing plan every
+        # hop and re-executes the whole chain on deep graphs.
         new = (
             edges.join(frontier.withColumnRenamed("id", "src"), "src")
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(reached.select("id"), "id", "left_anti")
             .select("id", F.lit(k).cast("int").alias("dist"))
-            .cache()
+            .localCheckpoint()
         )
         if new.count() == 0:
             break
-        levels.append(new)
         reached = reached.unionByName(new)
         frontier = new.select("id")
+    # Every level is materialized by its localCheckpoint, so the
+    # result no longer depends on the edge cache.
+    edges.unpersist()
     return reached
 
 
@@ -524,4 +565,7 @@ def weighted_sssp(
             .unionByName(improved)
             .localCheckpoint()
         )
+    # The final distance map is localCheckpoint'ed (materialized), so
+    # it no longer depends on the edge cache.
+    edges.unpersist()
     return dist

@@ -340,7 +340,15 @@ def rolling_zscore(
     svv = F.sum((v * v).cast("decimal(38,4)")).over(w).cast("double")
     mean = sv / n
     sd = F.sqrt(F.greatest((svv - sv * sv / n) / n, F.lit(0.0)))
-    z = F.round((v - mean) / sd, 6)
+    # Clamp |z| at a literal 1e6 BEFORE rounding: a near-constant
+    # history leaves sd ~1e-9 and z ~1e9, where one double ulp
+    # (~2.4e-7) rivals the 6dp quantum and the two engines' ROUND can
+    # disagree in the last digit (the round-6 e23 sf0.1 escape). A
+    # clamped z has <= 13 significant digits, so ROUND is exact; the
+    # anomaly flag is unchanged (1e6 >> any sane threshold).
+    z = F.round(
+        F.greatest(F.least((v - mean) / sd, F.lit(1e6)), F.lit(-1e6)), 6
+    )
     return df.withColumn("z", F.when(sd > 0, z)).withColumn(
         "is_anomaly", F.coalesce(F.abs(F.col("z")) > F.lit(threshold), F.lit(False))
     )

@@ -205,17 +205,35 @@ def _bfs_oracle(max_hops: int = 3) -> str:
     ),
     r0 AS (
         SELECT DISTINCT s_suppkey + {SUPPLIER_OFFSET} AS id, 0 AS dist
-        FROM supplier WHERE s_nationkey = 0
+        FROM supplier
+        WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)
     ),
     {",".join(steps)}
     SELECT id, CAST(dist AS INT) AS dist FROM {prev}
     """
 
 
+def _seed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed set for the graph-traversal queries: the suppliers of the
+    MINIMUM nationkey present in the fixture. Unlike a hard-coded
+    nation (the round-6 bug — sf0.001 has 10 suppliers, none in
+    nation 0), this rule is non-empty at every scale by construction.
+    The scalar min is pulled with .first() and folded into a codegen
+    literal (a correlated subquery would plan a 1-row join); the
+    oracles mirror it as `s_nationkey = (SELECT MIN(s_nationkey)
+    FROM supplier)` — same value, so same seeds."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    min_nation = supplier.agg(F.min("s_nationkey")).first()[0]
+    return (
+        supplier.filter(F.col("s_nationkey") == F.lit(min_nation))
+        .select((F.col("s_suppkey") + F.lit(SUPPLIER_OFFSET)).alias("id"))
+    )
+
+
 @query("g04_bfs_reach", oracle=_bfs_oracle(3), extra=True)
 def g04_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Supply-chain blast radius: minimum hop distance from nation-0's
-    suppliers to every node of the UNDIRECTED customer<->supplier
+    """Supply-chain blast radius: minimum hop distance from the
+    min-nationkey suppliers to every node of the UNDIRECTED customer<->supplier
     demand graph within 3 hops (0 = seed suppliers, 1 = their
     customers, 2 = those customers' other suppliers, 3 = the wider
     customer ring). Frontier-expansion BFS — each hop joins edges
@@ -229,11 +247,7 @@ def g04_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    seeds = (
-        load_table(spark, sf_dir, "supplier")
-        .filter(F.col("s_nationkey") == 0)
-        .select((F.col("s_suppkey") + F.lit(SUPPLIER_OFFSET)).alias("id"))
-    )
+    seeds = _seed_suppliers(spark, sf_dir)
     return bfs_distances(edges, seeds, max_hops=3, shuffle_partitions=8)
 
 
@@ -266,7 +280,8 @@ def _sssp_oracle(rounds: int = 3) -> str:
     r0 AS (
         SELECT DISTINCT s_suppkey + {SUPPLIER_OFFSET} AS id,
                CAST(0 AS BIGINT) AS dist
-        FROM supplier WHERE s_nationkey = 0
+        FROM supplier
+        WHERE s_nationkey = (SELECT MIN(s_nationkey) FROM supplier)
     ),
     {",".join(steps)}
     SELECT id, dist FROM {prev}
@@ -275,8 +290,8 @@ def _sssp_oracle(rounds: int = 3) -> str:
 
 @query("g05_weighted_sssp", oracle=_sssp_oracle(3), extra=True)
 def g05_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cheapest-path supply cost: minimum total weight from nation-0's
-    suppliers to every node of the undirected demand graph within 3
+    """Cheapest-path supply cost: minimum total weight from the
+    min-nationkey suppliers to every node of the undirected demand graph within 3
     relaxation rounds, edge weight = the pair's smallest lineitem
     quantity (exact bigint). Bellman-Ford with DELTA relaxation —
     each round relaxes only the edges leaving nodes whose distance
@@ -290,9 +305,5 @@ def g05_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
-    seeds = (
-        load_table(spark, sf_dir, "supplier")
-        .filter(F.col("s_nationkey") == 0)
-        .select((F.col("s_suppkey") + F.lit(SUPPLIER_OFFSET)).alias("id"))
-    )
+    seeds = _seed_suppliers(spark, sf_dir)
     return weighted_sssp(edges, seeds, rounds=3, shuffle_partitions=8)

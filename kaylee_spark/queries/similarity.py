@@ -63,7 +63,7 @@ def s02_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
 
 
-@query("s04_ivf_ann_topk", oracle=_EXACT_TOPK_ORACLE)
+@query("s04_ivf_ann_topk", oracle=_EXACT_TOPK_ORACLE, extra=True)
 def s04_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via IVF: k-means coarse quantizer (pyspark.ml) +
     inverted-list probing + exact re-rank.
@@ -552,7 +552,7 @@ def _pq_neardup_oracle(dim: int = 64, m: int = 4, k: int = 4, iterations: int = 
     )
 
 
-@query("d15_pq_neardup", oracle=_pq_neardup_oracle(64, 4, 4, 2), extra=True)
+@query("d15_pq_neardup", oracle=_pq_neardup_oracle(64, 4, 4, 2))
 def d15_pq_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-duplicate candidates from learned quantization:
     embedding pairs landing in the SAME cell of all 4 PQ subspace

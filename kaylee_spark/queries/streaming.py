@@ -626,9 +626,13 @@ def e22_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM w
     )
     SELECT event_id, user_id, ts,
-           CASE WHEN sd > 0 THEN ROUND((value - mean) / sd, 6) END AS z,
+           CASE WHEN sd > 0
+                THEN ROUND(greatest(least((value - mean) / sd, 1e6), -1e6), 6)
+           END AS z,
            COALESCE(abs(CASE WHEN sd > 0
-                             THEN ROUND((value - mean) / sd, 6) END) > 3.0,
+                             THEN ROUND(greatest(least((value - mean) / sd,
+                                                       1e6), -1e6), 6)
+                        END) > 3.0,
                     FALSE) AS is_anomaly
     FROM m
     """,

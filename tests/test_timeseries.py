@@ -335,6 +335,24 @@ def test_rolling_zscore_window_is_trailing_and_bounded(spark):
     assert got[ts("2024-01-01 00:04")] is None      # constant window again
 
 
+def test_rolling_zscore_near_degenerate_window_clamps_z(spark):
+    from kaylee_spark.operators.timeseries import rolling_zscore
+
+    # A history that is constant except for one value 0.01 away (the
+    # 2-dp quantum) leaves sd tiny but nonzero; an unclamped z on the
+    # spike row would be ~1e9, where one double ulp beats the 6-dp
+    # ROUND quantum and engines can disagree in the last digit (the
+    # round-6 e23 sf0.1 escape). The clamp pins it to exactly 1e6.
+    rows = [(1, ts(f"2024-01-01 00:{m:02d}"), 10.0) for m in range(20)]
+    rows[10] = (1, ts("2024-01-01 00:10"), 10.01)
+    rows.append((1, ts("2024-01-01 00:20"), 5000.0))  # the spike
+    df = spark.createDataFrame(rows, ["user", "t", "v"])
+    out = {r["t"]: r for r in rolling_zscore(df, "v", "t", "user").collect()}
+    spike = out[ts("2024-01-01 00:20")]
+    assert spike["z"] == 1e6
+    assert spike["is_anomaly"] is True
+
+
 def test_rolling_zscore_single_exchange_plan(spark):
     from kaylee_spark.operators.timeseries import rolling_zscore
 

@@ -150,6 +150,12 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            # operators cache loop invariants / materialization
+            # barriers that a lazy result may still reference; once
+            # the query is drained to pandas nothing does, and 144
+            # queries in one JVM otherwise accumulate storage memory.
+            spark.catalog.clearCache()
         if spec.oracle is None:
             print(f"ROWS {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1

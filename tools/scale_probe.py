@@ -24,7 +24,15 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: tables worth multiplying (fact tables the money/time aggs scan)
-MULTIPLIED = ("lineitem", "customer", "events")
+MULTIPLIED = ("lineitem", "customer", "events", "documents")
+
+#: id columns made UNIQUE across copies (id + copy * offset) instead
+#: of plainly duplicated: the time-series shelf (e22-e27) orders
+#: windows by (ts, event_id), so a duplicated event_id would leave the
+#: sort non-total and the probe nondeterministic; offsetting also
+#: makes the x10 corpus REAL scale growth for doc-keyed stats (t21's
+#: dfs actually grow x10 instead of collapsing under DISTINCT).
+ID_OFFSET = {"events": ("event_id", 10_000_000), "documents": ("doc_id", 1_000_000)}
 
 #: single-table group-by queries whose semantics survive row
 #: multiplication (counts/sums scale by N; no cross-table joins to
@@ -62,6 +70,34 @@ PROBE_QUERIES = (
     # probes HLL/quantile-summary merge behavior at a row count no
     # shipped fixture reaches)
     "a02_approx_sketches",
+    # round-7 additions: the round-6 stats/time-series shelf, which
+    # previously had scale ARGUMENTS but no measurement (VERDICT r6
+    # item 6). The lineitem/events stats are order-independent exact-
+    # moment aggregates (average-rank ties for a24, DISTINCT baskets
+    # for a25, decimal moments for a26/a27), so plain duplication is
+    # a valid 10x input; the per-key window family (e22-e27) needs the
+    # event_id offset above to keep its (ts, event_id) sorts total —
+    # each user's series then carries 10 events per timestamp, which
+    # also stress-tests e23's degenerate-window sd=0 gate and z clamp
+    # at a density no shipped fixture reaches.
+    "a24_spearman_corr",
+    "a25_association_rules",
+    "a26_welch_ttest",
+    "a27_benford_screen",
+    "e22_interpolate",
+    "e23_rolling_anomaly",
+    "e24_ewma",
+    "e25_markov_transitions",
+    "e26_autocorrelation",
+    "e27_cusum_shift",
+    # t21 over the doc_id-offset x10 corpus: dfs and pair counts grow
+    # 10x for real (no DISTINCT collapse), probing the df-gate and the
+    # literal-N PMI arithmetic at ~50k docs
+    "t21_pmi_collocations",
+    # w06 over x10-duplicated customers: the rev<->customer join fans
+    # out 10 identical (nation, custkey, rev_dec) rows, so the rank
+    # window must stay deterministic under maximal ties
+    "w06_pareto_abc",
 )
 
 
@@ -81,7 +117,11 @@ def build(base: str, out: str, multiplier: int) -> None:
         df = spark.read.parquet(f"{base}/{t}.parquet")
         big = df.crossJoin(
             spark.range(multiplier).select(F.col("id").alias("_copy"))
-        ).drop("_copy")
+        )
+        if t in ID_OFFSET:
+            col, off = ID_OFFSET[t]
+            big = big.withColumn(col, F.col(col) + F.col("_copy") * F.lit(off))
+        big = big.drop("_copy")
         # single FILE, not a directory: DuckDB's view creation reads
         # '<path>' exactly like the shipped fixtures
         tmp = f"{out}/_tmp_{t}"
