@@ -191,6 +191,76 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """Asymmetric n-gram containment over candidate pairs from the
+    inverted index: containment(src -> dst) = |S(src) ∩ S(dst)| /
+    |S(src)| — the quote / near-superset detector Jaccard misses. A
+    short document embedded verbatim in a long one (a quoted article,
+    a template wrapping real content, a chunk of a larger doc) has
+    Jaccard ~|src|/|dst| (arbitrarily low) but containment ~1, so
+    near-superset dedup must normalize by the SMALLER side, not the
+    union.
+
+    Output: (src, dst, containment) for ordered pairs src != dst with
+    containment >= ``threshold`` — both directions of each candidate
+    pair are scored, so a doc contained in many hosts emits one row
+    per host. Counts are exact integers; the one division is a
+    deterministic double.
+
+    Scale shape is jaccard_pairs verbatim (same inverted index, same
+    Σdf² bound via ``max_df``, same 8-byte xxhash64 shingle keys, same
+    capped-space semantics any engine can mirror): the intersection
+    count and both per-doc sizes come from ONE shingle self-join plus
+    two size joins; scoring both directions is a row-local projection
+    of the symmetric candidate aggregate, not a second join.
+
+    Reference parity: the reference engine (sdiehl/kaylee) has no
+    similarity surface at all (server.py's MapReduce core); this and
+    jaccard_pairs are part of the dedup family the absence list in
+    SURVEY.md §2.3 prescribes.
+    """
+    sh = hashed_shingles(df, id_col, text_col, n).withColumnRenamed("sh64", "shingle")
+    if max_df is not None:
+        sh = sh.cache()
+        rare = sh.groupBy("shingle").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_df)
+        sh = sh.join(rare.select("shingle"), "shingle")
+    sh = sh.cache()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    a = sh.withColumnRenamed("doc", "doc_a")
+    b = sh.withColumnRenamed("doc", "doc_b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    scored = common.join(
+        sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_shingles", "size_a"),
+        "doc_a",
+    ).join(
+        sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_shingles", "size_b"),
+        "doc_b",
+    )
+    fwd = scored.select(
+        F.col("doc_a").alias("src"),
+        F.col("doc_b").alias("dst"),
+        (F.col("n_common") / F.col("size_a")).cast("double").alias("containment"),
+    )
+    rev = scored.select(
+        F.col("doc_b").alias("src"),
+        F.col("doc_a").alias("dst"),
+        (F.col("n_common") / F.col("size_b")).cast("double").alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+
+
 def incremental_exact_dedup(
     increment: DataFrame,
     text_col: str,

@@ -617,6 +617,81 @@ def sequence_packing_stats(
     )
 
 
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean bigram conditional log-probability under the
+    corpus's own add-1-smoothed bigram LM — the second rung of the
+    CCNet-style perplexity ladder above unigram_logprob: a document of
+    individually common words in implausible ORDER (shuffled text,
+    spam keyword salads, bad OCR joins) scores far below fluent prose
+    that a unigram model cannot distinguish.
+
+    lp(w_i | w_{i-1}) = ln((c(w_{i-1} w_i) + 1) / (c(w_{i-1}·) + V)),
+    with c(w·) = occurrences of w as a bigram head (= Σ_y c(w y)) and
+    V = |corpus vocabulary| for the add-1 mass. Output: (doc,
+    n_bigrams, avg_logprob) for every document with >= 2 tokens.
+
+    Determinism: the unigram_logprob recipe — exact bigint counts feed
+    ONE double division and ONE ln, rounded 6dp into DECIMAL(18,6)
+    BEFORE the per-doc sum (ln is faithfully- but not correctly-
+    rounded libm everywhere; decimal addition is exact and
+    associative, so the holistic per-doc total is bit-stable).
+
+    Scale shape: bigrams are built row-locally with array ops (the
+    bpe_pair_counts slice — zero shuffle), counted once in a
+    map-side-combined (a, b) agg; the context counts derive from THAT
+    aggregate (Σ over its rows, never a second corpus pass), join the
+    bigram model on its own small key space, and only then does the
+    corpus-size bigram stream join the enriched model on (a, b). V is
+    a driver scalar folded into the score as a codegen literal — no
+    1-row-frame attach (the BNLJ class the plan guard bans).
+    """
+    t = tokens(text_col)
+    bg = (
+        df.select(F.col(id_col).alias("doc"), t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc",
+            F.explode(
+                F.expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS a, t[i+1] AS b))")
+            ).alias("p"),
+        )
+        .select("doc", "p.a", "p.b")
+    )
+    # the bigram stream is read twice (model counts + scoring join);
+    # uncached, the tokenize/explode scan would run twice
+    bg = bg.cache()
+    counts = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ctx = counts.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    vocab_size = (
+        df.select(F.explode(t).alias("tok")).select("tok").distinct().count()
+    )
+    model = counts.join(ctx, "a").select("a", "b", "c_ab", "c_a")
+    lp = bg.join(model, ["a", "b"]).select(
+        "doc",
+        F.round(
+            F.log(
+                (F.col("c_ab") + F.lit(1)).cast("double")
+                / (F.col("c_a") + F.lit(vocab_size)).cast("double")
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+    # the final mean is deliberately UNROUNDED (unlike unigram_logprob
+    # — the e27 lesson): both operands are exactly representable (a
+    # DECIMAL(18,6) sum cast to double, a bigint count), so the IEEE
+    # quotient is bit-identical in any engine, whereas ROUND(q, 6) can
+    # diverge when q lands on a half-tie (observed at sf0.1: Spark's
+    # HALF_UP vs the oracle on -3.3883295).
+    return lp.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("avg_logprob"),
+    )
+
+
 PMI_EXPR = (
     "ROUND(ln(CAST(c_xy AS DOUBLE) * CAST({n} AS DOUBLE)"
     " / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))), 6) AS pmi"

@@ -641,3 +641,57 @@ def d14_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         shuffle_partitions=8,
     )
+
+
+@query(
+    "d16_containment_pairs",
+    oracle=f"""
+    WITH sh0 AS (
+        SELECT DISTINCT doc_id AS doc, gram AS shingle FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS gram
+            FROM documents
+        )
+    ),
+    kept AS (
+        SELECT shingle FROM sh0 GROUP BY shingle
+        HAVING COUNT(*) <= {D.DEFAULT_MAX_DF}
+    ),
+    sh AS (SELECT sh0.doc, sh0.shingle FROM sh0 JOIN kept USING (shingle)),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    ),
+    scored AS (
+        SELECT doc_a, doc_b, n_common, sa.n AS size_a, sb.n AS size_b
+        FROM common
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+    )
+    SELECT src, dst, containment FROM (
+        SELECT doc_a AS src, doc_b AS dst,
+               CAST(n_common AS DOUBLE) / size_a AS containment
+        FROM scored
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst,
+               CAST(n_common AS DOUBLE) / size_b AS containment
+        FROM scored
+    ) WHERE containment >= 0.7
+    """,
+    extra=True,
+)
+def d16_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 3-gram containment pairs (operators/dedup.py
+    containment_pairs): |S(src) ∩ S(dst)| / |S(src)| >= 0.7 — the
+    quote / near-superset detector that catches a short doc embedded
+    in a long one where Jaccard (d03) stays arbitrarily low. Same
+    inverted index, same Σdf² df-cap semantics mirrored in the
+    oracle's HAVING filter; both directions scored from one symmetric
+    candidate aggregate."""
+    return D.containment_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.7
+    )

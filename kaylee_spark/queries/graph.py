@@ -307,3 +307,61 @@ def g05_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = _seed_suppliers(spark, sf_dir)
     return weighted_sssp(edges, seeds, rounds=3, shuffle_partitions=8)
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
+    steps = []
+    prev = "a0"
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""s{r} AS (
+        SELECT e.src AS id FROM edges e
+        JOIN {prev} x ON e.src = x.id
+        JOIN {prev} y ON e.dst = y.id
+        GROUP BY e.src HAVING COUNT(*) >= {k}
+    )"""
+        )
+        prev = f"s{r}"
+    removed = "\n    UNION ALL\n    ".join(
+        f"SELECT id, CAST({r} AS INT) AS peel_round FROM "
+        f"(SELECT id FROM {'a0' if r == 1 else f's{r - 1}'} "
+        f"EXCEPT SELECT id FROM s{r})"
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH fwd AS (
+        SELECT o_custkey AS src, l_suppkey + {SUPPLIER_OFFSET} AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 HAVING COUNT(DISTINCT o_orderkey) >= 2
+    ),
+    edges AS (
+        SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd
+    ),
+    a0 AS (SELECT DISTINCT src AS id FROM edges),
+    {",".join(steps)}
+    {removed}
+    UNION ALL
+    SELECT id, CAST(0 AS INT) AS peel_round FROM s{rounds}
+    """
+
+
+@query("g06_kcore_peel", oracle=_kcore_oracle(3, 3), extra=True)
+def g06_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohesion decomposition of the REPEAT-trading graph (customer
+    <-> supplier pairs with >= 2 distinct orders — the sparsified
+    relationship graph where degree is informative): three synchronous
+    3-core peeling rounds assign every node the round it fell out
+    (1..3) or 0 if it survives in the approximate 3-core. One-off
+    buyers shed in round 1; their suppliers, propped up only by them,
+    cascade in rounds 2-3 — the standard "who is structurally
+    embedded vs hanging on" market segmentation
+    (operators/graph.py kcore_peel); the oracle unrolls the identical
+    synchronous rounds as chained CTEs (exact integer degrees, so the
+    peel trajectory is engine-invariant)."""
+    from kaylee_spark.operators.graph import kcore_peel, repeat_trading_edges
+
+    fwd = repeat_trading_edges(spark, sf_dir)
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return kcore_peel(edges, k=3, rounds=3, shuffle_partitions=8)

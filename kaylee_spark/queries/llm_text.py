@@ -711,3 +711,49 @@ def t21_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.pmi_cooccurrence(
         docs, "doc_id", "text", min_df=5, max_df=1000, min_pair=3
     )
+
+
+@query(
+    "t22_bigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id AS doc, t[i] AS a, t[i + 1] AS b
+        FROM tok, UNNEST(range(1, len(t))) AS r(i)
+    ),
+    counts AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY a, b),
+    ctx AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM counts GROUP BY a),
+    v AS (
+        SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) AS v FROM (
+            SELECT UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS tk
+            FROM documents
+        )
+    ),
+    lp AS (
+        SELECT bg.doc,
+               CAST(ROUND(ln(CAST(c.c_ab + 1 AS DOUBLE)
+                             / CAST(x.c_a + v.v AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS lp
+        FROM bg JOIN counts c USING (a, b) JOIN ctx x USING (a) CROSS JOIN v
+    )
+    SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logprob
+    FROM lp GROUP BY doc
+    """,
+    extra=True,
+)
+def t22_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean add-1-smoothed bigram conditional log-probability per
+    document under the corpus's own bigram LM (operators/text.py
+    bigram_logprob) — the perplexity-ladder rung above t17's unigram
+    score: catches plausible-words-implausible-ORDER documents
+    (shuffled text, keyword spam, OCR joins). Bigrams are built
+    row-locally (t19's array slice), the model is one (a, b) count
+    whose context totals derive from itself, V folds in as a codegen
+    literal, and each token score rounds 6dp into exact decimal
+    before the holistic per-doc sum (t17's ln recipe)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bigram_logprob(docs, "doc_id", "text")

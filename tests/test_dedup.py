@@ -458,3 +458,48 @@ def test_leakage_free_split_keeps_near_dups_on_one_side(spark):
         assert split_by_doc[a] == split_by_doc[b], f"pair {a},{b} straddles the split"
     # with eval_ppm=50%, both sides must actually be populated
     assert {"train", "eval"} == set(split_by_doc.values())
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_containment_finds_embedded_quote_jaccard_misses(spark):
+    from kaylee_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    host = (
+        "breaking news from the wire today "
+        + quote
+        + " said the witness while officials denied everything and "
+        "promised a thorough investigation into the matter shortly"
+    )
+    other = "completely unrelated text about gardening tips and tomato soil"
+    df = spark.createDataFrame(
+        [(1, quote), (2, host), (3, other)], "doc_id long, text string"
+    )
+    got = {
+        (r["src"], r["dst"]): r["containment"]
+        for r in containment_pairs(df, "doc_id", "text", n=3, threshold=0.8).collect()
+    }
+    # every 3-gram of the quote appears in the host -> containment 1.0
+    # in the quote->host direction ONLY
+    assert got == {(1, 2): 1.0}
+    # ...while symmetric Jaccard stays far below a dedup threshold
+    jac = jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.0).collect()
+    assert all(r["jaccard"] < 0.5 for r in jac)
+
+
+def test_containment_max_df_cap_drops_boilerplate_only(spark):
+    from kaylee_spark.operators.dedup import containment_pairs
+
+    # the shared chrome line is in ALL 5 docs; with max_df=4 its
+    # shingles leave the index, so chrome-only overlap yields no pair
+    chrome = "copyright footer all rights reserved navigation menu"
+    rows = [(i, f"{chrome} unique body {i} words here now") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert (
+        containment_pairs(df, "doc_id", "text", n=3, threshold=0.5, max_df=4).count()
+        == 0
+    )

@@ -238,3 +238,88 @@ def test_sssp_early_exit_width_independence_and_contract(spark):
         weighted_sssp(df, seeds, rounds=-1)
     with pytest.raises(ValueError):
         weighted_sssp(df, seeds.limit(0), rounds=2)
+
+
+# ---------------------------------------------------------------------------
+# kcore_peel
+# ---------------------------------------------------------------------------
+
+
+def _both_dirs(spark, pairs):
+    fwd = [(a, b) for a, b in pairs]
+    return spark.createDataFrame(
+        fwd + [(b, a) for a, b in fwd], "src long, dst long"
+    )
+
+
+def _ref_kcore(pairs, k, rounds):
+    """Pure-Python synchronous peel replay."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    out = {}
+    for r in range(1, rounds + 1):
+        removed = {n for n in alive if len(adj[n] & alive) < k}
+        if not removed:
+            break
+        for n in removed:
+            out[n] = r
+        alive -= removed
+    for n in alive:
+        out[n] = 0
+    return out
+
+
+def test_kcore_clique_survives_pendant_chain_cascades(spark):
+    from kaylee_spark.operators.graph import kcore_peel
+
+    # 4-clique (0-3) with a pendant path 3-10-11: at k=2 the path end
+    # (11) peels in round 1, which strands 10 for round 2; the clique
+    # (degree 3 inside) never peels.
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    pairs = clique + [(3, 10), (10, 11)]
+    got = {
+        r["id"]: r["peel_round"]
+        for r in kcore_peel(_both_dirs(spark, pairs), k=2, rounds=3).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 11: 1, 10: 2}
+
+
+def test_kcore_matches_python_reference(spark):
+    import random
+
+    from kaylee_spark.operators.graph import kcore_peel
+
+    rng = random.Random(7)
+    pairs = {
+        tuple(sorted((rng.randrange(25), rng.randrange(25))))
+        for _ in range(60)
+    }
+    pairs = [(a, b) for a, b in pairs if a != b]
+    for k in (2, 3):
+        got = {
+            r["id"]: r["peel_round"]
+            for r in kcore_peel(_both_dirs(spark, pairs), k=k, rounds=3).collect()
+        }
+        assert got == _ref_kcore(pairs, k, 3)
+
+
+def test_kcore_width_independence_and_contract(spark):
+    import pytest
+
+    from kaylee_spark.operators.graph import kcore_peel
+
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    edges = _both_dirs(spark, pairs)
+    base = {r["id"]: r["peel_round"] for r in kcore_peel(edges, k=2, rounds=3).collect()}
+    pinned = {
+        r["id"]: r["peel_round"]
+        for r in kcore_peel(edges.repartition(5), k=2, rounds=3, shuffle_partitions=3).collect()
+    }
+    assert pinned == base == {0: 0, 1: 0, 2: 0, 3: 1}
+    with pytest.raises(ValueError):
+        kcore_peel(edges, k=0)
+    with pytest.raises(ValueError):
+        kcore_peel(edges, k=2, rounds=0)

@@ -780,3 +780,44 @@ def test_pmi_counts_each_doc_once(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = pmi_cooccurrence(df, min_df=1, max_df=10, min_pair=1).collect()
     assert len(out) == 1 and out[0]["c_xy"] == 6 and abs(out[0]["pmi"]) < 1e-9
+
+
+def test_bigram_logprob_matches_hand_model(spark):
+    """Scores must equal the hand-built add-1 bigram LM with the
+    documented rounding (6dp per-bigram ln into exact decimal, final
+    mean deliberately UNROUNDED — exact operands, bit-stable quotient)."""
+    import math
+    from decimal import Decimal
+
+    from kaylee_spark.operators.text import bigram_logprob
+
+    rows = [(1, "a b a b c"), (2, "a b"), (3, "c a b"), (4, "solo")]
+    bigrams = []
+    vocab = set()
+    for _, t in rows:
+        toks = t.split()
+        vocab.update(toks)
+        bigrams += list(zip(toks, toks[1:]))
+    c_ab = {p: bigrams.count(p) for p in set(bigrams)}
+    c_a = {}
+    for (a, _), n in c_ab.items():
+        c_a[a] = c_a.get(a, 0) + n
+    V = len(vocab)
+
+    def score(text):
+        toks = text.split()
+        lps = [
+            Decimal(str(round(math.log((c_ab[p] + 1) / (c_a[p[0]] + V)), 6)))
+            for p in zip(toks, toks[1:])
+        ]
+        return float(sum(lps)) / len(lps)
+
+    out = {r["doc"]: r for r in bigram_logprob(
+        spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    for doc_id, text in rows[:3]:
+        assert out[doc_id]["n_bigrams"] == len(text.split()) - 1
+        assert out[doc_id]["avg_logprob"] == score(text)
+    # single-token docs have no bigrams and are absent
+    assert 4 not in out
+    # the common transition (a->b, seen 3x) outscores the rare ones
+    assert out[2]["avg_logprob"] > out[1]["avg_logprob"]

@@ -61,6 +61,9 @@ SHOWCASE = [
     ("e25_markov_transitions", "markov transitions: lag on one user sort; probability window over the |types|^2 aggregate"),
     ("s09_kmeans", "broadcast-Lloyd k-means: centroids as codegen literals, cached integer lattice, k-row agg per iteration"),
     ("s10_pq_encode", "product quantization: 4 subspace codebooks trained off one cached lattice; all 4 argmins in one column-pruned select"),
+    ("d16_containment_pairs", "asymmetric containment: d03's df-capped inverted index; both directions projected from one symmetric candidate agg"),
+    ("t22_bigram_logprob", "bigram LM: row-local pairing, one (a,b) model count, context totals derived from it, V folded as a literal"),
+    ("g06_kcore_peel", "k-core peel: per-round semi-joins against the checkpointed shrinking alive set, one degree count each"),
 ]
 
 
@@ -107,6 +110,12 @@ MUST_CONTAIN = {
     "a25_association_rules": ("BroadcastHashJoin", "LeftSemi"),
     "e25_markov_transitions": ("Window", "HashAggregate"),
     "s09_kmeans": ("InMemoryTableScan",),
+    "d16_containment_pairs": ("InMemoryTableScan", "HashAggregate"),
+    "t22_bigram_logprob": ("InMemoryTableScan", "HashAggregate"),
+    # the per-round semi-joins live BEHIND the per-round
+    # localCheckpoints (deliberate: the loop's lineage is truncated),
+    # so the final plan shows only the checkpointed legs + union
+    "g06_kcore_peel": ("localCheckpoint", "Union"),
 }
 
 
