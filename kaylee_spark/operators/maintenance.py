@@ -20,7 +20,7 @@ swap is a per-partition overwrite, not a full-table rewrite.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -133,4 +133,81 @@ def snapshot_diff(
         joined.withColumn("change", change)
         .filter(F.col("change").isNotNull())
         .select(*key_cols, "change")
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 history build: collapse a
+    key's time-ordered attribute observations into validity intervals
+    — one row per RUN of consecutive equal values, versioned 1..n,
+    with ``valid_from`` = the run's first observation and ``valid_to``
+    = the next run's start (NULL for the current version). The
+    standard warehouse dimension-history shape (and the run-length
+    encoding of a categorical signal): d09/d10 answer "what changed
+    between snapshots", this answers "what was true WHEN".
+
+    Output: (key, version, attr, valid_from, valid_to, n_obs).
+    Deterministic for a total (ts, tiebreak) order per key — repeats
+    of the SAME value never open a new version (observation count
+    lands in n_obs instead).
+
+    Scale shape — ONE exchange end to end: the key-partitioned
+    (ts, tiebreak) sort carries the change-detection lag and the
+    running version-number sum; the run then collapses via a
+    (key, version)-partitioned count window and a filter to the run's
+    FIRST row (whose attr/ts ARE the run's attr/valid_from under the
+    sort — no groupBy re-shuffle, since hash(key) already co-locates
+    every (key, version) group), and the valid_to lead rides the same
+    partitioning over the run-start rows. A groupBy formulation plans
+    two more exchanges (one for the (key, version) aggregate, one to
+    get back to key partitioning for the lead); this shape is the
+    single-exchange class of rolling_zscore, with two local re-sorts.
+    """
+    tiebreaks = list(tiebreak_cols or [])
+    # rename FIRST, window on the renamed columns: windowing on the
+    # original names and aliasing later drops the partitioning's
+    # source column mid-plan, which degrades outputPartitioning to
+    # unknown and buys two extra exchanges (measured: 3 -> 1)
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(attr_col).alias("attr"),
+        F.col(ts_col).alias("ts"),
+        *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(tiebreaks)],
+    )
+    order = [F.col("ts").asc()] + [F.col(f"__tb{i}").asc() for i in range(len(tiebreaks))]
+    w = Window.partitionBy("key").orderBy(*order)
+    run = Window.partitionBy("key").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = F.lag(F.col("attr")).over(w)
+    is_start = F.when(
+        prev.isNull() | (F.col("attr") != prev), F.lit(1)
+    ).otherwise(F.lit(0))
+    versioned = base.select(
+        "key",
+        "attr",
+        "ts",
+        is_start.alias("__st"),
+        F.sum(is_start).over(run).cast("int").alias("version"),
+    )
+    # full-frame count over (key, version): hash(key) satisfies the
+    # clustering requirement, so no new exchange — only a local sort
+    counted = versioned.withColumn(
+        "n_obs", F.count(F.lit(1)).over(Window.partitionBy("key", "version"))
+    )
+    starts = counted.filter(F.col("__st") == 1)
+    wv = Window.partitionBy("key").orderBy(F.col("version").asc())
+    return starts.select(
+        "key",
+        "version",
+        "attr",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(wv).alias("valid_to"),
+        "n_obs",
     )

@@ -354,6 +354,67 @@ def rolling_zscore(
     )
 
 
+def seasonal_zscore(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    key_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonal-baseline anomaly score: each value is scored against
+    the mean/stddev of its key's OWN hour-of-day bucket over the whole
+    series — the profile detector for periodic signals, where
+    rolling_zscore's trailing window flags every daily peak as an
+    anomaly because the baseline lags the season. A 9am spike is
+    judged against 9am history, not against 8:40-8:59.
+
+    Adds ``hod`` (0-23), ``z`` (6dp, null when the bucket is constant
+    or singleton), ``is_anomaly`` (|z| > threshold, never null).
+
+    Determinism contract is rolling_zscore's verbatim: exact decimal
+    bucket moments (values 18,2; squares 38,4), one fixed IEEE
+    mean/variance/sqrt chain, variance clamped at 0, |z| clamped at a
+    literal 1e6 before the 6dp round (near-constant buckets put z in
+    ulp-unstable territory), flag compares the rounded z.
+
+    Scale shape: the baseline is ONE map-side-combined aggregate over
+    (key, hour) — at most 24x|keys| rows, broadcast back onto the
+    event scan; no window sort at all, so this is strictly cheaper
+    than the rolling variant and the join side never grows with the
+    fact table.
+    """
+    v = F.col(value_col)
+    hod = F.hour(F.col(ts_col))
+    base = (
+        df.groupBy(F.col(key_col).alias("__k"), hod.alias("__hod"))
+        .agg(
+            F.count(v).alias("__n"),
+            F.sum(v.cast("decimal(18,2)")).cast("double").alias("__sv"),
+            F.sum((v * v).cast("decimal(38,4)")).cast("double").alias("__svv"),
+        )
+    )
+    joined = df.withColumn("hod", hod).join(
+        F.broadcast(base),
+        (F.col(key_col) == F.col("__k")) & (F.col("hod") == F.col("__hod")),
+    ).drop("__k", "__hod")
+    mean = F.col("__sv") / F.col("__n")
+    sd = F.sqrt(
+        F.greatest(
+            (F.col("__svv") - F.col("__sv") * F.col("__sv") / F.col("__n")) / F.col("__n"),
+            F.lit(0.0),
+        )
+    )
+    z = F.round(F.greatest(F.least((v - mean) / sd, F.lit(1e6)), F.lit(-1e6)), 6)
+    return (
+        joined.withColumn("z", F.when(sd > 0, z))
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("z")) > F.lit(threshold), F.lit(False)),
+        )
+        .drop("__n", "__sv", "__svv")
+    )
+
+
 def ewma(
     df: DataFrame,
     value_col: str,

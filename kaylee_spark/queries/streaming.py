@@ -958,3 +958,97 @@ def e27_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "value", "ts", "user_id", slack=0.5, threshold=5.0,
         tiebreak_cols=["event_id"],
     ).select("event_id", "user_id", "ts", "cusum", "is_shift")
+
+
+@query(
+    "e28_scd2_history",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, ts,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                      OR event_type <> lag(event_type) OVER w
+                    THEN 1 ELSE 0 END AS st
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    v AS (
+        SELECT user_id, event_type, ts,
+               CAST(SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS INT) AS version
+        FROM seq
+    ),
+    runs AS (
+        SELECT user_id AS key, version, MIN(event_type) AS attr,
+               MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM v GROUP BY user_id, version
+    )
+    SELECT key, version, attr, valid_from,
+           lead(valid_from) OVER (PARTITION BY key ORDER BY version) AS valid_to,
+           n_obs
+    FROM runs
+    """,
+    extra=True,
+)
+def e28_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history of each user's event-type signal
+    (operators/maintenance.py scd2_intervals): consecutive equal
+    observations collapse into versioned validity intervals
+    [valid_from, valid_to), NULL valid_to = current — "what was true
+    WHEN", the warehouse companion to d09/d10's "what changed". One
+    user-keyed (ts, event_id) sort carries the change lag and the
+    running version sum; runs collapse map-side to a run-sized frame
+    before the valid_to lead."""
+    from kaylee_spark.operators.maintenance import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_intervals(
+        ev, "user_id", "event_type", "ts", tiebreak_cols=["event_id"]
+    )
+
+
+@query(
+    "e29_seasonal_anomaly",
+    oracle="""
+    WITH b AS (
+        SELECT event_id, event_type, ts, value,
+               CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+               COUNT(value) OVER w AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sv,
+               CAST(SUM(CAST(value * value AS DECIMAL(38,4))) OVER w AS DOUBLE) AS svv
+        FROM events
+        WINDOW w AS (PARTITION BY event_type, EXTRACT(hour FROM ts))
+    ),
+    m AS (
+        SELECT event_id, event_type, ts, hod, value,
+               sv / n AS mean,
+               sqrt(greatest((svv - sv * sv / n) / n, 0.0)) AS sd
+        FROM b
+    )
+    SELECT event_id, event_type, ts, hod,
+           CASE WHEN sd > 0
+                THEN ROUND(greatest(least((value - mean) / sd, 1e6), -1e6), 6)
+           END AS z,
+           COALESCE(abs(CASE WHEN sd > 0
+                             THEN ROUND(greatest(least((value - mean) / sd,
+                                                       1e6), -1e6), 6)
+                        END) > 3.0,
+                    FALSE) AS is_anomaly
+    FROM m
+    """,
+    extra=True,
+)
+def e29_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly flags: each event scored against its
+    type's OWN hour-of-day bucket over the whole series
+    (operators/timeseries.py seasonal_zscore) — the profile detector
+    that doesn't flag every daily peak the way a trailing window
+    (e23) does. The baseline is one map-side-combined (type, hour)
+    aggregate — at most 24x|types| rows — broadcast back onto the
+    scan; exact decimal moments + the e23 clamp-then-round recipe
+    keep the float z engine-invariant."""
+    from kaylee_spark.operators.timeseries import seasonal_zscore
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_zscore(ev, "value", "ts", "event_type", threshold=3.0).select(
+        "event_id", "event_type", "ts", "hod", "z", "is_anomaly"
+    )

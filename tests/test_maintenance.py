@@ -175,3 +175,44 @@ def test_diff_to_updates_roundtrip_reproduces_new_snapshot(spark):
     )
     merged = upsert_snapshot(old, updates, "id", tombstone_col="deleted")
     assert sorted(tuple(r) for r in merged.collect()) == sorted(tuple(r) for r in new.collect())
+
+
+# ---------------------------------------------------------------------------
+# scd2_intervals
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_collapses_runs_and_links_intervals(spark):
+    from kaylee_spark.operators.maintenance import scd2_intervals
+
+    rows = [
+        (1, "bronze", 10), (1, "bronze", 20), (1, "gold", 30),
+        (1, "bronze", 40),  # back to a previous value = NEW version
+        (2, "gold", 5),
+    ]
+    df = spark.createDataFrame(rows, "k long, tier string, t long")
+    out = {
+        (r["key"], r["version"]): r
+        for r in scd2_intervals(df, "k", "tier", "t").collect()
+    }
+    assert out[(1, 1)]["attr"] == "bronze" and out[(1, 1)]["n_obs"] == 2
+    assert (out[(1, 1)]["valid_from"], out[(1, 1)]["valid_to"]) == (10, 30)
+    assert (out[(1, 2)]["attr"], out[(1, 2)]["valid_from"], out[(1, 2)]["valid_to"]) == ("gold", 30, 40)
+    # current version's interval is open
+    assert out[(1, 3)]["valid_to"] is None
+    assert out[(2, 1)]["attr"] == "gold" and out[(2, 1)]["valid_to"] is None
+    # intervals tile the timeline: valid_to == next valid_from
+    assert len(out) == 4
+
+
+def test_scd2_tiebreak_makes_equal_timestamps_deterministic(spark):
+    from kaylee_spark.operators.maintenance import scd2_intervals
+
+    # two observations at the SAME ts — the id tiebreak fixes the order
+    rows = [(1, "a", 10, 1), (1, "b", 10, 2), (1, "b", 20, 3)]
+    df = spark.createDataFrame(rows, "k long, attr string, t long, id long")
+    out = sorted(
+        (r["version"], r["attr"], r["n_obs"])
+        for r in scd2_intervals(df, "k", "attr", "t", tiebreak_cols=["id"]).collect()
+    )
+    assert out == [(1, "a", 1), (2, "b", 2)]

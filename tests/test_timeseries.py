@@ -582,3 +582,41 @@ def test_cusum_contract_and_single_exchange(spark):
         df, "value", "ts", "key", tiebreak_cols=["event_id"]
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_seasonal_zscore_uses_hour_bucket_baseline(spark):
+    from kaylee_spark.operators.timeseries import seasonal_zscore
+
+    # 9am history is {10.0 x30, spike 100.0}; 10am history is constant
+    # 100.0 -> the SAME value 100.0 is anomalous at 9am, normal at
+    # 10am. 30 baseline points matter: the bucket baseline INCLUDES
+    # the spike, which caps a lone outlier's z near sqrt(n).
+    rows = [(1, ts(f"2024-01-{d:02d} 09:00"), 10.0) for d in range(1, 31)]
+    rows.append((1, ts("2024-02-01 09:00"), 100.0))
+    rows += [(1, ts(f"2024-01-0{d} 10:00"), 100.0) for d in range(1, 6)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = {(r["hod"], r["v"]): r for r in seasonal_zscore(df, "v", "t", "k").collect()}
+    spike = out[(9, 100.0)]
+    calm = out[(10, 100.0)]
+    assert spike["is_anomaly"] is True and spike["z"] > 2.0
+    # constant bucket -> sd 0 -> null z, not anomalous
+    assert calm["z"] is None and calm["is_anomaly"] is False
+    # the 9am baseline rows score slightly negative, not anomalous
+    assert out[(9, 10.0)]["is_anomaly"] is False
+
+
+def test_seasonal_zscore_hand_computed_bits(spark):
+    import math
+
+    from kaylee_spark.operators.timeseries import seasonal_zscore
+
+    vals = [2.0, 4.0, 6.0, 8.0]
+    rows = [(1, ts(f"2024-01-0{i+1} 07:30"), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    n = len(vals)
+    sv, svv = sum(vals), sum(v * v for v in vals)
+    mean = sv / n
+    sd = math.sqrt(max((svv - sv * sv / n) / n, 0.0))
+    out = {r["v"]: r["z"] for r in seasonal_zscore(df, "v", "t", "k").collect()}
+    for v in vals:
+        assert out[v] == round(max(min((v - mean) / sd, 1e6), -1e6), 6)

@@ -64,6 +64,8 @@ SHOWCASE = [
     ("d16_containment_pairs", "asymmetric containment: d03's df-capped inverted index; both directions projected from one symmetric candidate agg"),
     ("t22_bigram_logprob", "bigram LM: row-local pairing, one (a,b) model count, context totals derived from it, V folded as a literal"),
     ("g06_kcore_peel", "k-core peel: per-round semi-joins against the checkpointed shrinking alive set, one degree count each"),
+    ("e28_scd2_history", "SCD2 history: change lag + version cumsum on ONE sort, run-sized collapse before the valid_to lead"),
+    ("e29_seasonal_anomaly", "seasonal baseline: (type, hour) moments broadcast back onto the scan — no window sort at all"),
 ]
 
 
@@ -116,6 +118,11 @@ MUST_CONTAIN = {
     # localCheckpoints (deliberate: the loop's lineage is truncated),
     # so the final plan shows only the checkpointed legs + union
     "g06_kcore_peel": ("localCheckpoint", "Union"),
+    # deliberately window-only: the run collapse is a (key, version)
+    # count window + run-start filter, NOT a groupBy — one exchange
+    # end-to-end (a groupBy formulation planned three)
+    "e28_scd2_history": ("Window",),
+    "e29_seasonal_anomaly": ("BroadcastHashJoin",),
 }
 
 
