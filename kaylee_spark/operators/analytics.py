@@ -521,3 +521,113 @@ def benford_screen(
     return agged.selectExpr(
         *group_cols, "n", *[f"o{d}" for d in range(1, 10)], *benford_exprs()
     )
+
+
+# --- Poisson bootstrap -----------------------------------------------------
+#
+# The resampling scheme that scales: a classical bootstrap draws n rows
+# WITH replacement per replicate (n passes over the data, a shuffle per
+# replicate); the Poisson approximation gives every row an independent
+# Poisson(1) replication weight per replicate, so ALL replicates are
+# computed in ONE scan with map-side partial aggregation (Chamandy et
+# al., "Estimating Uncertainty for Massive Data Streams", Google 2012).
+#
+# Determinism across engines: the per-(row, replicate) weight derives
+# from a two-step minstd LCG over BIGINT arithmetic (exact in any
+# engine), inverse-CDF'd through INTEGER thresholds — floor(CDF_k * M)
+# precomputed in Python as literals — so Spark and the DuckDB oracle
+# compare the identical integers against the identical constants; no
+# float RNG is involved anywhere.
+
+MINSTD_A = 48271
+MINSTD_M = 2147483647  # 2^31 - 1
+
+#: floor(P(Poisson(1) <= k) * MINSTD_M) for k = 0..7; weights beyond 8
+#: have probability < 1e-5 and collapse into the ELSE arm.
+POISSON1_THRESHOLDS = (
+    790015083,
+    1580030167,
+    1975037709,
+    2106706890,
+    2139624185,
+    2146207644,
+    2147304887,
+    2147461637,
+)
+
+
+def bootstrap_weight_sql(key_expr: str, rep_expr: str, replicates: int) -> str:
+    """SQL expression (shared VERBATIM with the oracle) for the
+    Poisson(1) replication weight of row ``key_expr`` in replicate
+    ``rep_expr``: u = minstd²(key·B + rep + 1) compared against the
+    integer CDF thresholds."""
+    x = f"(CAST({key_expr} AS BIGINT) * {replicates} + CAST({rep_expr} AS BIGINT) + 1)"
+    h1 = f"(({x} * {MINSTD_A}) % {MINSTD_M})"
+    h = f"(({h1} * {MINSTD_A}) % {MINSTD_M})"
+    arms = " ".join(f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(POISSON1_THRESHOLDS))
+    return f"(CASE {arms} ELSE 8 END)"
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    key_col: str,
+    replicates: int = 32,
+) -> DataFrame:
+    """Bootstrap confidence interval for the per-group mean of
+    ``value_col``, via deterministic Poisson(1) replication weights.
+
+    Returns one row per group: (group, n_rows, point_mean, ci_lo,
+    ci_hi) where [ci_lo, ci_hi] spans the 2nd-smallest to 2nd-largest
+    replicate mean (the ~93.75% interval at the default 32 replicates
+    — rank-based, so no cross-engine quantile-interpolation drift).
+
+    Determinism: weights are exact integers (bootstrap_weight_sql);
+    each replicate mean is an exact decimal weighted sum over an exact
+    bigint weight count, divided once and rounded 6dp; the CI bounds
+    are order statistics of those identical doubles.
+
+    Scale shape: the replicate dimension is a row-local explode whose
+    B-fold blowup collapses IMMEDIATELY in the map-side partial agg —
+    the one shuffle carries ~(partitions × groups × B) partial rows,
+    never B copies of the data; the second agg runs on groups × B
+    rows (droplet-sized) and the base-point join is group-keyed over
+    |groups| rows. One data scan total, matching the published
+    streaming-bootstrap design.
+    """
+    if replicates < 4:
+        raise ValueError("need >= 4 replicates for the rank-based CI")
+    rep = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("val"),
+        F.col(key_col).alias("k"),
+        F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("rep"),
+    ).withColumn("w", F.expr(bootstrap_weight_sql("k", "rep", replicates)))
+    means = (
+        rep.groupBy("grp", "rep")
+        .agg(
+            F.sum((F.col("w") * F.col("val")).cast("decimal(18,2)")).alias("ws"),
+            F.sum("w").alias("wn"),
+        )
+        .select(
+            "grp",
+            F.round(
+                F.col("ws").cast("double") / F.col("wn").cast("double"), 6
+            ).alias("mean_r"),
+        )
+    )
+    ci = means.groupBy("grp").agg(F.sort_array(F.collect_list("mean_r")).alias("ms")).select(
+        "grp",
+        F.element_at("ms", 2).alias("ci_lo"),
+        F.element_at("ms", replicates - 1).alias("ci_hi"),
+    )
+    base = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("point_mean"),
+    )
+    return base.join(ci, "grp").select("grp", "n_rows", "point_mean", "ci_lo", "ci_hi")

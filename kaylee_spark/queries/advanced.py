@@ -996,3 +996,52 @@ def a27_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return benford_screen(li, "l_extendedprice", "l_suppkey")
+
+
+def _bootstrap_oracle() -> str:
+    from kaylee_spark.operators.analytics import bootstrap_weight_sql
+
+    w = bootstrap_weight_sql("o_orderkey", "rep", 32)
+    return f"""
+    WITH reps AS (SELECT UNNEST(generate_series(0, 31)) AS rep),
+    weighted AS (
+        SELECT o_orderpriority AS grp, rep,
+               CAST({w} AS BIGINT) AS w, o_totalprice AS val
+        FROM orders CROSS JOIN reps
+    ),
+    means AS (
+        SELECT grp, rep,
+               ROUND(CAST(SUM(CAST(w * val AS DECIMAL(18,2))) AS DOUBLE)
+                     / CAST(SUM(w) AS DOUBLE), 6) AS mean_r
+        FROM weighted GROUP BY grp, rep
+    ),
+    ci AS (
+        SELECT grp, list_sort(list(mean_r)) AS ms FROM means GROUP BY grp
+    ),
+    base AS (
+        SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS point_mean
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT b.grp, b.n_rows, b.point_mean, ms[2] AS ci_lo, ms[31] AS ci_hi
+    FROM base b JOIN ci USING (grp)
+    """
+
+
+@query("a28_bootstrap_ci", oracle=_bootstrap_oracle(), extra=True)
+def a28_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean order value
+    per priority — the uncertainty quantification that actually runs
+    at 100 TB (one scan, all 32 replicates as map-side-combined
+    weighted partial sums; the classical resample-per-replicate
+    bootstrap would be 32 shuffles of the full table). Weights are
+    deterministic integer minstd draws inverse-CDF'd through integer
+    thresholds, so the oracle replays the identical replicate means
+    bit-for-bit (operators/analytics.py poisson_bootstrap_ci)."""
+    from kaylee_spark.operators.analytics import poisson_bootstrap_ci
+
+    orders = load_table(spark, sf_dir, "orders")
+    return poisson_bootstrap_ci(
+        orders, "o_orderpriority", "o_totalprice", "o_orderkey", replicates=32
+    )

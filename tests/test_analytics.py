@@ -361,3 +361,58 @@ def test_benford_digit_extraction_and_filters(spark):
     out = benford_screen(df, "value", "grp").collect()[0]
     # 0.95 -> 9, 912.44 -> 9, 0.07 -> 7; negatives and zero excluded
     assert out["n"] == 3 and out["o9"] == 2 and out["o7"] == 1
+
+
+# ---------------------------------------------------------------------------
+# poisson_bootstrap_ci
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_weights_are_poisson1_ish(spark):
+    from kaylee_spark.operators.analytics import poisson_bootstrap_ci
+
+    # 2000 rows x 32 replicates: the mean Poisson(1) weight is ~1, so
+    # every replicate's weighted count lands near n and the weight
+    # distribution is non-degenerate (some 0s, some >= 2).
+    from pyspark.sql import functions as F
+
+    from kaylee_spark.operators.analytics import bootstrap_weight_sql
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep")
+    )
+    w = df.select(F.expr(bootstrap_weight_sql("k", "rep", 32)).alias("w"))
+    stats = w.agg(
+        F.avg("w").alias("m"),
+        F.count(F.when(F.col("w") == 0, 1)).alias("z"),
+        F.count(F.when(F.col("w") >= 2, 1)).alias("big"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert abs(stats["m"] - 1.0) < 0.02
+    # P(0) = P(>=2) ~ .368/.264: both arms must be well-populated
+    assert stats["z"] / stats["n"] > 0.3
+    assert stats["big"] / stats["n"] > 0.2
+
+
+def test_bootstrap_ci_brackets_true_mean(spark):
+    from kaylee_spark.operators.analytics import poisson_bootstrap_ci
+
+    rows = [(i, "g", 100.0 + (i % 40)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, grp string, value double")
+    out = poisson_bootstrap_ci(df, "grp", "value", "k", replicates=32).collect()[0]
+    true_mean = sum(100.0 + (i % 40) for i in range(1000)) / 1000
+    assert out["n_rows"] == 1000
+    assert abs(out["point_mean"] - true_mean) < 1e-6
+    assert out["ci_lo"] <= true_mean <= out["ci_hi"]
+    # a 40-unit-spread population of n=1000: the CI is tight, not [0, inf)
+    assert out["ci_hi"] - out["ci_lo"] < 5.0
+
+
+def test_bootstrap_ci_rejects_tiny_replicates(spark):
+    import pytest as _pytest
+
+    from kaylee_spark.operators.analytics import poisson_bootstrap_ci
+
+    df = spark.createDataFrame([(1, "g", 1.0)], "k long, grp string, value double")
+    with _pytest.raises(ValueError):
+        poisson_bootstrap_ci(df, "grp", "value", "k", replicates=3)
