@@ -695,3 +695,40 @@ def d16_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.7
     )
+
+
+@query(
+    "d17_corpus_similarity",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT source AS grp, gram FROM (
+            SELECT source,
+                   UNNEST(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS gram
+            FROM documents
+        )
+    ),
+    sizes AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY grp),
+    common AS (
+        SELECT a.grp AS grp_a, b.grp AS grp_b, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b ON a.gram = b.gram AND a.grp < b.grp
+        GROUP BY a.grp, b.grp
+    )
+    SELECT grp_a, grp_b, sa.n AS n_a, sb.n AS n_b, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.grp = grp_a
+    JOIN sizes sb ON sb.grp = grp_b
+    """,
+    extra=True,
+)
+def d17_corpus_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap matrix: exact 3-gram Jaccard between document
+    SOURCES — the which-crawl-duplicates-which report. Shingles dedup
+    row-locally and hash to 8 bytes before the one (group, shingle)
+    distinct shuffle; the intersection join's posting lists are
+    bounded by the GROUP count, so cost stays linear in corpus size
+    (operators/dedup.py corpus_jaccard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.corpus_jaccard(docs, "source", "text", n=3)

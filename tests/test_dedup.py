@@ -503,3 +503,41 @@ def test_containment_max_df_cap_drops_boilerplate_only(spark):
         containment_pairs(df, "doc_id", "text", n=3, threshold=0.5, max_df=4).count()
         == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_jaccard
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_jaccard_planted_overlap(spark):
+    from kaylee_spark.operators.dedup import corpus_jaccard
+
+    # A and B share exactly the "x1..x4" doc; C is disjoint vocabulary.
+    shared = "x1 x2 x3 x4"          # 2 distinct 3-grams
+    rows = [
+        ("A", shared), ("A", "a1 a2 a3 a4"),
+        ("B", shared), ("B", "b1 b2 b3 b4"),
+        ("C", "c1 c2 c3 c4"),
+    ]
+    df = spark.createDataFrame(rows, "src string, text string")
+    out = {(r["grp_a"], r["grp_b"]): r for r in corpus_jaccard(df, "src", "text").collect()}
+    # A: 4 shingles (2 shared + 2 own), B: 4; intersection 2; union 6
+    ab = out[("A", "B")]
+    assert ab["n_a"] == 4 and ab["n_b"] == 4 and ab["n_common"] == 2
+    assert abs(ab["jaccard"] - 2 / 6) < 1e-6  # 6dp-rounded output
+    # C intersects nothing -> no C rows at all
+    assert not any("C" in k for k in out)
+
+
+def test_corpus_jaccard_within_group_dups_count_once(spark):
+    from kaylee_spark.operators.dedup import corpus_jaccard
+
+    # the same doc repeated inside a group must not inflate its set size
+    rows = [("A", "p q r s"), ("A", "p q r s"), ("B", "p q r s")]
+    df = spark.createDataFrame(rows, "src string, text string")
+    out = corpus_jaccard(df, "src", "text").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_a"] == 2 and r["n_b"] == 2 and r["n_common"] == 2
+    assert r["jaccard"] == 1.0
