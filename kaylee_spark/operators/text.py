@@ -756,3 +756,45 @@ def pmi_cooccurrence(
     return pairs.selectExpr(
         "tok_x", "tok_y", "c_xy", "c_x", "c_y", PMI_EXPR.format(n=n_docs)
     )
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) — the
+    quality signal that flags BOTH failure modes the token filters
+    miss: near-zero entropy (repeated-character padding, boilerplate
+    runs) and abnormally high entropy (binary spill, encoding damage,
+    minified blobs) relative to the language's natural ~2.5-3.5 nats.
+
+    Output: (doc, n_chars, n_unique_chars, entropy), one row per
+    non-empty document.
+
+    Determinism: each character's -p·ln(p) term rounds to 6dp and
+    lands in DECIMAL(18,6) BEFORE the per-doc sum (the unigram_logprob
+    recipe — ln is faithfully-rounded libm everywhere, and decimal
+    addition is exact and associative where a double sum is
+    merge-order-dependent).
+
+    Scale shape: the character explode collapses in the map-side
+    partial agg keyed on (doc, char) — the one shuffle carries at most
+    |docs| × |alphabet| count rows (~100 per doc), never the exploded
+    character stream; the final per-doc sum rides the same doc-keyed
+    exchange. No joins, no windows, no Python.
+    """
+    chars = df.select(
+        F.col(id_col).alias("doc"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc", "n_chars", "ch").agg(F.count(F.lit(1)).alias("c"))
+    p = F.col("c").cast("double") / F.col("n_chars").cast("double")
+    term = F.round(-(p * F.log(p)), 6).cast("decimal(18,6)")
+    return (
+        counts.select("doc", "n_chars", term.alias("t"))
+        .groupBy("doc", "n_chars")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique_chars"),
+            F.sum("t").cast("double").alias("entropy"),
+        )
+    )

@@ -757,3 +757,40 @@ def t22_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the holistic per-doc sum (t17's ln recipe)."""
     docs = load_table(spark, sf_dir, "documents")
     return T.bigram_logprob(docs, "doc_id", "text")
+
+
+@query(
+    "t23_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id AS doc, CAST(length(text) AS BIGINT) AS n_chars,
+               substr(text, CAST(i AS INTEGER), 1) AS ch
+        FROM documents, UNNEST(generate_series(1, length(text))) AS u(i)
+    ),
+    counts AS (
+        SELECT doc, n_chars, ch, CAST(COUNT(*) AS BIGINT) AS c
+        FROM chars GROUP BY doc, n_chars, ch
+    ),
+    terms AS (
+        SELECT doc, n_chars,
+               CAST(ROUND(-((CAST(c AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                            * ln(CAST(c AS DOUBLE) / CAST(n_chars AS DOUBLE))), 6)
+                    AS DECIMAL(18,6)) AS t
+        FROM counts
+    )
+    SELECT doc, n_chars, CAST(COUNT(*) AS BIGINT) AS n_unique_chars,
+           CAST(SUM(t) AS DOUBLE) AS entropy
+    FROM terms GROUP BY doc, n_chars
+    """,
+    extra=True,
+)
+def t23_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — catches
+    repeated-char padding (entropy ~0) AND binary/encoding damage
+    (entropy far above natural language) in one pass. Per-char
+    -p·ln(p) terms round into exact decimal before the per-doc sum
+    (the t17 ln recipe); the exploded char stream collapses map-side
+    to at most |alphabet| count rows per doc before the only shuffle
+    (operators/text.py char_entropy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.char_entropy(docs, "doc_id", "text")

@@ -821,3 +821,41 @@ def test_bigram_logprob_matches_hand_model(spark):
     assert 4 not in out
     # the common transition (a->b, seen 3x) outscores the rare ones
     assert out[2]["avg_logprob"] > out[1]["avg_logprob"]
+
+
+# ---------------------------------------------------------------------------
+# char_entropy
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_hand_values(spark):
+    import math
+
+    from kaylee_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [("uniform", "abcd"), ("flat", "aaaa"), ("empty", ""), ("mixed", "aab")],
+        "doc_id string, text string",
+    )
+    out = {r["doc"]: r for r in char_entropy(df).collect()}
+    # empty doc: no char rows at all
+    assert set(out) == {"uniform", "flat", "mixed"}
+    # 4 distinct chars, p=1/4 each -> ln(4) nats
+    assert abs(out["uniform"]["entropy"] - math.log(4)) < 1e-5
+    assert out["uniform"]["n_unique_chars"] == 4
+    # constant run -> zero entropy
+    assert out["flat"]["entropy"] == 0.0 and out["flat"]["n_unique_chars"] == 1
+    # 2/3, 1/3 mix
+    expect = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert abs(out["mixed"]["entropy"] - expect) < 1e-5
+    assert out["mixed"]["n_chars"] == 3
+
+
+def test_char_entropy_flags_padding_vs_text(spark):
+    from kaylee_spark.operators.text import char_entropy
+
+    rows = [("pad", "x" * 400), ("prose", "the quick brown fox jumps over the lazy dog " * 10)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc"]: r for r in char_entropy(df).collect()}
+    assert out["pad"]["entropy"] < 0.01
+    assert out["prose"]["entropy"] > 2.0  # natural English ~3 nats
