@@ -1083,3 +1083,57 @@ def pq_neardup_pairs(
         .join(vb, "id_b")
         .selectExpr("id_a", "id_b", f"CAST({chain} AS BIGINT) AS dist_sq")
     )
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucketed: bool = False,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    dim: int = 64,
+    parity_rerank: bool = False,
+) -> DataFrame:
+    """k-nearest-neighbor GRAPH over an embedding corpus: every vector
+    becomes a node with directed edges to its k most cosine-similar
+    neighbors — the substrate for semantic clustering (connected
+    components / label propagation over the edges), graph-based
+    near-dup review, and diversity analysis, composing directly with
+    the operators/graph.py family.
+
+    Output: (src, dst, cosine_sim, rank), k rows per vector,
+    deterministic (6dp-rounded score, id tie-break).
+
+    Scale shape: ``bucketed=False`` is the exact baseline — the corpus
+    broadcasts as its own query set and ranks inside each src
+    partition (right up to ~10^5 vectors / a few hundred MB broadcast,
+    quadratic beyond). ``bucketed=True`` routes through the multi-table
+    sign-LSH candidate machinery (lsh_bucketed_topk with the corpus as
+    its own query set): candidate volume tracks bucket occupancy, not
+    corpus size — the 100 TB path, with recall dialed by
+    n_tables/n_planes (property-tested; recall <1.0 means an
+    approximate graph, the standard trade).
+    """
+    queries = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("embedding"))
+    if bucketed:
+        out = lsh_bucketed_topk(
+            emb,
+            queries,
+            k=k,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+            parity_rerank=parity_rerank,
+        )
+    else:
+        out = cosine_topk(emb, queries, k=k, id_col=id_col, vec_col=vec_col)
+    return out.select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        F.round(F.col("cosine_sim"), 6).alias("cosine_sim"),
+        "rank",
+    )

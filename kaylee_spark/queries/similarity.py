@@ -568,3 +568,31 @@ def d15_pq_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_neardup_pairs(
         emb, dim=64, m=4, k=4, iterations=2, shuffle_partitions=4
     )
+
+
+@query(
+    "s11_knn_graph",
+    oracle="""
+    SELECT src, dst, cosine_sim, rank FROM (
+        SELECT q.vec_id AS src, c.vec_id AS dst,
+               ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                            c.vec_id ASC) AS INT) AS rank
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE c.vec_id <> q.vec_id
+    ) WHERE rank <= 5
+    """,
+    extra=True,
+)
+def s11_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph over the full embedding corpus (k=5): every vector's
+    directed edges to its most-similar neighbors — the substrate the
+    graph family (components, label propagation, k-core) runs on for
+    semantic clustering. Exact baseline path hash-gated here (corpus
+    broadcasts as its own query set, rank inside each src partition);
+    the LSH-bucketed 100 TB path shares the same contract and is
+    recall-property-tested (operators/similarity.py knn_graph)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_graph(emb, k=5)

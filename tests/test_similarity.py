@@ -578,3 +578,40 @@ def test_pq_neardup_planted_duplicates_pair_up(spark):
     # so dist_sq <= 9^2 * 4 = 324; cross-cluster is ~(10^6)^2
     dist = {(r["id_a"], r["id_b"]): r["dist_sq"] for r in out}
     assert all(dist[p] <= 324 for p in same)
+
+
+# ---------------------------------------------------------------------------
+# knn_graph
+# ---------------------------------------------------------------------------
+
+
+def test_knn_graph_exact_shape_and_selfless(spark, sf_dir):
+    from kaylee_spark.operators.similarity import knn_graph
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    out = knn_graph(emb, k=3).cache()
+    rows = out.count()
+    assert rows == n * 3  # k edges per node
+    assert out.filter("src = dst").count() == 0
+    # ranks are exactly 1..k per src
+    from pyspark.sql import functions as F
+
+    per = out.groupBy("src").agg(F.sort_array(F.collect_list("rank")).alias("r"))
+    bad = per.filter(F.col("r") != F.array(F.lit(1), F.lit(2), F.lit(3))).count()
+    assert bad == 0
+    out.unpersist()
+
+
+def test_knn_graph_bucketed_recall(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kaylee_spark.operators.similarity import knn_graph
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    exact = knn_graph(emb, k=3).select("src", "dst")
+    approx = knn_graph(emb, k=3, bucketed=True, n_tables=12, n_planes=4).select("src", "dst")
+    hit = exact.join(approx, ["src", "dst"]).count()
+    total = exact.count()
+    # 12-table sign LSH on near-isotropic vectors: most true edges kept
+    assert hit / total > 0.8
