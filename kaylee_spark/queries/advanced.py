@@ -1045,3 +1045,64 @@ def a28_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_bootstrap_ci(
         orders, "o_orderpriority", "o_totalprice", "o_orderkey", replicates=32
     )
+
+
+@query(
+    "a29_unpivot",
+    oracle=f"""
+    WITH wide AS (
+        SELECT n.n_name,
+               {oracle_dec_sum('c.c_acctbal')} AS cust_acctbal,
+               CAST(COUNT(*) AS DOUBLE) AS n_customers
+        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ),
+    wide2 AS (
+        SELECT w.n_name, w.cust_acctbal, w.n_customers,
+               {oracle_dec_sum('s.s_acctbal')} AS supp_acctbal,
+               CAST(COUNT(*) AS DOUBLE) AS n_suppliers
+        FROM wide w
+        JOIN nation n ON n.n_name = w.n_name
+        JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        GROUP BY w.n_name, w.cust_acctbal, w.n_customers
+    )
+    UNPIVOT wide2
+    ON cust_acctbal, n_customers, supp_acctbal, n_suppliers
+    INTO NAME measure VALUE value
+    """,
+    extra=True,
+)
+def a29_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT (melt): four per-nation measures fold into
+    (n_name, measure, value) rows via the native DataFrame.unpivot —
+    the inverse of a05's PIVOT, completing the reshaping pair. The
+    wide frame is two group-keyed aggregates joined on the nation key;
+    the unpivot itself is a row-local 4-way expansion of a
+    |nations|-sized frame (no shuffle). Measures are exact decimal
+    sums cast once to double so both engines melt identical bits."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    cust = (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dec_sum("c_acctbal").alias("cust_acctbal"),
+            F.count(F.lit(1)).cast("double").alias("n_customers"),
+        )
+    )
+    supp = (
+        supplier.join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dec_sum("s_acctbal").alias("supp_acctbal"),
+            F.count(F.lit(1)).cast("double").alias("n_suppliers"),
+        )
+    )
+    wide = cust.join(supp, "n_name")
+    return wide.unpivot(
+        ["n_name"],
+        ["cust_acctbal", "n_customers", "supp_acctbal", "n_suppliers"],
+        "measure",
+        "value",
+    )
