@@ -1137,3 +1137,49 @@ def knn_graph(
         F.round(F.col("cosine_sim"), 6).alias("cosine_sim"),
         "rank",
     )
+
+
+def semantic_clusters(
+    emb: DataFrame,
+    max_hamming: int = 3,
+    bits: int = SIGNATURE_BITS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Semantic near-duplicate CLUSTERS over an embedding corpus:
+    sign-signature near-dup pairs (sign_neardup_pairs — integer-exact,
+    pigeonhole-complete) closed under min-label connected components
+    (operators/dedup.connected_components), with every vector labeled
+    — singletons become their own cluster and the lowest id in each
+    cluster is the deterministic canonical representative.
+
+    This is the embedding-space twin of the text pipeline's
+    d06_dedup_clusters: pairs tell you who MATCHES, clusters tell you
+    who to KEEP — one canonical per group of paraphrases/re-encodes,
+    the shape a curation pipeline actually consumes.
+
+    Output: (vec_id, cluster, is_canonical) for EVERY corpus vector.
+
+    Scale shape: pairs come from the bucketed hamming join (candidate
+    volume ~ bucket occupancy), the CC loop runs on the PAIR graph
+    only (ids, never vectors; O(log diameter) pointer-jumped rounds,
+    localCheckpoint per round), and the final labeling is one id-keyed
+    left join of the id-only label frame back onto the corpus ids.
+    """
+    from kaylee_spark.operators.dedup import connected_components
+
+    pairs = sign_neardup_pairs(
+        emb, max_hamming=max_hamming, bits=bits, dim=dim, id_col=id_col, vec_col=vec_col
+    ).select("id_a", "id_b")
+    cc = connected_components(
+        pairs, src="id_a", dst="id_b", shuffle_partitions=shuffle_partitions
+    ).select(F.col("doc").alias("__id"), "cluster")
+    ids = emb.select(F.col(id_col).alias("__id"))
+    lab = F.coalesce(F.col("cluster"), F.col("__id"))
+    return ids.join(cc, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        lab.alias("cluster"),
+        (F.col("__id") == lab).alias("is_canonical"),
+    )

@@ -85,17 +85,12 @@ def s04_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
 
 
-def _s03_oracle() -> str:
-    """Quadratic DuckDB twin of the sign-signature near-dup pair set:
-    re-derives every ±1 hyperplane entry from the same integer-
-    arithmetic formula (operators/similarity.plane_sign), re-quantizes
-    every element to the same fixed-point BIGINT pico-units, and
-    brute-force popcounts all pairs — the bucketed Spark plan must
-    emit exactly this set (pigeonhole completeness,
-    operators/dedup.hamming_pairs)."""
+def _sign_ctes() -> str:
+    """Shared CTE chain deriving each vector's integer sign signature
+    (``sigs``: vec_id, sig) — used by the s03 pair oracle and the s12
+    cluster oracle so both replay the identical integer arithmetic."""
     bits, dim = S.SIGNATURE_BITS, 64
-    return f"""
-    WITH dims AS (
+    return f"""dims AS (
         SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS k,
                CAST(round(CAST(unnest(embedding) AS DOUBLE) * {S.SIGN_FIXED_SCALE}) AS BIGINT) AS v
         FROM embeddings
@@ -117,7 +112,19 @@ def _s03_oracle() -> str:
                CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j)
                              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
         FROM dots GROUP BY vec_id
-    )
+    )"""
+
+
+def _s03_oracle() -> str:
+    """Quadratic DuckDB twin of the sign-signature near-dup pair set:
+    re-derives every ±1 hyperplane entry from the same integer-
+    arithmetic formula (operators/similarity.plane_sign), re-quantizes
+    every element to the same fixed-point BIGINT pico-units, and
+    brute-force popcounts all pairs — the bucketed Spark plan must
+    emit exactly this set (pigeonhole completeness,
+    operators/dedup.hamming_pairs)."""
+    return f"""
+    WITH {_sign_ctes()}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
     FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
@@ -596,3 +603,43 @@ def s11_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall-property-tested (operators/similarity.py knn_graph)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.knn_graph(emb, k=5)
+
+
+def _s12_oracle() -> str:
+    """s03's sign-signature pair set closed under a recursive-CTE
+    transitive closure (the d06 pattern), labeling every vector."""
+    return f"""
+    WITH RECURSIVE {_sign_ctes()},
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS v, MIN(label) AS cluster FROM reach GROUP BY node)
+    SELECT e.vec_id,
+           COALESCE(c.cluster, e.vec_id) AS cluster,
+           (e.vec_id = COALESCE(c.cluster, e.vec_id)) AS is_canonical
+    FROM embeddings e LEFT JOIN comp c ON c.v = e.vec_id
+    """
+
+
+@query("s12_semantic_clusters", oracle=_s12_oracle(), extra=True)
+def s12_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup CLUSTERS: s03's integer-exact
+    sign-signature pairs closed under min-label connected components,
+    every vector labeled with a deterministic canonical — the
+    embedding twin of d06's text clusters, and the keep/drop decision
+    a curation pipeline consumes. CC runs on the id-only pair graph
+    (pointer-jumping, localCheckpoint per round); vectors never enter
+    the loop (operators/similarity.py semantic_clusters)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_clusters(emb, max_hamming=3, dim=64, shuffle_partitions=8)

@@ -615,3 +615,33 @@ def test_knn_graph_bucketed_recall(spark, sf_dir):
     total = exact.count()
     # 12-table sign LSH on near-isotropic vectors: most true edges kept
     assert hit / total > 0.8
+
+
+# ---------------------------------------------------------------------------
+# semantic_clusters
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_clusters_labels_every_vector(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kaylee_spark.operators.similarity import semantic_clusters, sign_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_clusters(emb, max_hamming=3, dim=64, shuffle_partitions=4).cache()
+    assert out.count() == emb.count()  # every vector labeled
+    # cluster label is always the cluster's own minimum member id
+    mins = out.groupBy("cluster").agg(F.min("vec_id").alias("lo"))
+    assert mins.filter("cluster <> lo").count() == 0
+    # canonical flag marks exactly one row per cluster
+    canon = out.groupBy("cluster").agg(
+        F.sum(F.col("is_canonical").cast("int")).alias("n_canon")
+    )
+    assert canon.filter("n_canon <> 1").count() == 0
+    # paired vectors never straddle clusters
+    pairs = sign_neardup_pairs(emb, max_hamming=3, dim=64).select("id_a", "id_b")
+    lab = out.select(F.col("vec_id").alias("id_a"), F.col("cluster").alias("ca")).join(
+        pairs, "id_a"
+    ).join(out.select(F.col("vec_id").alias("id_b"), F.col("cluster").alias("cb")), "id_b")
+    assert lab.filter("ca <> cb").count() == 0
+    out.unpersist()
