@@ -798,3 +798,72 @@ def char_entropy(
             F.sum("t").cast("double").alias("entropy"),
         )
     )
+
+
+def dsir_logratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "is_target",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR) score: each
+    document's mean per-token log-likelihood RATIO between a
+    target-domain unigram LM and the background (whole-corpus) LM —
+    the published recipe (Xie et al. 2023) for selecting web documents
+    that "look like" a high-quality target set. Documents scoring > 0
+    are more target-like than background-like; selection takes the
+    top fraction (or Gumbel-resamples on the score).
+
+    ``target_col`` is a boolean column marking the target exemplars;
+    both LMs are add-1 smoothed over the shared background vocabulary
+    (every token appears in the background by construction, so there
+    is no OOV path).
+
+    Output: (doc, n_tokens, dsir_score) for EVERY document.
+
+    Determinism: both ln terms round to 6dp and subtract in exact
+    DECIMAL per token before the per-doc sum (the t17 recipe); LM
+    totals (N_t, N_b, V) fold in as literals.
+
+    Scale shape: two map-side-combined token-count aggregates build
+    both LMs (the target one over the filtered slice); per-token
+    weights join the token stream on the term key exactly like t17;
+    one per-doc sum. The weight table is vocabulary-sized — at web
+    scale it broadcasts.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(target_col).cast("boolean").alias("tgt"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    lm = (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("cb"),
+            F.count(F.when(F.col("tgt"), 1)).alias("ct"),
+        )
+        .cache()
+    )
+    tot = lm.agg(
+        F.sum("cb").alias("nb"), F.sum("ct").alias("nt"), F.count(F.lit(1)).alias("v")
+    ).first()
+    nb, nt, v = tot["nb"], tot["nt"], tot["v"]
+    if not nt:
+        raise ValueError("target slice is empty — no target LM to fit")
+    lt = F.round(F.log((F.col("ct") + 1).cast("double") / F.lit(float(nt + v))), 6).cast(
+        "decimal(18,6)"
+    )
+    lb = F.round(F.log((F.col("cb") + 1).cast("double") / F.lit(float(nb + v))), 6).cast(
+        "decimal(18,6)"
+    )
+    weights = lm.select("tok", (lt - lb).alias("w"))
+    scored = toks.join(weights, "tok")
+    # final mean deliberately UNROUNDED: the numerator is an exact
+    # decimal sum and the denominator an exact bigint, so the single
+    # double division is bit-stable in any engine — whereas ROUND(q, 6)
+    # diverges when q sits on a half-tie (the t22 lesson; observed
+    # here at sf0.1 before this fix).
+    return scored.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum("w").cast("double") / F.count(F.lit(1))).alias("dsir_score"),
+    )

@@ -794,3 +794,48 @@ def t23_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py char_entropy)."""
     docs = load_table(spark, sf_dir, "documents")
     return T.char_entropy(docs, "doc_id", "text")
+
+
+@query(
+    "t24_dsir_score",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id AS doc, (lang = 'en') AS tgt,
+               UNNEST(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+        FROM documents
+    ),
+    lm AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cb,
+               CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        FROM toks GROUP BY tok
+    ),
+    tot AS (
+        SELECT CAST(SUM(cb) AS BIGINT) AS nb, CAST(SUM(ct) AS BIGINT) AS nt,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM lm
+    ),
+    weights AS (
+        SELECT tok,
+               CAST(ROUND(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE)), 6) AS DECIMAL(18,6))
+             - CAST(ROUND(ln(CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+        FROM lm CROSS JOIN tot
+    )
+    SELECT t.doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w.w) AS DOUBLE) / COUNT(*) AS dsir_score
+    FROM toks t JOIN weights w USING (tok)
+    GROUP BY t.doc
+    """,
+    extra=True,
+)
+def t24_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance score (Xie et al. 2023): every document's mean
+    per-token log-likelihood ratio between the English-slice unigram
+    LM and the whole-corpus background LM — the data-selection recipe
+    for pulling target-like documents out of a web crawl. Both LMs
+    come from ONE map-side-combined token count (target counts as a
+    conditional sum of the same agg); weights are a vocabulary-sized
+    frame that broadcasts at scale (operators/text.py dsir_logratio)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_target", F.col("lang") == F.lit("en")
+    )
+    return T.dsir_logratio(docs, "doc_id", "text", "is_target")

@@ -859,3 +859,40 @@ def test_char_entropy_flags_padding_vs_text(spark):
     out = {r["doc"]: r for r in char_entropy(df).collect()}
     assert out["pad"]["entropy"] < 0.01
     assert out["prose"]["entropy"] > 2.0  # natural English ~3 nats
+
+
+# ---------------------------------------------------------------------------
+# dsir_logratio
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_scores_target_like_docs_higher(spark):
+    from kaylee_spark.operators.text import dsir_logratio
+
+    # target docs speak "alpha beta"; background noise speaks "x y z"
+    rows = [
+        ("t1", "alpha beta alpha beta", True),
+        ("t2", "beta alpha beta alpha", True),
+        ("n1", "x y z x y z", False),
+        ("n2", "z y x z y x", False),
+        ("mix", "alpha x beta y", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string, is_target boolean")
+    out = {r["doc"]: r["dsir_score"] for r in dsir_logratio(df).collect()}
+    assert len(out) == 5
+    # pure target vocabulary scores above the mixed doc, which scores
+    # above pure background vocabulary
+    assert out["t1"] > out["mix"] > out["n1"]
+    assert out["t1"] > 0 and out["n1"] < 0
+
+
+def test_dsir_empty_target_raises(spark):
+    import pytest as _pytest
+
+    from kaylee_spark.operators.text import dsir_logratio
+
+    df = spark.createDataFrame(
+        [("d1", "a b", False)], "doc_id string, text string, is_target boolean"
+    )
+    with _pytest.raises(ValueError):
+        dsir_logratio(df)
