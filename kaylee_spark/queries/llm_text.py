@@ -825,7 +825,8 @@ def t23_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM toks t JOIN weights w USING (tok)
     GROUP BY t.doc
     """,
-    extra=True,
+    # driver-facing since round 7 (q07_distinct demoted): the flagship
+    # data-selection op belongs in the externally verified window
 )
 def t24_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance score (Xie et al. 2023): every document's mean

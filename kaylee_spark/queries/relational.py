@@ -451,6 +451,10 @@ def q21_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q07_distinct",
     oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    # demoted to extra in round 7 to free a driver slot for
+    # t24_dsir_score: DISTINCT stays driver-covered through q20's set
+    # ops and d01's dedup-by-key, and q07 remains locally oracle-gated
+    extra=True,
 )
 def q07_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT as shuffle-free-ish hash agg (map-side partial dedup)."""

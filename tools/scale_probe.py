@@ -24,7 +24,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: tables worth multiplying (fact tables the money/time aggs scan)
-MULTIPLIED = ("lineitem", "customer", "events", "documents")
+MULTIPLIED = ("lineitem", "customer", "events", "documents", "orders")
 
 #: id columns made UNIQUE across copies (id + copy * offset) instead
 #: of plainly duplicated: the time-series shelf (e22-e27) orders
@@ -32,7 +32,15 @@ MULTIPLIED = ("lineitem", "customer", "events", "documents")
 #: sort non-total and the probe nondeterministic; offsetting also
 #: makes the x10 corpus REAL scale growth for doc-keyed stats (t21's
 #: dfs actually grow x10 instead of collapsing under DISTINCT).
-ID_OFFSET = {"events": ("event_id", 10_000_000), "documents": ("doc_id", 1_000_000)}
+ID_OFFSET = {
+    "events": ("event_id", 10_000_000),
+    "documents": ("doc_id", 1_000_000),
+    # unique orderkeys keep a28's per-(row, replicate) bootstrap draws
+    # distinct across copies — duplicated keys would make the x10
+    # corpus 10 exact repeats of every Poisson weight instead of real
+    # sample growth
+    "orders": ("o_orderkey", 100_000_000),
+}
 
 #: single-table group-by queries whose semantics survive row
 #: multiplication (counts/sums scale by N; no cross-table joins to
@@ -98,6 +106,23 @@ PROBE_QUERIES = (
     # out 10 identical (nation, custkey, rev_dec) rows, so the rank
     # window must stay deterministic under maximal ties
     "w06_pareto_abc",
+    # later round-7 additions. e28/e29 ride the event_id offset (total
+    # (ts, event_id) sorts; 10 events per user-timestamp stresses the
+    # SCD2 run tie-break and the seasonal decimal moments); a28 rides
+    # the o_orderkey offset (15k real orders per priority -> 150k:
+    # replicate means tighten, the rank-based CI must stay exact);
+    # a29 joins the x10 customer fan-out; d17/t23/t24 run the document
+    # shelf at ~50k docs — d17's distinct-shingle sets collapse the
+    # duplication (same matrix, 10x the scan), t23's per-doc entropy
+    # recurs per copy, t24's LM counts scale 10x for real (the
+    # unrounded-mean recipe at a vocabulary no fixture reaches).
+    "e28_scd2_history",
+    "e29_seasonal_anomaly",
+    "a28_bootstrap_ci",
+    "a29_unpivot",
+    "d17_corpus_similarity",
+    "t23_char_entropy",
+    "t24_dsir_score",
 )
 
 
