@@ -867,3 +867,39 @@ def dsir_logratio(
         F.count(F.lit(1)).alias("n_tokens"),
         (F.sum("w").cast("double") / F.count(F.lit(1))).alias("dsir_score"),
     )
+
+
+def repetition_profile(text_col="text", n: int = 3) -> Column:
+    """Gopher-style intra-document repetition profile (Rae et al. 2021
+    §A1.1: "fraction of duplicate n-grams"): over the document's token
+    n-gram OCCURRENCE stream, the share of occurrences whose n-gram
+    appears more than once in the same document. Copy-paste loops and
+    templated boilerplate score near 1.0; natural prose near 0.0.
+
+    Returns a struct column (n_grams, n_distinct, dup_frac) computed
+    entirely ROW-LOCALLY — array ops in a single scan stage, zero
+    shuffles (plan-asserted: no Exchange), so at 100 TB it runs at parquet scan speed and composes
+    with any downstream filter as a pushed predicate. (Contrast
+    top_ngram_fraction, which needs the per-gram counts and therefore
+    one doc-keyed shuffle.)
+
+    Reference scope note: sdiehl/kaylee (server.py word-count pipeline)
+    has no document-quality surface; this extends the engine for
+    LLM-corpus curation.
+    """
+    toks = tokens(text_col)
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    total = F.size(grams).cast("bigint")
+    distinct = F.size(F.array_distinct(grams)).cast("bigint")
+    # deliberately UNROUNDED: bigint/bigint IEEE division is exactly
+    # rounded, hence bit-identical in any engine (the d03 recipe),
+    # while ROUND(q, 6) can diverge on half-ties (the t22 lesson)
+    dup_frac = F.when(total > 0, (total - distinct) / total).otherwise(
+        F.lit(None).cast("double")
+    )
+    return F.struct(
+        total.alias("n_grams"), distinct.alias("n_distinct"), dup_frac.alias("dup_frac")
+    )

@@ -840,3 +840,46 @@ def t24_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_target", F.col("lang") == F.lit("en")
     )
     return T.dsir_logratio(docs, "doc_id", "text", "is_target")
+
+
+@query(
+    "t25_repeated_ngrams",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id AS doc,
+               list_transform(
+                   range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> array_to_string(toks[i:i+2], ' ')) AS grams
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents)
+    )
+    SELECT doc, CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(grams) > 0
+                THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                     / len(grams)
+           END AS dup_frac,
+           COALESCE((CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                     / len(grams)) > 0.2, FALSE) AS is_repetitive
+    FROM g
+    """,
+    extra=True,
+)
+def t25_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-trigram fraction per document (Rae et
+    al. 2021 A1.1) — the standard repetition filter a pretraining
+    pipeline runs BEFORE any cross-document dedup, because a
+    boilerplate loop inflates every shingle-based similarity. Fully
+    row-local (operators/text.py repetition_profile): array ops in a
+    single scan stage, ZERO shuffles (plan-asserted) — at 100 TB this is a
+    scan-speed predicate, not a job."""
+    docs = load_table(spark, sf_dir, "documents")
+    prof = T.repetition_profile("text", n=3)
+    return docs.withColumn("_p", prof).select(
+        F.col("doc_id").alias("doc"),
+        F.col("_p.n_grams").alias("n_grams"),
+        F.col("_p.n_distinct").alias("n_distinct"),
+        F.col("_p.dup_frac").alias("dup_frac"),
+        F.coalesce(F.col("_p.dup_frac") > 0.2, F.lit(False)).alias("is_repetitive"),
+    )

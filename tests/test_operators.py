@@ -896,3 +896,36 @@ def test_dsir_empty_target_raises(spark):
     )
     with _pytest.raises(ValueError):
         dsir_logratio(df)
+
+
+def test_repetition_profile_hand_values(spark):
+    from kaylee_spark.operators.text import repetition_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c d"),   # trigrams: abc bca cab abc bcd -> 5 total, 4 distinct
+            (2, "go go go go go"),  # trigrams: 3x 'go go go' -> dup_frac 2/3
+            (3, "x y z"),           # exactly one trigram -> 0.0
+            (4, "one two"),         # no trigram -> NULL dup_frac
+            (5, ""),                # empty -> NULL
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["p"] for r in df.select("doc_id", repetition_profile("text", n=3).alias("p")).collect()}
+    assert out[1]["n_grams"] == 5 and out[1]["n_distinct"] == 4
+    assert abs(out[1]["dup_frac"] - 0.2) < 1e-15
+    assert abs(out[2]["dup_frac"] - 2 / 3) < 1e-15
+    assert out[3]["dup_frac"] == 0.0
+    assert out[4]["dup_frac"] is None and out[4]["n_grams"] == 0
+    assert out[5]["dup_frac"] is None
+
+
+def test_repetition_profile_plan_is_shuffle_free(spark):
+    from kaylee_spark.operators.text import repetition_profile
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    plan = (
+        df.select("doc_id", repetition_profile("text").alias("p"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
