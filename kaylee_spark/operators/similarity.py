@@ -1183,3 +1183,63 @@ def semantic_clusters(
         lab.alias("cluster"),
         (F.col("__id") == lab).alias("is_canonical"),
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retriever training: for
+    each anchor, the k corpus vectors MOST similar to it that carry a
+    DIFFERENT label — the negatives that actually move a contrastive
+    loss (random negatives are trivially separable; these sit on the
+    decision boundary).
+
+    corpus: (id_col, vec_col, label_col); queries: (query_id_col,
+    vec_col, label_col). Output: (query_id, query_label, neighbor_id,
+    neighbor_label, cosine_sim, rank).
+
+    Scale shape — identical to cosine_topk: the anchor set (a training
+    batch or a sampled slice, always << corpus) broadcasts; ONE corpus
+    scan scores every (anchor, candidate) with the label-mismatch
+    predicate applied BEFORE the rank window, so same-label rows never
+    enter the per-anchor sort; the window keeps k rows per anchor. At
+    100 TB swap the scoring scan for lsh_bucketed_topk's candidate
+    generation and keep this exact filter+rank tail.
+
+    Reference scope note: sdiehl/kaylee has no vector surface; this
+    extends the engine for embedding-corpus curation.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+        .withColumn("cosine_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.col("cosine_sim").cast("double"),
+            "rank",
+        )
+    )

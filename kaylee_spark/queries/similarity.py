@@ -643,3 +643,38 @@ def s12_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the loop (operators/similarity.py semantic_clusters)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semantic_clusters(emb, max_hamming=3, dim=64, shuffle_partitions=8)
+
+
+@query(
+    "s13_hard_negatives",
+    oracle="""
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cosine_sim, rank FROM (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               c.vec_id AS neighbor_id, c.label AS neighbor_label,
+               ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cosine_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                            c.vec_id ASC) AS INT) AS rank
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < 5 AND c.label <> q.label
+    ) WHERE rank <= 10
+    """,
+    extra=True,
+)
+def s13_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for 5 anchor vectors: the 10 most cosine-
+    similar corpus vectors whose LABEL differs from the anchor's — the
+    contrastive-training negative sampler (operators/similarity.py
+    hard_negative_topk). Broadcast anchors, one corpus scan, label
+    mismatch filtered BEFORE the per-anchor rank window; scores rounded
+    6dp on both sides (the s01 recipe)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    out = S.hard_negative_topk(emb, anchors, k=10, query_id_col="query_id")
+    return out.select(
+        "query_id", "query_label", "neighbor_id", "neighbor_label",
+        F.round("cosine_sim", 6).alias("cosine_sim"), "rank",
+    )

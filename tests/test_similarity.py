@@ -645,3 +645,28 @@ def test_semantic_clusters_labels_every_vector(spark, sf_dir):
     ).join(out.select(F.col("vec_id").alias("id_b"), F.col("cluster").alias("cb")), "id_b")
     assert lab.filter("ca <> cb").count() == 0
     out.unpersist()
+
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 7),    # same label as anchor -> excluded even at sim 1.0
+            (2, [0.9, 0.1], 3),
+            (3, [0.0, 1.0], 3),
+            (4, [-1.0, 0.0], 5),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    anchors = spark.createDataFrame([(100, [1.0, 0.0], 7)], ["query_id", "embedding", "label"])
+    rows = S.hard_negative_topk(corpus, anchors, k=3).collect()
+    assert [r["neighbor_id"] for r in rows] == [2, 3, 4]      # sim-desc order
+    assert all(r["neighbor_label"] != 7 for r in rows)
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    assert rows[0]["query_label"] == 7
+
+
+def test_hard_negative_plan_broadcasts_anchors(spark):
+    corpus = spark.createDataFrame([(1, [1.0, 0.0], 0)], ["vec_id", "embedding", "label"])
+    anchors = spark.createDataFrame([(9, [1.0, 0.0], 1)], ["query_id", "embedding", "label"])
+    plan = S.hard_negative_topk(corpus, anchors)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
