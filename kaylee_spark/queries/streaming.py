@@ -1052,3 +1052,78 @@ def e29_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_zscore(ev, "value", "ts", "event_type", threshold=3.0).select(
         "event_id", "event_type", "ts", "hod", "z", "is_anomaly"
     )
+
+
+@query(
+    "e30_pit_join",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type, ts,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                      OR event_type <> lag(event_type) OVER w
+                    THEN 1 ELSE 0 END AS st
+        FROM events WHERE event_type <> 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    v AS (
+        SELECT user_id, event_type, ts,
+               CAST(SUM(st) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS INT) AS version
+        FROM seq
+    ),
+    runs AS (
+        SELECT user_id AS key, version, MIN(event_type) AS attr,
+               MIN(ts) AS valid_from
+        FROM v GROUP BY user_id, version
+    ),
+    vers AS (
+        SELECT key, version, attr, valid_from,
+               lead(valid_from) OVER (PARTITION BY key ORDER BY version) AS valid_to
+        FROM runs
+    )
+    SELECT f.event_id, f.user_id, f.ts, f.value,
+           v.attr AS state, v.version AS state_version,
+           v.valid_from AS state_since
+    FROM events f LEFT JOIN vers v
+      ON v.key = f.user_id AND v.valid_from <= f.ts
+         AND (f.ts < v.valid_to OR v.valid_to IS NULL)
+    WHERE f.event_type = 'purchase'
+    """,
+    extra=True,
+)
+def e30_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join — the feature-store primitive
+    that prevents temporal leakage in training data: each purchase
+    (fact) is enriched with the user's behavioral state AS OF the
+    purchase moment, where state = the SCD2 version history of the
+    user's non-purchase event stream (e28's dimension build). Composes
+    scd2_intervals with the union+window asof_join
+    (operators/joins.py): backward as-of on version starts picks
+    exactly the validity interval containing the fact timestamp —
+    purchases before a user's first observation keep NULL state, a
+    feature the oracle's interval LEFT JOIN reproduces. Scale: the
+    dimension build is ONE user-keyed exchange, the as-of is one more
+    union+sort on the same key — no range explosion, sort-merge all
+    the way; at 100 TB both sides co-partition on user_id."""
+    from kaylee_spark.operators.joins import asof_join
+    from kaylee_spark.operators.maintenance import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = scd2_intervals(
+        ev.filter(F.col("event_type") != "purchase"),
+        "user_id", "event_type", "ts", tiebreak_cols=["event_id"],
+    ).select(
+        F.col("key").alias("user_id"),
+        F.col("version").alias("state_version"),
+        F.col("attr").alias("state"),
+        "valid_from",
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(fact, dim, on="user_id", left_time="ts", right_time="valid_from")
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        "state", "state_version",
+        F.col("valid_from").alias("state_since"),
+    )

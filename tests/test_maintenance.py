@@ -216,3 +216,37 @@ def test_scd2_tiebreak_makes_equal_timestamps_deterministic(spark):
         for r in scd2_intervals(df, "k", "attr", "t", tiebreak_cols=["id"]).collect()
     )
     assert out == [(1, "a", 1), (2, "b", 2)]
+
+
+def test_scd2_pit_asof_composition(spark):
+    """Point-in-time join of facts against an SCD2 dimension (the e30
+    composition): each fact picks the validity interval containing its
+    timestamp; facts before the first observation get NULL state."""
+    from datetime import datetime
+
+    from kaylee_spark.operators.joins import asof_join
+    from kaylee_spark.operators.maintenance import scd2_intervals
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    obs = spark.createDataFrame(
+        [(1, "click", t(10)), (1, "click", t(20)), (1, "view", t(30))],
+        ["user_id", "event_type", "ts"],
+    )
+    dim = scd2_intervals(obs, "user_id", "event_type", "ts").select(
+        F.col("key").alias("user_id"),
+        F.col("version").alias("state_version"),
+        F.col("attr").alias("state"),
+        "valid_from",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, t(5)), (101, 1, t(25)), (102, 1, t(30)), (103, 1, t(59))],
+        ["fact_id", "user_id", "ts"],
+    )
+    out = {
+        r["fact_id"]: (r["state"], r["state_version"])
+        for r in asof_join(facts, dim, on="user_id", left_time="ts", right_time="valid_from").collect()
+    }
+    assert out[100] == (None, None)       # before any observation
+    assert out[101] == ("click", 1)       # inside the click run
+    assert out[102] == ("view", 2)        # boundary ts == valid_from -> new version
+    assert out[103] == ("view", 2)        # open-ended current version
