@@ -66,6 +66,9 @@ SHOWCASE = [
     ("g06_kcore_peel", "k-core peel: per-round semi-joins against the checkpointed shrinking alive set, one degree count each"),
     ("e28_scd2_history", "SCD2 history: change lag + version cumsum on ONE sort, run-sized collapse before the valid_to lead"),
     ("e29_seasonal_anomaly", "seasonal baseline: (type, hour) moments broadcast back onto the scan — no window sort at all"),
+    ("t25_repeated_ngrams", "repetition filter: row-local array ops only — zero Exchange, a scan-speed predicate"),
+    ("s13_hard_negatives", "hard negatives: broadcast anchors, label-mismatch filter BEFORE the per-anchor rank window"),
+    ("e30_pit_join", "point-in-time join: SCD2 build + as-of union ride the SAME user-keyed sort-merge shape"),
 ]
 
 
@@ -123,6 +126,9 @@ MUST_CONTAIN = {
     # end-to-end (a groupBy formulation planned three)
     "e28_scd2_history": ("Window",),
     "e29_seasonal_anomaly": ("BroadcastHashJoin",),
+    "t25_repeated_ngrams": ("Scan parquet",),
+    "s13_hard_negatives": ("BroadcastNestedLoopJoin", "Window"),
+    "e30_pit_join": ("Window", "Union"),
 }
 
 
@@ -143,7 +149,7 @@ def main() -> None:
         # a16's BNLJ is the gram-poor sidecar (both sides bounded small
         # by construction, right side broadcast — see fuzzy_join doc);
         # t13's BNLJ is the 1-row corpus-stats broadcast
-        if "BroadcastNestedLoopJoin" in p and name not in ("q17_above_avg_parts", "s01_cosine_topk", "s02_lsh_ann_topk", "a16_fuzzy_join", "t13_bm25_topk"):
+        if "BroadcastNestedLoopJoin" in p and name not in ("q17_above_avg_parts", "s01_cosine_topk", "s02_lsh_ann_topk", "a16_fuzzy_join", "t13_bm25_topk", "s13_hard_negatives"):
             problems.append(f"{name}: BroadcastNestedLoopJoin in plan")
         # positive assertions: the plan property each showcase exists
         # to demonstrate must actually be in the plan, so a regression
