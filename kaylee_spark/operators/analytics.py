@@ -631,3 +631,92 @@ def poisson_bootstrap_ci(
         ).alias("point_mean"),
     )
     return base.join(ci, "grp").select("grp", "n_rows", "point_mean", "ci_lo", "ci_hi")
+
+
+#: two-sample KS significance threshold c(alpha)^2 for alpha = 0.05 as
+#: an exact rational (c = sqrt(-ln(alpha/2)/2) = 1.3581, c^2 =
+#: 1.8444397): the significance compare then stays in INTEGER
+#: arithmetic on both engines instead of a sqrt whose last ulp could
+#: flip the boolean.
+KS_C2_NUM = 18444397
+KS_C2_DEN = 10000000
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    control: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test of every treatment
+    group's value distribution against the ``control`` group — the
+    distribution-shift readout that catches what a mean test (a26
+    Welch) can't: equal-mean, different-shape drift.
+
+    D = max_x |F_t(x) - F_c(x)| is computed EXACTLY as a rational:
+    at every observation of the pooled sample, the cumulative counts
+    (i, j) give |i*m - j*n| (an integer); D = max|.| / (n*m). The
+    significance screen D > c(0.05)*sqrt((n+m)/(n*m)) is equivalently
+    num^2 * KS_C2_DEN > KS_C2_NUM * (n+m) * n * m — evaluated in wide
+    integer arithmetic, so the boolean is bit-deterministic (no sqrt).
+
+    Output: (grp, n, m, ks_num, ks_denom, ks_stat, significant) with
+    ks_stat = ks_num/ks_denom (one exact IEEE division; exact while
+    n*m < 2^53 — at larger n the *statistic* loses ulps but the test
+    decision stays integer-exact).
+
+    Scale shape: the control sample is replicated once per treatment
+    arm via a broadcast of the |arms|-row frame (bounded fan-out,
+    never data x data), then ONE group-keyed exchange carries the CDF
+    sort, both cumulative windows, and the final max-aggregate (the
+    groupBy reuses the window's partitioning). The RANGE frame makes
+    ties well-defined: every peer row sees the full peer group, i.e.
+    the right-continuous empirical CDF.
+    """
+    ev = df.select(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+    ).filter(F.col("v").isNotNull())
+    treat = ev.filter(F.col("grp") != control)
+    arms = treat.select("grp").distinct()
+    ctl = (
+        ev.filter(F.col("grp") == control)
+        .select("v")
+        .crossJoin(F.broadcast(arms))
+    )
+    u = treat.select("grp", "v", F.lit(1).alias("is_t")).unionByName(
+        ctl.select("grp", "v", F.lit(0).alias("is_t"))
+    )
+    cdf = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("grp")
+    i = F.sum(F.col("is_t").cast("bigint")).over(cdf)
+    j = F.sum((F.lit(1) - F.col("is_t")).cast("bigint")).over(cdf)
+    n = F.sum(F.col("is_t").cast("bigint")).over(tot)
+    m = F.sum((F.lit(1) - F.col("is_t")).cast("bigint")).over(tot)
+    scored = u.select(
+        "grp", F.abs(i * m - j * n).alias("diff"), n.alias("n"), m.alias("m")
+    )
+    agg = scored.groupBy("grp").agg(
+        F.max("diff").alias("ks_num"), F.max("n").alias("n"), F.max("m").alias("m")
+    )
+    dec = "decimal(38,0)"
+    num_d = F.col("ks_num").cast(dec)
+    lhs = num_d * num_d * F.lit(KS_C2_DEN).cast(dec)
+    rhs = (
+        F.lit(KS_C2_NUM).cast(dec)
+        * (F.col("n") + F.col("m")).cast(dec)
+        * F.col("n").cast(dec)
+        * F.col("m").cast(dec)
+    )
+    return agg.select(
+        "grp",
+        "n",
+        "m",
+        "ks_num",
+        (F.col("n") * F.col("m")).alias("ks_denom"),
+        (F.col("ks_num") / (F.col("n") * F.col("m"))).alias("ks_stat"),
+        (lhs > rhs).alias("significant"),
+    )

@@ -1106,3 +1106,60 @@ def a29_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     )
+
+
+def _ks_oracle() -> str:
+    from kaylee_spark.operators.analytics import KS_C2_DEN, KS_C2_NUM
+
+    return f"""
+    WITH arms AS (
+        SELECT DISTINCT event_type AS grp FROM events WHERE event_type <> 'view'
+    ),
+    u AS (
+        SELECT event_type AS grp, value AS v, 1 AS is_t
+        FROM events WHERE event_type <> 'view' AND value IS NOT NULL
+        UNION ALL
+        SELECT a.grp, e.value AS v, 0 AS is_t
+        FROM events e CROSS JOIN arms a
+        WHERE e.event_type = 'view' AND e.value IS NOT NULL
+    ),
+    c AS (
+        SELECT grp,
+               SUM(is_t) OVER w AS i,
+               SUM(1 - is_t) OVER w AS j,
+               SUM(is_t) OVER t AS n,
+               SUM(1 - is_t) OVER t AS m
+        FROM u
+        WINDOW w AS (PARTITION BY grp ORDER BY v
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               t AS (PARTITION BY grp)
+    ),
+    agg AS (
+        SELECT grp, CAST(MAX(ABS(i * m - j * n)) AS BIGINT) AS ks_num,
+               CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(m) AS BIGINT) AS m
+        FROM c GROUP BY grp
+    )
+    SELECT grp, n, m, ks_num, n * m AS ks_denom,
+           CAST(ks_num AS DOUBLE) / CAST(n * m AS DOUBLE) AS ks_stat,
+           (CAST(ks_num AS HUGEINT) * CAST(ks_num AS HUGEINT) * {KS_C2_DEN} >
+            {KS_C2_NUM} * CAST(n + m AS HUGEINT) * CAST(n AS HUGEINT)
+            * CAST(m AS HUGEINT)) AS significant
+    FROM agg
+    """
+
+
+@query("a30_ks_test", oracle=_ks_oracle(), extra=True)
+def a30_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distribution-shift test of
+    every event type's value distribution against the 'view' control
+    arm — the shape-sensitive companion to a26's Welch mean test. The
+    KS statistic is an exact rational max|i*m - j*n|/(n*m) over the
+    pooled CDF walk, and the 5% significance screen is an integer
+    comparison (no sqrt to ulp-flip). One broadcast arm fan-out of the
+    control sample, then ONE group-keyed exchange carries the CDF
+    sort, both cumulative windows, and the max-aggregate
+    (operators/analytics.py ks_two_sample)."""
+    from kaylee_spark.operators.analytics import ks_two_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_two_sample(ev, "value", "event_type", control="view")

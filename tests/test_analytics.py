@@ -416,3 +416,53 @@ def test_bootstrap_ci_rejects_tiny_replicates(spark):
     df = spark.createDataFrame([(1, "g", 1.0)], "k long, grp string, value double")
     with _pytest.raises(ValueError):
         poisson_bootstrap_ci(df, "grp", "value", "k", replicates=3)
+
+
+def _ks_reference(a, c):
+    """Pure-Python exact KS: max |i*m - j*n| over the pooled walk."""
+    pts = sorted(set(a) | set(c))
+    n, m = len(a), len(c)
+    num = max(abs(sum(1 for x in a if x <= p) * m - sum(1 for x in c if x <= p) * n) for p in pts)
+    return num, n * m
+
+
+def test_ks_two_sample_hand_values(spark):
+    from kaylee_spark.operators.analytics import ks_two_sample
+
+    rows = [("a", v) for v in [1.0, 2.0, 3.0]] + [("ctl", v) for v in [1.5, 2.5, 3.5]]
+    df = spark.createDataFrame(rows, ["grp", "value"])
+    r = ks_two_sample(df, "value", "grp", control="ctl").collect()[0]
+    assert (r["ks_num"], r["ks_denom"]) == (3, 9)
+    assert abs(r["ks_stat"] - 1 / 3) < 1e-15
+    assert r["significant"] is False
+
+
+def test_ks_two_sample_ties_use_full_peer_group(spark):
+    from kaylee_spark.operators.analytics import ks_two_sample
+
+    rows = [("a", v) for v in [1.0, 1.0, 2.0]] + [("ctl", v) for v in [1.0, 3.0, 3.0]]
+    df = spark.createDataFrame(rows, ["grp", "value"])
+    r = ks_two_sample(df, "value", "grp", control="ctl").collect()[0]
+    # at x=1: |2*3-1*3|=3; x=2: |3*3-1*3|=6; x=3: 0 -> num 6
+    assert (r["ks_num"], r["ks_denom"]) == (6, 9)
+
+
+def test_ks_two_sample_matches_python_reference(spark):
+    from kaylee_spark.operators.analytics import ks_two_sample
+
+    # deterministic LCG samples, two shifted arms + control
+    seq, x = [], 7
+    for _ in range(200):
+        x = (x * 48271) % 2147483647
+        seq.append(x / 2147483647)
+    a, b, c = seq[0:60], [v * 0.5 for v in seq[60:140]], seq[140:200]
+    rows = (
+        [("a", v) for v in a] + [("b", v) for v in b] + [("ctl", v) for v in c]
+    )
+    df = spark.createDataFrame(rows, ["grp", "value"])
+    got = {r["grp"]: r for r in ks_two_sample(df, "value", "grp", control="ctl").collect()}
+    for grp, sample in (("a", a), ("b", b)):
+        num, den = _ks_reference(sample, c)
+        assert (got[grp]["ks_num"], got[grp]["ks_denom"]) == (num, den), grp
+    # arm b is a strong compression toward 0 -> detectable shift
+    assert got["b"]["significant"] is True
