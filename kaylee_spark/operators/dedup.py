@@ -1087,3 +1087,64 @@ def corpus_jaccard(df: DataFrame, group_col: str, text_col: str, n: int = 3) -> 
             F.round(F.col("n_common").cast("double") / union_n, 6).alias("jaccard"),
         )
     )
+
+
+def duplicate_window_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 10,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-document duplicated-substring signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every document, the fraction of its length-``w`` token-window
+    OCCURRENCES whose window string also appears in at least one OTHER
+    document. High shared_frac = the doc is largely assembled from
+    text that exists elsewhere in the corpus — the substring-level
+    contamination that document-hash dedup (d01) and whole-doc Jaccard
+    (d03) both under-report.
+
+    Output: (doc, n_windows, n_shared, shared_frac, is_contaminated)
+    for every doc with >= 1 window (docs shorter than w tokens are
+    absent); shared_frac is an exact bigint/bigint IEEE division,
+    deliberately unrounded (the d03 recipe). Intra-doc repeats do NOT
+    make a window "shared" — sharing is defined on DISTINCT-doc
+    support, so this composes with (rather than duplicates) the
+    intra-doc t25 repetition filter.
+
+    Scale shape — the published approach's MapReduce skeleton, no
+    suffix array needed for the *fraction* statistic: windows keep
+    multiplicity per doc but collapse map-side to (doc, window) counts
+    before the first exchange; window doc-support is ONE count over
+    that frame (never count-distinct over raw occurrences); the
+    support join is co-partitioned on the window key it just
+    aggregated on. The window strings themselves ride two shuffles —
+    at 100 TB swap the key for xxhash64(window) (8 bytes vs ~6x w)
+    and accept the 2^-64 collision odds; kept as raw strings here so
+    the DuckDB oracle replays the exact same keys.
+    """
+    toks = tokens(text_col)
+    idx = F.when(
+        F.size(toks) >= w, F.sequence(F.lit(1), F.size(toks) - (w - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, w)))
+    occ = (
+        df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("win"))
+        .groupBy("doc", "win")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    support = occ.groupBy("win").agg(F.count(F.lit(1)).alias("dd"))
+    joined = occ.join(support, "win")
+    shared = F.when(F.col("dd") >= 2, F.col("c")).otherwise(F.lit(0))
+    out = joined.groupBy("doc").agg(
+        F.sum("c").alias("n_windows"), F.sum(shared).alias("n_shared")
+    )
+    frac = F.col("n_shared") / F.col("n_windows")
+    return out.select(
+        "doc",
+        "n_windows",
+        "n_shared",
+        frac.alias("shared_frac"),
+        (frac > threshold).alias("is_contaminated"),
+    )

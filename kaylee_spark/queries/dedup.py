@@ -732,3 +732,42 @@ def d17_corpus_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py corpus_jaccard)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.corpus_jaccard(docs, "source", "text", n=3)
+
+
+@query(
+    "d19_duplicate_windows",
+    oracle="""
+    WITH occ AS (
+        SELECT doc, win, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT doc_id AS doc,
+                   UNNEST(list_transform(
+                       range(1, greatest(len(toks) - 9, 0) + 1),
+                       i -> array_to_string(toks[i:i+9], ' '))) AS win
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                  FROM documents)
+        ) GROUP BY doc, win
+    ),
+    support AS (SELECT win, COUNT(*) AS dd FROM occ GROUP BY win)
+    SELECT doc,
+           CAST(SUM(c) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN dd >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_shared,
+           CAST(SUM(CASE WHEN dd >= 2 THEN c ELSE 0 END) AS DOUBLE)
+               / SUM(c) AS shared_frac,
+           (CAST(SUM(CASE WHEN dd >= 2 THEN c ELSE 0 END) AS DOUBLE)
+               / SUM(c)) > 0.5 AS is_contaminated
+    FROM occ JOIN support USING (win)
+    GROUP BY doc
+    """,
+    extra=True,
+)
+def d19_duplicate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-substring audit (Lee et al. 2022):
+    per doc, the fraction of its 10-token window occurrences whose
+    window text appears in >= 2 distinct documents
+    (operators/dedup.py duplicate_window_stats) — the substring-level
+    contamination whole-doc hashing under-reports. Map-side (doc,
+    window) collapse before the first exchange; support counts and
+    their join co-partition on the window key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicate_window_stats(docs, "doc_id", "text", w=10)

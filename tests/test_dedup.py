@@ -541,3 +541,38 @@ def test_corpus_jaccard_within_group_dups_count_once(spark):
     r = out[0]
     assert r["n_a"] == 2 and r["n_b"] == 2 and r["n_common"] == 2
     assert r["jaccard"] == 1.0
+
+
+def test_duplicate_window_stats_planted(spark):
+    from kaylee_spark.operators.dedup import duplicate_window_stats
+
+    shared = "w1 w2 w3 w4"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " a b c"),        # windows at w=4: 4 total, 1 shared
+            (2, "x y " + shared),          # 3 total, 1 shared
+            (3, "p q r s t"),              # 2 windows, none shared
+            (4, "too short"),              # < w tokens -> absent
+            (5, shared + " " + shared),    # intra-doc repeat of the shared window
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc"]: r for r in duplicate_window_stats(df, "doc_id", "text", w=4).collect()}
+    assert out[1]["n_windows"] == 4 and out[1]["n_shared"] == 1
+    assert out[2]["n_windows"] == 3 and out[2]["n_shared"] == 1
+    assert out[3]["n_shared"] == 0 and out[3]["is_contaminated"] is False
+    assert 4 not in out
+    # doc 5: 5 windows; shared window occurs twice -> BOTH occurrences
+    # count as shared (plus the straddling windows are unique to doc 5)
+    assert out[5]["n_windows"] == 5 and out[5]["n_shared"] == 2
+    assert abs(out[1]["shared_frac"] - 0.25) < 1e-15
+
+
+def test_duplicate_window_intradoc_repeat_alone_not_shared(spark):
+    """A window repeated only WITHIN one doc has distinct-doc support 1
+    — it must not count as shared (that's t25's job, not d19's)."""
+    from kaylee_spark.operators.dedup import duplicate_window_stats
+
+    df = spark.createDataFrame([(1, "a b a b a b")], ["doc_id", "text"])
+    r = duplicate_window_stats(df, "doc_id", "text", w=2).collect()[0]
+    assert r["n_windows"] == 5 and r["n_shared"] == 0
