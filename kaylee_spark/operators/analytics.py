@@ -720,3 +720,83 @@ def ks_two_sample(
         (F.col("ks_num") / (F.col("n") * F.col("m"))).alias("ks_stat"),
         (lhs > rhs).alias("significant"),
     )
+
+
+#: PSI value-bin edges for the events `value` column (range ~0.01-490,
+#: log-normal-ish): 8 log-spaced bins. Literal doubles — bin assignment
+#: is an exact comparison in any engine.
+PSI_BIN_EDGES = (5.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0)
+
+
+def psi_final_exprs(n_bins: int) -> list[str]:
+    """PSI expressions over the pivoted per-bin counts (a0..a{k-1},
+    b0.., na, nb), shared VERBATIM with the oracle (the benford_exprs
+    pattern). Laplace add-1 smoothing keeps empty bins finite; each
+    bin's ln-ratio quantizes to 6dp decimal BEFORE the multiply (the
+    t17 recipe — engine ln ulp differences vanish at the quantum),
+    and the bin sum is a flat left-to-right literal chain, never an
+    aggregate over bin rows."""
+    terms = []
+    for i in range(n_bins):
+        pa = f"((CAST(a{i} AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + {float(n_bins)!r}))"
+        pb = f"((CAST(b{i} AS DOUBLE) + 1.0) / (CAST(nb AS DOUBLE) + {float(n_bins)!r}))"
+        lnq = f"CAST(CAST(ROUND(LN({pa} / {pb}), 6) AS DECIMAL(18,6)) AS DOUBLE)"
+        terms.append(f"({pa} - {pb}) * {lnq}")
+    psi = "(" + " + ".join(terms) + ")"
+    return [
+        f"{psi} AS psi",
+        # 0.2 = the conventional "significant shift" PSI threshold
+        f"{psi} > 0.2 AS drifted",
+    ]
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    period_a_col: str,
+    edges: tuple = PSI_BIN_EDGES,
+) -> DataFrame:
+    """Population Stability Index per group between two observation
+    periods — the production-ML drift monitor: PSI =
+    sum_bins (pA - pB) * ln(pA / pB) over a fixed value binning,
+    with add-1 smoothing so newly-empty bins stay finite. PSI > 0.2
+    is the conventional retrain/alert threshold. Complements a30's KS
+    (exact, rank-based, pairwise-sample) with the binned form that
+    monitoring systems actually persist — bin counts are mergeable
+    across days/shards, KS ranks are not.
+
+    ``period_a_col`` is a boolean column: TRUE rows form period A,
+    FALSE rows period B; NULL values are excluded.
+
+    Output: (grp, na, nb, a0..ak, b0..bk, psi, drifted).
+
+    Scale shape: ONE map-side-combined aggregate pivots each group to
+    2k exact conditional bin counts; the PSI is a flat codegen chain
+    over those columns (psi_final_exprs) — no bin-row shuffle, no
+    order-dependent double sum, mergeable partials all the way down.
+    """
+    v = F.col(value_col)
+    b = F.lit(0)
+    for i, e in enumerate(edges):
+        b = F.when(v < F.lit(e), b).otherwise(F.lit(i + 1))
+    n_bins = len(edges) + 1
+    base = df.filter(v.isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.col(period_a_col).alias("is_a"),
+        b.alias("bin"),
+    )
+    aggs = [
+        F.count(F.when(F.col("is_a"), F.lit(1))).alias("na"),
+        F.count(F.when(~F.col("is_a"), F.lit(1))).alias("nb"),
+    ]
+    for i in range(n_bins):
+        aggs.append(
+            F.count(F.when(F.col("is_a") & (F.col("bin") == i), F.lit(1))).alias(f"a{i}")
+        )
+        aggs.append(
+            F.count(F.when(~F.col("is_a") & (F.col("bin") == i), F.lit(1))).alias(f"b{i}")
+        )
+    pivoted = base.groupBy("grp").agg(*aggs)
+    cols = ["grp", "na", "nb"] + [f"{s}{i}" for i in range(n_bins) for s in ("a", "b")]
+    return pivoted.selectExpr(*cols, *psi_final_exprs(n_bins))

@@ -1163,3 +1163,56 @@ def a30_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return ks_two_sample(ev, "value", "event_type", control="view")
+
+
+def _psi_oracle() -> str:
+    from kaylee_spark.operators.analytics import PSI_BIN_EDGES, psi_final_exprs
+
+    n_bins = len(PSI_BIN_EDGES) + 1
+    bin_case = "0"
+    for i, e in enumerate(PSI_BIN_EDGES):
+        bin_case = f"CASE WHEN value < {float(e)!r} THEN {bin_case} ELSE {i + 1} END"
+    counts = ",\n               ".join(
+        f"CAST(COUNT(CASE WHEN {'' if s == 'a' else 'NOT '}is_a AND bin = {i} THEN 1 END) AS BIGINT) AS {s}{i}"
+        for i in range(n_bins)
+        for s in ("a", "b")
+    )
+    finals = ",\n           ".join(psi_final_exprs(n_bins))
+    cols = ", ".join(f"{s}{i}" for i in range(n_bins) for s in ("a", "b"))
+    return f"""
+    WITH binned AS (
+        SELECT event_type AS grp,
+               (ts < TIMESTAMP '2024-01-16 00:00:00') AS is_a,
+               {bin_case} AS bin
+        FROM events WHERE value IS NOT NULL
+    ),
+    pivoted AS (
+        SELECT grp,
+               CAST(COUNT(CASE WHEN is_a THEN 1 END) AS BIGINT) AS na,
+               CAST(COUNT(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS nb,
+               {counts}
+        FROM binned GROUP BY grp
+    )
+    SELECT grp, na, nb, {cols},
+           {finals}
+    FROM pivoted
+    """
+
+
+@query("a31_psi_drift", oracle=_psi_oracle(), extra=True)
+def a31_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor: each event type's
+    value distribution in the first half of January vs the second,
+    over 8 fixed log-spaced bins with add-1 smoothing — PSI > 0.2
+    flags the shift (operators/analytics.py psi_drift). One map-side-
+    combined aggregate pivots 16 exact bin counts per type; the PSI is
+    a flat literal chain with each ln-ratio quantized to 6dp decimal
+    (the a27 pivot + t17 ln recipe). Bin counts are mergeable partials
+    — the form a 100 TB monitoring pipeline persists per day and
+    merges across shards."""
+    from kaylee_spark.operators.analytics import psi_drift
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "is_a", F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
+    )
+    return psi_drift(ev, "value", "event_type", "is_a")

@@ -466,3 +466,56 @@ def test_ks_two_sample_matches_python_reference(spark):
         assert (got[grp]["ks_num"], got[grp]["ks_denom"]) == (num, den), grp
     # arm b is a strong compression toward 0 -> detectable shift
     assert got["b"]["significant"] is True
+
+
+def test_psi_drift_identical_periods_near_zero(spark):
+    from kaylee_spark.operators.analytics import psi_drift
+
+    rows = [("g", True, v) for v in [1.0, 7.0, 30.0, 100.0]] + [
+        ("g", False, v) for v in [1.0, 7.0, 30.0, 100.0]
+    ]
+    df = spark.createDataFrame(rows, ["grp", "is_a", "value"])
+    r = psi_drift(df, "value", "grp", "is_a").collect()[0]
+    assert abs(r["psi"]) < 1e-9 and r["drifted"] is False
+    assert r["na"] == 4 and r["nb"] == 4 and r["a0"] == 1 and r["b0"] == 1
+
+
+def test_psi_drift_detects_shift(spark):
+    from kaylee_spark.operators.analytics import psi_drift
+
+    # period A concentrated in the lowest bin, period B in the highest
+    rows = [("g", True, 1.0)] * 50 + [("g", False, 400.0)] * 50
+    df = spark.createDataFrame(rows, ["grp", "is_a", "value"])
+    r = psi_drift(df, "value", "grp", "is_a").collect()[0]
+    assert r["psi"] > 2.0 and r["drifted"] is True
+    assert r["a0"] == 50 and r["b7"] == 50
+
+
+def test_psi_drift_matches_python_reference(spark):
+    import math
+
+    from kaylee_spark.operators.analytics import PSI_BIN_EDGES, psi_drift
+
+    def bin_of(v):
+        for i, e in enumerate(PSI_BIN_EDGES):
+            if v < e:
+                return i
+        return len(PSI_BIN_EDGES)
+
+    seq, x = [], 11
+    for _ in range(300):
+        x = (x * 48271) % 2147483647
+        seq.append(0.01 + 489.0 * (x / 2147483647))
+    a_vals, b_vals = seq[:150], [v * 0.6 for v in seq[150:]]
+    k = len(PSI_BIN_EDGES) + 1
+    ca = [sum(1 for v in a_vals if bin_of(v) == i) for i in range(k)]
+    cb = [sum(1 for v in b_vals if bin_of(v) == i) for i in range(k)]
+    want = 0.0
+    for i in range(k):
+        pa = (ca[i] + 1.0) / (len(a_vals) + float(k))
+        pb = (cb[i] + 1.0) / (len(b_vals) + float(k))
+        want += (pa - pb) * round(math.log(pa / pb), 6)
+    rows = [("g", True, v) for v in a_vals] + [("g", False, v) for v in b_vals]
+    df = spark.createDataFrame(rows, ["grp", "is_a", "value"])
+    r = psi_drift(df, "value", "grp", "is_a").collect()[0]
+    assert abs(r["psi"] - want) < 1e-9
