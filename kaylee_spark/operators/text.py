@@ -903,3 +903,46 @@ def repetition_profile(text_col="text", n: int = 3) -> Column:
     return F.struct(
         total.alias("n_grams"), distinct.alias("n_distinct"), dup_frac.alias("dup_frac")
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic shard assignment + writer manifest — the
+    accounting a training-corpus writer emits alongside the shards:
+    each document lands in shard ``portable_bucket(id) % n_shards``
+    (a pure-integer hash any engine replays, so shard membership is
+    externally auditable), and the manifest reports per shard the doc
+    count, exact token and character totals, and the id range.
+
+    Output: (shard, n_docs, total_tokens, total_chars, min_doc,
+    max_doc) — one row per non-empty shard.
+
+    Scale shape: assignment is a codegen'd integer expression at scan
+    speed; the manifest is ONE map-side-combined aggregate over
+    n_shards groups (six mergeable scalars per shard). The real
+    writer pairs this with DataFrameWriter.partitionBy(shard) so the
+    manifest and the layout derive from the same expression.
+    """
+    from kaylee_spark.operators.sampling import portable_bucket
+
+    shard = (portable_bucket(F.col(id_col)) % F.lit(n_shards)).alias("shard")
+    return (
+        df.select(
+            shard,
+            F.col(id_col).alias("doc"),
+            token_count(text_col).alias("n_tok"),
+            F.length(F.col(text_col)).cast("bigint").alias("n_chr"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_chr").alias("total_chars"),
+            F.min("doc").alias("min_doc"),
+            F.max("doc").alias("max_doc"),
+        )
+    )

@@ -883,3 +883,31 @@ def t25_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_p.dup_frac").alias("dup_frac"),
         F.coalesce(F.col("_p.dup_frac") > 0.2, F.lit(False)).alias("is_repetitive"),
     )
+
+
+def _shard_manifest_oracle() -> str:
+    from kaylee_spark.operators.sampling import portable_bucket_sql
+
+    return f"""
+    SELECT ({portable_bucket_sql("doc_id")}) % 16 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM({_SQL_NTOK}) AS BIGINT) AS total_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM documents
+    GROUP BY 1
+    """
+
+
+@query("t26_shard_manifest", oracle=_shard_manifest_oracle(), extra=True)
+def t26_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus shard manifest: every document deterministically
+    assigned to one of 16 shards by the portable integer hash (t16's
+    externally auditable membership recipe), with per-shard doc/token/
+    char totals and id ranges (operators/text.py shard_manifest) —
+    the writer-side accounting that lets a 100 TB corpus build verify
+    shard balance and completeness without re-reading text. Scan-speed
+    assignment + ONE map-side-combined aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.shard_manifest(docs, "doc_id", "text", n_shards=16)

@@ -929,3 +929,20 @@ def test_repetition_profile_plan_is_shuffle_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_shard_manifest_exhaustive_and_deterministic(spark):
+    from kaylee_spark.operators.text import shard_manifest
+
+    df = spark.createDataFrame(
+        [(i, "tok " * (i % 5 + 1)) for i in range(1, 101)], ["doc_id", "text"]
+    )
+    rows = shard_manifest(df, "doc_id", "text", n_shards=8).collect()
+    assert sum(r["n_docs"] for r in rows) == 100          # every doc lands somewhere
+    assert all(0 <= r["shard"] < 8 for r in rows)
+    # token accounting is exact: doc i has (i % 5 + 1) tokens
+    assert sum(r["total_tokens"] for r in rows) == sum(i % 5 + 1 for i in range(1, 101))
+    # rerun == same assignment (pure function of the id)
+    again = {r["shard"]: r for r in shard_manifest(df, "doc_id", "text", n_shards=8).collect()}
+    for r in rows:
+        assert again[r["shard"]]["n_docs"] == r["n_docs"]
