@@ -104,3 +104,40 @@ def prepare_training_corpus(
     """
     scrubbed = docs.withColumn(text_col, T.redact_pii(text_col))
     return T.chunk_documents(scrubbed, id_col, text_col, chunk_tokens, overlap)
+
+
+def pretraining_mix(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    max_dup_frac: float = 0.2,
+) -> DataFrame:
+    """Pretraining-mix builder: gate documents on the intra-doc
+    repetition filter (language-neutral, unlike p01's stopword gate),
+    then fill per-language token budgets in deterministic id order —
+    the "300B web / 50B code / 30B per long-tail language" recipe.
+
+    Returns kept docs tagged with exact token costs and running
+    totals: (id, lang, n_tokens). Docs with fewer tokens than one
+    trigram (dup_frac NULL) pass the gate — the Gopher filter only
+    rejects MEASURED repetition.
+
+    Scale shape: the gate is t25's zero-shuffle row-local profile
+    fused into the scan; the budget fill is ONE lang-keyed running
+    window (take_until_budget). Nothing else shuffles.
+    """
+    from kaylee_spark.operators.sampling import take_until_budget
+
+    prof = T.repetition_profile(text_col, n=3)
+    pool = (
+        docs.withColumn("_p", prof)
+        .filter(F.col("_p.dup_frac").isNull() | (F.col("_p.dup_frac") <= max_dup_frac))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.col(lang_col).alias("lang"),
+            T.token_count(text_col).alias("n_tokens"),
+        )
+    )
+    return take_until_budget(pool, "lang", "doc", "n_tokens", budgets)

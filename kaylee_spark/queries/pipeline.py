@@ -93,3 +93,80 @@ def p01_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("status", "lang", "n")
     )
     return kept.unionByName(rejected)
+
+
+#: per-language token budgets for the p02 mix — all five bind at every
+#: fixture scale (sf0.001 pools are ~4-10k tokens per lang).
+P02_BUDGETS = {"en": 5000, "de": 2000, "fr": 2000, "es": 2000, "zh": 1000}
+
+_P02_BUDGET_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}.0" for k, v in P02_BUDGETS.items())
+    + " ELSE 0.0 END"
+)
+
+_P02_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id AS doc, lang,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents
+    ),
+    prof AS (
+        SELECT doc, lang, CAST(len(tk) AS BIGINT) AS n_tokens,
+               list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+                              i -> array_to_string(tk[i:i+2], ' ')) AS grams
+        FROM toks
+    ),
+    pool AS (
+        SELECT doc, lang, n_tokens FROM prof
+        WHERE len(grams) = 0
+           OR CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+              / len(grams) <= 0.2
+    ),
+    walked AS (
+        SELECT doc, lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM pool
+    ),
+    kept AS (
+        SELECT * FROM walked WHERE cum - n_tokens < {_P02_BUDGET_CASE}
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+           CAST({_P02_BUDGET_CASE} AS BIGINT) AS budget,
+           CAST(GREATEST(SUM(n_tokens) - {_P02_BUDGET_CASE}, 0) AS BIGINT)
+               AS overshoot
+    FROM kept GROUP BY lang
+    """
+
+
+@query("p02_pretraining_mix", oracle=_P02_ORACLE, extra=True)
+def p02_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-mix accounting: documents gated by the t25
+    repetition filter (language-neutral, measured repetition only),
+    then per-language token budgets filled in deterministic id order
+    (t12's budgeted-prefix window) — per lang the kept doc/token
+    totals, the budget, and the bounded overshoot (at most one
+    straddling doc). The whole ladder is one scan-speed gate plus ONE
+    lang-keyed window (kaylee_spark/pipelines.py pretraining_mix)."""
+    from kaylee_spark.pipelines import pretraining_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = pretraining_mix(docs, P02_BUDGETS)
+    budget_col = F.lit(0)
+    for k, v in P02_BUDGETS.items():
+        budget_col = F.when(F.col("lang") == k, F.lit(v)).otherwise(budget_col)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    ).select(
+        "lang",
+        "n_kept",
+        "tokens_kept",
+        budget_col.cast("bigint").alias("budget"),
+        F.greatest(
+            F.col("tokens_kept") - budget_col.cast("bigint"), F.lit(0).cast("bigint")
+        ).alias("overshoot"),
+    )

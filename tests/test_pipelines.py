@@ -69,3 +69,25 @@ def test_prepare_training_corpus(spark):
     assert all("<EMAIL>" in r["chunk_text"] for r in by_doc[1])
     assert not any("bob@example.com" in r["chunk_text"] for r in by_doc[1])
     assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short clean doc"
+
+
+def test_pretraining_mix_budget_and_gate(spark):
+    from kaylee_spark.pipelines import pretraining_mix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "one two three four five six"),            # 6 tokens, clean
+            (2, "en", "go go go go go go go go"),                # dup_frac 5/6 -> gated out
+            (3, "en", "seven eight nine ten eleven twelve"),     # 6 tokens, clean
+            (4, "en", "hi"),                                     # no trigram -> passes gate
+            (5, "de", "eins zwei drei vier"),                    # other stratum
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    kept = pretraining_mix(docs, {"en": 8, "de": 100}).collect()
+    ids = sorted(r["doc"] for r in kept)
+    # en walk in id order: doc1 (6 tok, cum-6=0 < 8 keep), doc3 (cum-6=6 < 8
+    # keep -> overshoot), doc4 (cum-2=12 >= 8 drop); doc2 never in pool
+    assert ids == [1, 3, 5]
+    en_toks = sum(r["n_tokens"] for r in kept if r["lang"] == "en")
+    assert en_toks == 12    # bounded overshoot: one straddling doc
