@@ -36,7 +36,7 @@ Scale shape (3-iteration loop at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kaylee_spark.sources import load_table
@@ -673,3 +673,79 @@ def kcore_peel(
     # the result no longer depends on the edge cache.
     edges.unpersist()
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Synchronous label-propagation community detection over a
+    (src, dst) bigint edge list (Raghavan et al. 2007, made
+    deterministic): every node starts labeled with its own id; each
+    round, every node simultaneously adopts the label carried by the
+    PLURALITY of its neighbors, ties broken by the smallest label.
+    Pass both edge directions for an undirected graph.
+
+    Returns (id, community) for every node with >= 1 edge after
+    ``rounds`` synchronous rounds. The classic async/random-order LPA
+    is run-dependent; the synchronous + min-label form is a pure
+    function of the graph, so a fully unrolled SQL twin replays the
+    trajectory bit-for-bit — the g01/g06 iterative-oracle pattern on
+    exact integer counts (no float score anywhere).
+
+    Scale shape: edges cached once; each round is ONE join of the
+    edge list against the (node-sized) label frame, one map-side-
+    combined (node, label) count, and one per-node rank window — the
+    count and the window share the node-keyed partitioning. Labels are
+    localCheckpoint'ed per round (each round references its
+    predecessor once per edge side — the uncheckpointed loop grows
+    k^n lazy-plan copies, the MMR lesson), and the loop exits early
+    at a fixpoint round (no label changed).
+    """
+    if rounds < 1:
+        raise ValueError(f"label_propagation requires rounds >= 1, got {rounds}")
+    if shuffle_partitions is not None:
+        spark = edges.sparkSession
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        try:
+            out = label_propagation(edges, rounds).cache()
+            out.count()
+            return out
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    edges = edges.select("src", "dst").cache()
+    # both directions present => every node appears as a src
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("_c"), F.asc("label"))
+    for _ in range(rounds):
+        counts = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), "label"), "dst"
+            )
+            .groupBy(F.col("src").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        new = (
+            counts.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("id", "label")
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("community"))

@@ -365,3 +365,55 @@ def g06_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return kcore_peel(edges, k=3, rounds=3, shuffle_partitions=8)
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    steps = []
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""l{r} AS (
+        SELECT id, label FROM (
+            SELECT e.src AS id, l.label,
+                   ROW_NUMBER() OVER (PARTITION BY e.src
+                                      ORDER BY COUNT(*) DESC, l.label ASC) AS rk
+            FROM edges e JOIN {prev} l ON e.dst = l.id
+            GROUP BY e.src, l.label
+        ) WHERE rk = 1
+    )"""
+        )
+        prev = f"l{r}"
+    return f"""
+    WITH fwd AS (
+        SELECT o_custkey AS src, l_suppkey + {SUPPLIER_OFFSET} AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 HAVING COUNT(DISTINCT o_orderkey) >= 2
+    ),
+    edges AS (
+        SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd
+    ),
+    l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
+    {",".join(steps)}
+    SELECT id, label AS community FROM l{rounds}
+    """
+
+
+@query("g07_label_propagation", oracle=_lpa_oracle(3), extra=True)
+def g07_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the repeat-trading graph: three
+    synchronous label-propagation rounds (plurality neighbor label,
+    min-label ties) assign every customer/supplier a community — the
+    market-segmentation companion to g06's cohesion ranking, and at
+    corpus scale the cheap communities-from-near-dup-edges pass that
+    groups template families without computing connected components
+    to fixpoint. Deterministic by construction (synchronous rounds +
+    integer counts + min-label tie-break), so the oracle unrolls the
+    identical trajectory as chained CTEs
+    (operators/graph.py label_propagation)."""
+    from kaylee_spark.operators.graph import label_propagation, repeat_trading_edges
+
+    fwd = repeat_trading_edges(spark, sf_dir)
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return label_propagation(edges, rounds=3, shuffle_partitions=8)

@@ -323,3 +323,53 @@ def test_kcore_width_independence_and_contract(spark):
         kcore_peel(edges, k=0)
     with pytest.raises(ValueError):
         kcore_peel(edges, k=2, rounds=0)
+
+
+def test_label_propagation_two_cliques(spark):
+    from kaylee_spark.operators.graph import label_propagation
+
+    # two triangles bridged by one weak edge: LPA should settle each
+    # triangle on its min member id, and the bridge must not merge them
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    bridge = [(3, 10)]
+    fwd = spark.createDataFrame(tri1 + tri2 + bridge, ["src", "dst"])
+    edges = fwd.union(fwd.select("dst", "src"))
+    got = {r["id"]: r["community"] for r in label_propagation(edges, rounds=3).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12]
+    assert got[10] != got[1]
+
+
+def test_label_propagation_matches_python_reference(spark):
+    from kaylee_spark.operators.graph import label_propagation
+
+    # deterministic pseudo-random sparse graph, synchronous reference
+    pairs, x = set(), 5
+    for _ in range(60):
+        x = (x * 48271) % 2147483647
+        a = x % 20
+        x = (x * 48271) % 2147483647
+        b = x % 20
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {v: v for v in adj}
+    for _ in range(3):
+        new = {}
+        for v, nbrs in adj.items():
+            freq = {}
+            for u in nbrs:
+                freq[labels[u]] = freq.get(labels[u], 0) + 1
+            best = max(freq.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        if new == labels:
+            break
+        labels = new
+    fwd = spark.createDataFrame(sorted(pairs), ["src", "dst"])
+    edges = fwd.union(fwd.select("dst", "src"))
+    got = {r["id"]: r["community"] for r in label_propagation(edges, rounds=3).collect()}
+    assert got == labels
