@@ -800,3 +800,48 @@ def psi_drift(
     pivoted = base.groupBy("grp").agg(*aggs)
     cols = ["grp", "na", "nb"] + [f"{s}{i}" for i in range(n_bins) for s in ("a", "b")]
     return pivoted.selectExpr(*cols, *psi_final_exprs(n_bins))
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact Gini concentration index per group over a non-negative
+    value column: G = (2*S1 - (n+1)*S) / (n*S) with S1 = sum of
+    rank*value over the ascending (value, id) order — the standard
+    rank formula, exact because ranks are integers and the value sums
+    are decimals (one final double division of two exact decimals).
+    Ties are ordered by ``id_col``; the formula's value is
+    tie-order-invariant for equal values, the tiebreak just pins both
+    engines to the same walk.
+
+    Output: (grp, n, gini); groups with n*S = 0 (all-zero values)
+    return NULL gini.
+
+    Scale shape: ONE group-keyed exchange carries the rank window and
+    the final aggregate (the groupBy reuses the window's
+    partitioning); nothing but three scalars per group survives it.
+    """
+    d382 = "decimal(38,2)"
+    ranked = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast(d382).alias("v"),
+        F.col(id_col).alias("tid"),
+    ).withColumn(
+        "i",
+        F.row_number().over(Window.partitionBy("grp").orderBy(F.asc("v"), F.asc("tid"))),
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("i").cast("decimal(18,0)") * F.col("v")).alias("s1"),
+    )
+    num = (F.lit(2).cast(d382) * F.col("s1") - (F.col("n") + F.lit(1)) * F.col("s"))
+    den = F.col("n") * F.col("s")
+    return agg.select(
+        "grp",
+        "n",
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias("gini"),
+    )

@@ -250,3 +250,53 @@ def w06_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("cum_share") <= 0.95, "B")
         .otherwise("C"),
     )
+
+
+@query(
+    "w07_gini_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS v
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_nationkey
+    ),
+    ranked AS (
+        SELECT c_nationkey AS grp, v, c_custkey,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY v ASC, c_custkey ASC) AS i
+        FROM rev
+    ),
+    agg AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS DECIMAL(38,2)) AS s,
+               CAST(SUM(CAST(i AS DECIMAL(18,0)) * v) AS DECIMAL(38,2)) AS s1
+        FROM ranked GROUP BY grp
+    )
+    SELECT grp, n,
+           CASE WHEN n * s <> 0
+                THEN CAST(2 * s1 - (n + 1) * s AS DOUBLE)
+                     / CAST(n * s AS DOUBLE)
+           END AS gini
+    FROM agg
+    """,
+    extra=True,
+)
+def w07_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini index of customer revenue — the scalar
+    inequality measure behind w06's Pareto/ABC classes (one number per
+    nation instead of per-customer bands): exact integer ranks times
+    exact decimal revenue, one final double division
+    (operators/analytics.py gini_by_group). One customer-keyed
+    aggregate, then ONE nation-keyed exchange shared by the rank
+    window and the closing 3-scalar aggregate."""
+    from kaylee_spark.operators.analytics import gini_by_group
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").alias("v"))
+    )
+    return gini_by_group(rev, "c_nationkey", "v", "c_custkey")

@@ -519,3 +519,24 @@ def test_psi_drift_matches_python_reference(spark):
     df = spark.createDataFrame(rows, ["grp", "is_a", "value"])
     r = psi_drift(df, "value", "grp", "is_a").collect()[0]
     assert abs(r["psi"] - want) < 1e-9
+
+
+def test_gini_extremes_and_reference(spark):
+    from kaylee_spark.operators.analytics import gini_by_group
+
+    rows = (
+        # perfect equality -> G = 0
+        [("eq", i, 10.0) for i in range(1, 5)]
+        # maximal concentration among 4: one holder -> G = (n-1)/n = 0.75
+        + [("one", 1, 0.0), ("one", 2, 0.0), ("one", 3, 0.0), ("one", 4, 100.0)]
+        # hand case: values 1,2,3,4 -> G = (2*30 - 5*10)/(4*10) = 0.25
+        + [("hand", i, float(i)) for i in range(1, 5)]
+        # all-zero group -> NULL
+        + [("zero", i, 0.0) for i in range(1, 3)]
+    )
+    df = spark.createDataFrame(rows, ["grp", "id", "v"])
+    got = {r["grp"]: r for r in gini_by_group(df, "grp", "v", "id").collect()}
+    assert abs(got["eq"]["gini"]) < 1e-15
+    assert abs(got["one"]["gini"] - 0.75) < 1e-15
+    assert abs(got["hand"]["gini"] - 0.25) < 1e-15
+    assert got["zero"]["gini"] is None

@@ -218,3 +218,29 @@ def test_sixth_session_results_identical_without_broadcast_or_aqe(spark, sf_dir,
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "s13_hard_negatives",
+        "e30_pit_join",
+        "a30_ks_test",
+        "d19_duplicate_windows",
+        "g07_label_propagation",
+        "p02_pretraining_mix",
+    ],
+)
+def test_round7_results_identical_without_broadcast_or_aqe(spark, sf_dir, name):
+    fn = REG[name].fn
+    want = _rows(fn(spark, sf_dir))
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        got = _rows(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert got == want

@@ -69,6 +69,10 @@ SHOWCASE = [
     ("t25_repeated_ngrams", "repetition filter: row-local array ops only — zero Exchange, a scan-speed predicate"),
     ("s13_hard_negatives", "hard negatives: broadcast anchors, label-mismatch filter BEFORE the per-anchor rank window"),
     ("e30_pit_join", "point-in-time join: SCD2 build + as-of union ride the SAME user-keyed sort-merge shape"),
+    ("a30_ks_test", "KS test: broadcast arm fan-out; CDF sort, both cumulative windows, and max-agg share ONE group-keyed exchange"),
+    ("a31_psi_drift", "PSI drift: 16 pivoted bin counts in one map-side-combined agg; flat literal PSI chain"),
+    ("d19_duplicate_windows", "duplicated windows: map-side (doc, window) collapse; support join co-partitioned on the window key"),
+    ("p02_pretraining_mix", "pretraining mix: zero-shuffle repetition gate fused into the scan + one lang-keyed budget window"),
 ]
 
 
@@ -129,6 +133,10 @@ MUST_CONTAIN = {
     "t25_repeated_ngrams": ("Scan parquet",),
     "s13_hard_negatives": ("BroadcastNestedLoopJoin", "Window"),
     "e30_pit_join": ("Window", "Union"),
+    "a30_ks_test": ("Window", "HashAggregate"),
+    "a31_psi_drift": ("HashAggregate",),
+    "d19_duplicate_windows": ("HashAggregate",),
+    "p02_pretraining_mix": ("Window",),
 }
 
 
@@ -149,7 +157,7 @@ def main() -> None:
         # a16's BNLJ is the gram-poor sidecar (both sides bounded small
         # by construction, right side broadcast — see fuzzy_join doc);
         # t13's BNLJ is the 1-row corpus-stats broadcast
-        if "BroadcastNestedLoopJoin" in p and name not in ("q17_above_avg_parts", "s01_cosine_topk", "s02_lsh_ann_topk", "a16_fuzzy_join", "t13_bm25_topk", "s13_hard_negatives"):
+        if "BroadcastNestedLoopJoin" in p and name not in ("q17_above_avg_parts", "s01_cosine_topk", "s02_lsh_ann_topk", "a16_fuzzy_join", "t13_bm25_topk", "s13_hard_negatives", "a30_ks_test"):
             problems.append(f"{name}: BroadcastNestedLoopJoin in plan")
         # positive assertions: the plan property each showcase exists
         # to demonstrate must actually be in the plan, so a regression

@@ -123,6 +123,30 @@ PROBE_QUERIES = (
     "d17_corpus_similarity",
     "t23_char_entropy",
     "t24_dsir_score",
+    # final round-7 batch. t25's row-local profile recurs per doc copy;
+    # d19 is the stress case: every copied doc makes EVERY window
+    # cross-doc shared (support 10x, shared_frac -> 1.0 everywhere) —
+    # the support agg and its co-partitioned join at 5.5M window
+    # occurrences; a30's KS num = |i*m - j*n| reaches ~4e10 with the
+    # HUGEINT/decimal(38) significance compare exercised for real;
+    # a31's bin counts scale 10x (the add-1 smoothing must still
+    # bit-match); e30 rides the event_id offset — 10 purchases per
+    # original ts PIT-join against a 10x-deep SCD2 dimension under the
+    # (ts, event_id) tie-break; t26's manifest re-buckets the offset
+    # doc_ids (shard totals are real new arithmetic, not 10 repeats);
+    # p02's budget walk sees copy-0 ids first (offsets sort after), so
+    # the kept prefix changes ONLY via the oracle-shared window; g07
+    # reruns on an UNCHANGED graph (offset order keys never join the
+    # un-offset lineitem copies; distinct-order counts are invariant) —
+    # it probes the 10x scan feeding the same trajectory.
+    "t25_repeated_ngrams",
+    "d19_duplicate_windows",
+    "a30_ks_test",
+    "a31_psi_drift",
+    "e30_pit_join",
+    "t26_shard_manifest",
+    "p02_pretraining_mix",
+    "g07_label_propagation",
 )
 
 
