@@ -845,3 +845,62 @@ def gini_by_group(
         "n",
         F.when(den != 0, num.cast("double") / den.cast("double")).alias("gini"),
     )
+
+
+def psi_timeline(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ts_col: str,
+    ref_day: str,
+    edges: tuple = PSI_BIN_EDGES,
+) -> DataFrame:
+    """PSI drift CURVE: each (group, day)'s value distribution scored
+    against the group's distribution on ``ref_day`` — what a drift
+    dashboard actually plots (a31's psi_drift gives the single A/B
+    number; this walks the calendar). Days before/at the reference are
+    excluded (the reference scores 0 against itself by construction).
+
+    Output: (grp, day, na, nb, psi, drifted) with na = the day's
+    sample size, nb = the reference day's.
+
+    Scale shape: ONE map-side-combined aggregate pivots (group, day)
+    to k exact bin counts; the reference day's row — |groups| rows —
+    broadcasts back onto the day frame; PSI is the same flat literal
+    chain as a31 (psi_final_exprs, shared verbatim with the oracle).
+    Day-level bin counts are exactly the mergeable partials a
+    monitoring store persists, so at 100 TB this reads the store, not
+    the raw events.
+    """
+    v = F.col(value_col)
+    b = F.lit(0)
+    for i, e in enumerate(edges):
+        b = F.when(v < F.lit(e), b).otherwise(F.lit(i + 1))
+    n_bins = len(edges) + 1
+    base = df.filter(v.isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.to_date(F.col(ts_col)).alias("day"),
+        b.alias("bin"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.count(F.when(F.col("bin") == i, F.lit(1))).alias(f"c{i}")
+        for i in range(n_bins)
+    ]
+    pivot = base.groupBy("grp", "day").agg(*aggs)
+    ref = pivot.filter(F.col("day") == F.lit(ref_day).cast("date")).select(
+        "grp",
+        F.col("n").alias("nb"),
+        *[F.col(f"c{i}").alias(f"b{i}") for i in range(n_bins)],
+    )
+    days = pivot.filter(F.col("day") > F.lit(ref_day).cast("date")).select(
+        "grp",
+        "day",
+        F.col("n").alias("na"),
+        *[F.col(f"c{i}").alias(f"a{i}") for i in range(n_bins)],
+    )
+    # day renders as its ISO string: Spark DATE surfaces as a Python
+    # object in Arrow/pandas land while other engines yield datetime64 —
+    # the string form compares identically everywhere and is tz-free
+    return days.join(F.broadcast(ref), "grp").selectExpr(
+        "grp", "CAST(day AS STRING) AS day", "na", "nb", *psi_final_exprs(n_bins)
+    )

@@ -1127,3 +1127,55 @@ def e30_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state", "state_version",
         F.col("valid_from").alias("state_since"),
     )
+
+
+def _psi_timeline_oracle() -> str:
+    from kaylee_spark.operators.analytics import PSI_BIN_EDGES, psi_final_exprs
+
+    n_bins = len(PSI_BIN_EDGES) + 1
+    bin_case = "0"
+    for i, e in enumerate(PSI_BIN_EDGES):
+        bin_case = f"CASE WHEN value < {float(e)!r} THEN {bin_case} ELSE {i + 1} END"
+    counts = ",\n               ".join(
+        f"CAST(COUNT(CASE WHEN bin = {i} THEN 1 END) AS BIGINT) AS c{i}"
+        for i in range(n_bins)
+    )
+    a_cols = ", ".join(f"d.c{i} AS a{i}" for i in range(n_bins))
+    b_cols = ", ".join(f"r.c{i} AS b{i}" for i in range(n_bins))
+    finals = ",\n           ".join(psi_final_exprs(n_bins))
+    return f"""
+    WITH binned AS (
+        SELECT event_type AS grp, CAST(ts AS DATE) AS day,
+               {bin_case} AS bin
+        FROM events WHERE value IS NOT NULL
+    ),
+    piv AS (
+        SELECT grp, day, CAST(COUNT(*) AS BIGINT) AS n,
+               {counts}
+        FROM binned GROUP BY grp, day
+    ),
+    joined AS (
+        SELECT d.grp, CAST(d.day AS VARCHAR) AS day, d.n AS na, r.n AS nb, {a_cols}, {b_cols}
+        FROM piv d
+        JOIN piv r ON r.grp = d.grp AND r.day = DATE '2024-01-01'
+        WHERE d.day > DATE '2024-01-01'
+    )
+    SELECT grp, day, na, nb,
+           {finals}
+    FROM joined
+    """
+
+
+@query("e31_psi_timeline", oracle=_psi_timeline_oracle(), extra=True)
+def e31_psi_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day PSI drift curve: every event type's daily value
+    distribution scored against its Jan-1 reference distribution
+    (operators/analytics.py psi_timeline) — the dashboard companion to
+    a31's single A/B PSI. One (type, day) pivot aggregate; the
+    |types|-row reference broadcasts back; PSI is the shared flat
+    literal chain. The day-level bin counts ARE the mergeable partials
+    a 100 TB monitoring store would persist."""
+    from kaylee_spark.operators.analytics import psi_timeline
+
+    ev = load_table(spark, sf_dir, "events")
+    return psi_timeline(ev, "value", "event_type", "ts", "2024-01-01")

@@ -540,3 +540,22 @@ def test_gini_extremes_and_reference(spark):
     assert abs(got["one"]["gini"] - 0.75) < 1e-15
     assert abs(got["hand"]["gini"] - 0.25) < 1e-15
     assert got["zero"]["gini"] is None
+
+
+def test_psi_timeline_reference_day_excluded_and_shift_scored(spark):
+    from datetime import datetime
+
+    from kaylee_spark.operators.analytics import psi_timeline
+
+    rows = (
+        # ref day: low values; day 2 identical; day 3 shifted high
+        [("g", datetime(2024, 1, 1, 0, 0, i % 60), 1.0) for i in range(40)]
+        + [("g", datetime(2024, 1, 2, 0, 0, i % 60), 1.0) for i in range(40)]
+        + [("g", datetime(2024, 1, 3, 0, 0, i % 60), 400.0) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, ["grp", "ts", "value"])
+    got = {r["day"]: r for r in psi_timeline(df, "value", "grp", "ts", "2024-01-01").collect()}
+    assert set(got) == {"2024-01-02", "2024-01-03"}   # ref day absent
+    assert abs(got["2024-01-02"]["psi"]) < 1e-9 and got["2024-01-02"]["drifted"] is False
+    assert got["2024-01-03"]["psi"] > 2.0 and got["2024-01-03"]["drifted"] is True
+    assert got["2024-01-03"]["na"] == 40 and got["2024-01-03"]["nb"] == 40
