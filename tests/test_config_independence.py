@@ -244,3 +244,19 @@ def test_round7_results_identical_without_broadcast_or_aqe(spark, sf_dir, name):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
     assert got == want
+
+
+@pytest.mark.parametrize("name", ["e28_scd2_history", "e29_seasonal_anomaly", "e30_pit_join", "a31_psi_drift", "e31_psi_timeline"])
+def test_round7_timestamp_queries_session_tz_independent(spark, sf_dir, name):
+    """Period boundaries (Jan-16 split, per-day buckets), hour-of-day
+    extraction, and as-of ordering must be pure NTZ arithmetic — a
+    half-hour-offset session timezone must not move any of them."""
+    fn = REG[name].fn
+    want = _rows(fn(spark, sf_dir))
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        got = _rows(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert got == want
