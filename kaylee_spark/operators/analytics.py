@@ -887,6 +887,15 @@ def psi_timeline(
         for i in range(n_bins)
     ]
     pivot = base.groupBy("grp", "day").agg(*aggs)
+    return psi_score_pivot(pivot, ref_day, n_bins)
+
+
+def psi_score_pivot(pivot: DataFrame, ref_day: str, n_bins: int) -> DataFrame:
+    # Score a (grp, day, n, c0..c{k-1}) bin-count pivot - the shape a
+    # monitoring store persists, whether written by a batch agg
+    # (psi_timeline) or a streaming drain (e32) - against its ref_day
+    # rows. Shared by both paths so the scoring arithmetic is defined
+    # exactly once.
     ref = pivot.filter(F.col("day") == F.lit(ref_day).cast("date")).select(
         "grp",
         F.col("n").alias("nb"),

@@ -1179,3 +1179,41 @@ def e31_psi_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return psi_timeline(ev, "value", "event_type", "ts", "2024-01-01")
+
+
+@query("e32_streamed_psi_ingest", oracle=_psi_timeline_oracle(), extra=True)
+def e32_streamed_psi_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift store fed by a TRUE stream: readStream -> daily
+    tumbling (event_type, value-bin) counts (streaming/
+    drift_bin_counts — the mergeable partials) drained to the store,
+    then batch-scored against the Jan-1 reference with the SAME
+    psi_score_pivot arithmetic as e31 — so the streamed-ingest path is
+    hash-verified to produce bit-identical PSI to the batch path
+    (oracle shared verbatim with e31). This is the monitoring
+    architecture at 100 TB: the stream maintains day x bin counts,
+    scoring never touches raw events."""
+    from kaylee_spark.operators.analytics import PSI_BIN_EDGES, psi_score_pivot
+
+    n_bins = len(PSI_BIN_EDGES) + 1
+    drained = _drain_staged_stream(
+        spark,
+        sf_dir,
+        lambda ST, staged: ST.run_to_memory(
+            ST.drift_bin_counts(ST.events_stream(spark, staged), PSI_BIN_EDGES),
+            output_mode="complete",
+        ),
+    )
+    store = drained.select(
+        _ntz("window_start"), "grp", "bin", "cnt"
+    ).select(F.to_date("window_start").alias("day"), "grp", "bin", "cnt")
+    pivot = store.groupBy("grp", "day").agg(
+        F.sum("cnt").alias("n"),
+        *[
+            F.sum(F.when(F.col("bin") == i, F.col("cnt")).otherwise(F.lit(0))).alias(f"c{i}")
+            for i in range(n_bins)
+        ],
+    )
+    # the scoring self-joins the pivot (days vs reference); on a memory-
+    # sink view Spark 4 fails to disambiguate the shared lineage —
+    # localCheckpoint the (days x types)-row store first (it is tiny)
+    return psi_score_pivot(pivot.localCheckpoint(), "2024-01-01", n_bins)

@@ -341,3 +341,27 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "append", name: str |
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def drift_bin_counts(events: DataFrame, edges: tuple, watermark: str = "2 hours") -> DataFrame:
+    """Streamed ingestion leg of the PSI drift store: per (event_type,
+    day, value-bin) counts over daily tumbling event-time windows —
+    exactly the mergeable partials psi_score_pivot consumes. State key
+    cardinality = |types| x |days in watermark horizon| x |bins|
+    (tiny), so the store stays bounded on an infinite stream.
+    """
+    v = F.col("value")
+    b = F.lit(0)
+    for i, e in enumerate(edges):
+        b = F.when(v < F.lit(float(e)), b).otherwise(F.lit(i + 1))
+    return (
+        events.filter(v.isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.col("event_type").alias("grp"),
+            b.alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "grp", "bin", "cnt")
+    )
