@@ -75,12 +75,9 @@ def _gram_array(text_col: str, n: int) -> Column:
     full exchange of the shingle stream, which at 100 TB is the single
     largest avoidable shuffle in the dedup family.)
     """
-    toks = tokens(text_col)
-    # sequence(1, k) descends when k < 1, so guard short docs explicitly
-    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+    from kaylee_spark.operators.text import positional_grams
+
+    return F.array_distinct(positional_grams(tokens(text_col), n))
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -1124,11 +1121,9 @@ def duplicate_window_stats(
     and accept the 2^-64 collision odds; kept as raw strings here so
     the DuckDB oracle replays the exact same keys.
     """
-    toks = tokens(text_col)
-    idx = F.when(
-        F.size(toks) >= w, F.sequence(F.lit(1), F.size(toks) - (w - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, w)))
+    from kaylee_spark.operators.text import positional_grams
+
+    grams = positional_grams(tokens(text_col), w)
     occ = (
         df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("win"))
         .groupBy("doc", "win")

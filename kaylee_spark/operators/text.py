@@ -26,6 +26,29 @@ def tokens(text_col="text") -> Column:
     return F.filter(F.split(c, " "), lambda t: t != "")
 
 
+def positional_grams(toks: Column, n: int) -> Column:
+    """All word n-grams (duplicates kept, document order) of a token
+    array, as space-joined strings — built from n SHIFTED SLICES
+    zipped positionally instead of a per-position lambda.
+
+    The lambda form (transform(sequence(...), i -> slice(toks, i, n)))
+    re-evaluates the ``toks`` subtree for EVERY position — when toks
+    is an inlined tokenizer that is an O(tokens^2) re-split per
+    document (measured 4x wall on the ~sf1 probe for the trigram
+    profile, and the dominant scan cost of the whole shingle family).
+    Here ``toks`` is evaluated exactly n times per row (the n slices),
+    a constant independent of document length; the zip + concat walk
+    is the unavoidable O(tokens * n) gram build itself.
+    """
+    m = F.size(toks) - (n - 1)
+    parts = [F.slice(toks, i + 1, F.greatest(m, F.lit(0))) for i in range(n)]
+    zipped = F.arrays_zip(*parts)
+    return F.when(
+        m >= 1,
+        F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 #: PII patterns applied in order by redact_pii. Deliberately restricted
 #: to syntax Java regex and RE2 (the DuckDB oracle) interpret
 #: identically: character classes, bounded quantifiers, non-capturing
@@ -252,16 +275,7 @@ def top_ngram_fraction(df: DataFrame, id_col: str, text_col: str, n: int = 2) ->
     string never rides the shuffle — then a per-doc max/sum. Output:
     (doc, top_ngram_frac); docs with no n-grams are absent.
     """
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    # sequence(a, b) DESCENDS when b < a, so short docs need an explicit
-    # empty-array guard (sequence(0, -1) is [0, -1], not [])
-    starts = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = F.transform(
-        starts,
-        lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")),
-    )
+    grams = F.transform(positional_grams(tokens(text_col), n), lambda g: F.xxhash64(g))
     exploded = df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("g"))
     counts = exploded.groupBy("doc", "g").agg(F.count("*").alias("c"))
     return counts.groupBy("doc").agg(
@@ -887,11 +901,7 @@ def repetition_profile(text_col="text", n: int = 3) -> Column:
     has no document-quality surface; this extends the engine for
     LLM-corpus curation.
     """
-    toks = tokens(text_col)
-    starts = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(starts, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    grams = positional_grams(tokens(text_col), n)
     total = F.size(grams).cast("bigint")
     distinct = F.size(F.array_distinct(grams)).cast("bigint")
     # deliberately UNROUNDED: bigint/bigint IEEE division is exactly
@@ -946,3 +956,33 @@ def shard_manifest(
             F.max("doc").alias("max_doc"),
         )
     )
+
+
+def with_repetition_profile(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
+    """repetition_profile as a STAGED projection chain — the at-scale
+    form. The single-Column form above embeds the tokenizer inside the
+    per-position gram lambda, so Spark's interpreted HOF evaluator
+    re-splits the document for EVERY position (O(tokens²) re-tokenize,
+    measured 10x wall on ~sf1), and a consumer referencing dup_frac
+    twice re-evaluates the whole pipeline again (CollapseProject
+    inlines single-use expressions). Binding toks -> grams -> counts
+    as real columns in SEPARATE projections evaluates each exactly
+    once per row: Catalyst keeps the projections apart because each
+    bound column is non-cheap and multi-referenced downstream.
+
+    Adds (n_grams, n_distinct, dup_frac) to ``df``; same values as
+    repetition_profile (property-tested equal).
+    """
+    toks = tokens(text_col)
+    step1 = df.withColumn("__rp_toks", toks)
+    t = F.col("__rp_toks")
+    step2 = step1.withColumn("__rp_grams", positional_grams(t, n))
+    g = F.col("__rp_grams")
+    step3 = step2.withColumn("n_grams", F.size(g).cast("bigint")).withColumn(
+        "n_distinct", F.size(F.array_distinct(g)).cast("bigint")
+    )
+    total, distinct = F.col("n_grams"), F.col("n_distinct")
+    dup_frac = F.when(total > 0, (total - distinct) / total).otherwise(
+        F.lit(None).cast("double")
+    )
+    return step3.withColumn("dup_frac", dup_frac).drop("__rp_toks", "__rp_grams")

@@ -130,10 +130,9 @@ def pretraining_mix(
     """
     from kaylee_spark.operators.sampling import take_until_budget
 
-    prof = T.repetition_profile(text_col, n=3)
     pool = (
-        docs.withColumn("_p", prof)
-        .filter(F.col("_p.dup_frac").isNull() | (F.col("_p.dup_frac") <= max_dup_frac))
+        T.with_repetition_profile(docs, text_col, n=3)
+        .filter(F.col("dup_frac").isNull() | (F.col("dup_frac") <= max_dup_frac))
         .select(
             F.col(id_col).alias("doc"),
             F.col(lang_col).alias("lang"),

@@ -875,13 +875,12 @@ def t25_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     single scan stage, ZERO shuffles (plan-asserted) — at 100 TB this is a
     scan-speed predicate, not a job."""
     docs = load_table(spark, sf_dir, "documents")
-    prof = T.repetition_profile("text", n=3)
-    return docs.withColumn("_p", prof).select(
+    return T.with_repetition_profile(docs, "text", n=3).select(
         F.col("doc_id").alias("doc"),
-        F.col("_p.n_grams").alias("n_grams"),
-        F.col("_p.n_distinct").alias("n_distinct"),
-        F.col("_p.dup_frac").alias("dup_frac"),
-        F.coalesce(F.col("_p.dup_frac") > 0.2, F.lit(False)).alias("is_repetitive"),
+        "n_grams",
+        "n_distinct",
+        "dup_frac",
+        F.coalesce(F.col("dup_frac") > 0.2, F.lit(False)).alias("is_repetitive"),
     )
 
 

@@ -946,3 +946,43 @@ def test_shard_manifest_exhaustive_and_deterministic(spark):
     again = {r["shard"]: r for r in shard_manifest(df, "doc_id", "text", n_shards=8).collect()}
     for r in rows:
         assert again[r["shard"]]["n_docs"] == r["n_docs"]
+
+
+def test_with_repetition_profile_matches_column_form(spark):
+    from kaylee_spark.operators.text import repetition_profile, with_repetition_profile
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([
+            "a b c a b c d", "go go go go go", "x y z", "one two", "",
+            "q w e r t y q w e r t y q w e",
+        ])],
+        ["doc_id", "text"],
+    )
+    col_form = {
+        r["doc_id"]: (r["p"]["n_grams"], r["p"]["n_distinct"], r["p"]["dup_frac"])
+        for r in df.select("doc_id", repetition_profile("text", n=3).alias("p")).collect()
+    }
+    staged = {
+        r["doc_id"]: (r["n_grams"], r["n_distinct"], r["dup_frac"])
+        for r in with_repetition_profile(df, "text", n=3).collect()
+    }
+    assert staged == col_form
+
+
+def test_positional_grams_equals_lambda_build(spark):
+    """The zip-based gram builder must emit the identical ordered gram
+    stream as the per-position lambda form it replaced."""
+    from kaylee_spark.operators.text import positional_grams, tokens
+
+    df = spark.createDataFrame(
+        [("a b c d e",), ("a a a",), ("x",), ("",), ("p q",)], ["text"]
+    )
+    toks = tokens("text")
+    n = 2
+    starts = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    old = F.transform(starts, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    rows = df.select(old.alias("old"), positional_grams(toks, n).alias("new")).collect()
+    for r in rows:
+        assert r["old"] == r["new"]
