@@ -995,3 +995,86 @@ def q29_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@query(
+    "q30_large_volume_orders",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey, {oracle_dec_sum('l_quantity')} AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING {oracle_dec_sum('l_quantity')} > 250.0
+    )
+    SELECT c_custkey, o_orderkey, o_totalprice, sum_qty FROM (
+        SELECT c_custkey, o_orderkey, o_totalprice, sum_qty,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        FROM big JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+    ) WHERE rk <= 100
+    """,
+    extra=True,
+)
+def q30_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    line quantity exceeds 250, top-100 by order value. The quantity
+    aggregate runs FIRST and its HAVING prunes before any join — only
+    the ~1% surviving orderkeys reach the orders/customer joins — and
+    the top-100 is a TakeOrderedAndProject (per-partition heaps), not
+    a global sort. Deterministic under ties via the orderkey
+    tie-break; quantity sums through exact decimal (dec_sum)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dec_sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250.0)
+    )
+    joined = (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+    return joined.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(100)
+
+
+@query(
+    "q31_dormant_rich_customers",
+    oracle=f"""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {oracle_dec_sum('c_acctbal')} AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT {oracle_dec_avg('c_acctbal')}
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+    extra=True,
+)
+def q31_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with an
+    above-average positive account balance and NO orders, counted per
+    nation. The global average folds into a codegen LITERAL (one
+    .first() of an exact decimal sum / count — the 1-row-scalar-attach
+    recipe that avoids a BNLJ), the no-orders test is a left-anti join
+    on a payload-free orders projection, and the close is one
+    map-side-combined aggregate."""
+    from kaylee_spark.functions import dec
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    row = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.sum(dec("c_acctbal")), 2).cast("double").alias("s"),
+        F.count(dec("c_acctbal")).alias("n"),
+    ).first()
+    avg_bal = row["s"] / row["n"]
+    return (
+        cust.filter(F.col("c_acctbal") > F.lit(avg_bal))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dec_sum("c_acctbal").alias("totacctbal"),
+        )
+    )

@@ -73,6 +73,8 @@ SHOWCASE = [
     ("a31_psi_drift", "PSI drift: 16 pivoted bin counts in one map-side-combined agg; flat literal PSI chain"),
     ("d19_duplicate_windows", "duplicated windows: map-side (doc, window) collapse; support join co-partitioned on the window key"),
     ("p02_pretraining_mix", "pretraining mix: zero-shuffle repetition gate fused into the scan + one lang-keyed budget window"),
+    ("q30_large_volume_orders", "Q18 shape: HAVING-pruned quantity agg feeds the joins; top-100 is TakeOrderedAndProject"),
+    ("q31_dormant_rich_customers", "Q22 shape: global average folded to a literal (no BNLJ); anti-join on a payload-free projection"),
 ]
 
 
@@ -137,6 +139,8 @@ MUST_CONTAIN = {
     "a31_psi_drift": ("HashAggregate",),
     "d19_duplicate_windows": ("HashAggregate",),
     "p02_pretraining_mix": ("Window",),
+    "q30_large_volume_orders": ("TakeOrderedAndProject",),
+    "q31_dormant_rich_customers": ("BroadcastHashJoin",),
 }
 
 
