@@ -951,6 +951,24 @@ def kmeans_fit_assign(
     )
 
 
+def _pq_fit(v, dim: int, m: int, k: int, iterations: int):
+    """Train the m per-subspace exact-lattice codebooks off a cached
+    lattice frame (shared by pq_encode and pq_adc_topk — one training
+    definition, two consumers). Returns (subspaces, books)."""
+    seeds = v.orderBy("vec_id").limit(k).collect()
+    if len(seeds) < k:
+        raise ValueError(f"PQ with k={k} needs >= k vectors, got {len(seeds)}")
+    sub = dim // m
+    subspaces = [list(range(s * sub, (s + 1) * sub)) for s in range(m)]
+    books = []
+    for dims in subspaces:
+        cents = [(j, [r[f"x{i}"] for i in dims]) for j, r in enumerate(seeds)]
+        for _ in range(iterations - 1):
+            cents = _lloyd_update(v, cents, dims)
+        books.append(cents)
+    return subspaces, books
+
+
 def pq_encode(
     df: DataFrame,
     dim: int,
@@ -1005,17 +1023,7 @@ def pq_encode(
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     v = kmeans_lattice(df, dim, id_col=id_col, vec_col=vec_col).cache()
-    seeds = v.orderBy("vec_id").limit(k).collect()
-    if len(seeds) < k:
-        raise ValueError(f"pq_encode with k={k} needs >= k vectors, got {len(seeds)}")
-    sub = dim // m
-    subspaces = [list(range(s * sub, (s + 1) * sub)) for s in range(m)]
-    books = []
-    for dims in subspaces:
-        cents = [(j, [r[f"x{i}"] for i in dims]) for j, r in enumerate(seeds)]
-        for _ in range(iterations - 1):
-            cents = _lloyd_update(v, cents, dims)
-        books.append(cents)
+    subspaces, books = _pq_fit(v, dim, m, k, iterations)
     out = v
     for s, (dims, cents) in enumerate(zip(subspaces, books)):
         out = _kmeans_distances(out, cents, dims, tag=f"s{s}_")
@@ -1243,3 +1251,97 @@ def hard_negative_topk(
             "rank",
         )
     )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    dim: int,
+    query_ids: list[int],
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 2,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance PQ search (Jégou et al. 2011) — the scan
+    path that makes PQ an ANN index, not just a compressor: each query
+    precomputes an m x k lookup table of exact squared distances from
+    its subvectors to every codebook centroid, and a corpus vector's
+    approximate distance is the SUM of m table lookups on its codes —
+    the raw corpus vectors are never touched during the scan.
+
+    Exact-lattice arithmetic end to end (the s09/s10 contract), so the
+    ADC distances are bigints and the (dist, id)-tie-broken ranking is
+    engine-invariant — a SQL oracle replays codebooks, codes, and
+    scores bit-for-bit. Returns (query_id, neighbor_id, adc_dist,
+    rank), self-matches excluded, top ``topk`` per query.
+
+    Scale shape: codes melt to m (vec_id, subspace, code) int rows and
+    join the BROADCAST |queries| x m x k lookup frame, then one
+    (query, vec) map-side-combined sum and a per-query rank window —
+    the corpus-side traffic is 3 ints per code, independent of dim.
+    Training reuses _pq_fit off one cached lattice scan.
+    """
+    if shuffle_partitions is not None:
+        spark = df.sparkSession
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        try:
+            out = pq_adc_topk(
+                df, dim, query_ids, m=m, k=k, iterations=iterations,
+                topk=topk, id_col=id_col, vec_col=vec_col,
+            ).cache()
+            out.count()
+            return out
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark = df.sparkSession
+    v = kmeans_lattice(df, dim, id_col=id_col, vec_col=vec_col).cache()
+    subspaces, books = _pq_fit(v, dim, m, k, iterations)
+    out = v
+    for s, (dims, cents) in enumerate(zip(subspaces, books)):
+        out = _kmeans_distances(out, cents, dims, tag=f"s{s}_")
+    code_cols = []
+    for s, cents in enumerate(books):
+        code, _ = _kmeans_argmin(cents, tag=f"s{s}_")
+        code_cols.append(code.alias(f"c{s}"))
+    codes = out.select(F.col("vec_id"), *code_cols)
+    qlat = {
+        r["vec_id"]: [r[f"x{i}"] for i in range(dim)]
+        for r in v.filter(F.col("vec_id").isin([int(q) for q in query_ids])).collect()
+    }
+    missing = [q for q in query_ids if q not in qlat]
+    if missing:
+        raise ValueError(f"query ids not in corpus: {missing}")
+    lut_rows = []
+    for qid, qx in qlat.items():
+        for s, (dims, cents) in enumerate(zip(subspaces, books)):
+            for code, cx in cents:
+                d = sum((qx[i] - cx[j]) ** 2 for j, i in enumerate(dims))
+                lut_rows.append((int(qid), s, int(code), int(d)))
+    lut = spark.createDataFrame(lut_rows, "query_id long, s int, code int, d long")
+    melted = codes.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(s).alias("s"), F.col(f"c{s}").alias("code"))
+                for s in range(m)
+            ])
+        ).alias("sc"),
+    ).select("vec_id", F.col("sc.s").alias("s"), F.col("sc.code").alias("code"))
+    scored = (
+        melted.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    res = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+    v.unpersist()
+    return res

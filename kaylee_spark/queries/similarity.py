@@ -678,3 +678,70 @@ def s13_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "query_label", "neighbor_id", "neighbor_label",
         F.round("cosine_sim", 6).alias("cosine_sim"), "rank",
     )
+
+
+def _pq_adc_oracle(dim: int = 64, m: int = 4, k: int = 4, iterations: int = 2, topk: int = 10) -> str:
+    """The s10 codebook trajectory, extended with the query lookup:
+    ADC distance = sum over subspaces of the exact lattice distance
+    from the query's subvector to the centroid the corpus code names —
+    the same integers pq_adc_topk's broadcast lookup table carries."""
+    base = _pq_oracle(dim, m, k, iterations)
+    head, _, _final = base.rpartition("\n    SELECT ")
+    sub = dim // m
+    it = iterations
+    codes_sel = ", ".join(f"a{s}_{it}.cl AS c{s}" for s in range(m))
+    joins = " ".join(
+        f"JOIN a{s}_{it} ON a0_{it}.vec_id = a{s}_{it}.vec_id" for s in range(1, m)
+    )
+    codes_cte = f"codes AS (SELECT a0_{it}.vec_id, {codes_sel} FROM a0_{it} {joins})"
+    q_cte = (
+        "q AS (SELECT vec_id AS query_id, "
+        + ", ".join(f"x{i}" for i in range(dim))
+        + " FROM v WHERE vec_id < 5)"
+    )
+    cent_joins = " ".join(
+        f"JOIN c{s}_{it - 1} cc{s} ON cc{s}.cl = kk.c{s}" for s in range(m)
+    )
+    dist = " + ".join(
+        f"(q.x{i} - cc{s}.x{i}) * (q.x{i} - cc{s}.x{i})"
+        for s in range(m)
+        for i in range(s * sub, (s + 1) * sub)
+    )
+    scored_cte = f"""scored AS (
+        SELECT q.query_id, kk.vec_id AS neighbor_id,
+               CAST({dist} AS BIGINT) AS adc_dist
+        FROM codes kk {cent_joins} CROSS JOIN q
+        WHERE kk.vec_id <> q.query_id
+    )"""
+    return (
+        head
+        + ",\n    "
+        + ",\n    ".join([codes_cte, q_cte, scored_cte])
+        + f"""
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+        SELECT query_id, neighbor_id, adc_dist,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc_dist ASC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {topk}
+    """
+    )
+
+
+@query("s14_pq_adc_topk", oracle=_pq_adc_oracle(64, 4, 4, 2, 10), extra=True)
+def s14_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search for 5 query vectors: per-query
+    m x k exact-lattice lookup tables broadcast against the melted
+    corpus codes — the Jégou-style ANN scan where the corpus side is
+    3 ints per code and raw vectors are never touched
+    (operators/similarity.py pq_adc_topk). Completes the vector stack:
+    s10 compresses, d15 dedups in code space, s14 SEARCHES in code
+    space; all on the s09 exact-integer lattice so the oracle replays
+    codebooks, codes, and scores bit-for-bit."""
+    from kaylee_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb, dim=64, query_ids=[0, 1, 2, 3, 4], m=4, k=4, iterations=2,
+        topk=10, shuffle_partitions=4,
+    )

@@ -670,3 +670,31 @@ def test_hard_negative_plan_broadcasts_anchors(spark):
     anchors = spark.createDataFrame([(9, [1.0, 0.0], 1)], ["query_id", "embedding", "label"])
     plan = S.hard_negative_topk(corpus, anchors)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pq_adc_recall_against_exact(spark, sf_dir):
+    """ADC is approximate; on the fixture its top-10 should still
+    recover a solid share of the true lattice-nearest neighbors (a
+    recall floor, not equality — the oracle hash gate pins exactness
+    of the ADC arithmetic itself)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.pq_adc_topk(emb, dim=64, query_ids=[0, 1, 2], topk=10).collect()
+    }
+    queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(emb, queries, k=10).collect()
+    }
+    # 4x4 codebooks on near-isotropic vectors are a coarse quantizer:
+    # demand non-trivial overlap, not equality
+    assert len(adc & exact) >= 3
+
+
+def test_pq_adc_self_excluded_and_deterministic(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = S.pq_adc_topk(emb, dim=64, query_ids=[0, 1], topk=5).collect()
+    assert all(r["neighbor_id"] != r["query_id"] for r in a)
+    b = S.pq_adc_topk(emb, dim=64, query_ids=[0, 1], topk=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
