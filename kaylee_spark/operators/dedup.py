@@ -1143,3 +1143,78 @@ def duplicate_window_stats(
         frac.alias("shared_frac"),
         (frac > threshold).alias("is_contaminated"),
     )
+
+
+#: polynomial fold bases for the portable Bloom pre-screen's k=3 hash
+#: functions (the d05/t04 portable-hash family — any SQL engine
+#: replays them, so even the Bloom's false positives are
+#: oracle-derivable integers, not just bounded).
+BLOOM_BASES = (257, 263, 269)
+
+
+def bloom_prescreen_report(
+    increment: DataFrame,
+    corpus: DataFrame,
+    key,
+    bits_per_item: int = 16,
+) -> DataFrame:
+    """Bloom-filter dedup PRE-SCREEN report: before running the exact
+    (or near-) dedup of a daily increment against a standing corpus,
+    a Bloom filter of the corpus KEY SET (``key`` — content, a
+    normalized form, or a cheap near-dup key like the leading-tokens
+    prefix) cheaply flags the increment
+    rows that MIGHT be duplicates — only flagged rows proceed to the
+    expensive verify, and the no-false-negative guarantee means
+    nothing real is lost. This is the standard cost-ladder rung below
+    d08's exact anti-join at 100 TB: the filter is k*|corpus| set
+    BITS (here materialized as a distinct int-position table; swap in
+    an xxhash64-built binary bloom broadcast for production — same
+    semantics, these portable polynomial hashes exist so an external
+    SQL engine can replay the screen bit-for-bit, FALSE POSITIVES
+    INCLUDED).
+
+    Output (1 row): n_increment, n_true_dup, n_flagged, n_false_pos,
+    n_false_neg — the last is structurally 0 (Bloom guarantee; emitted
+    so the oracle asserts it as data, not doctrine).
+
+    Scale shape: corpus contributes only k int positions per row
+    (map-side distinct); the probe is ONE int-keyed join of exploded
+    increment positions against the position set; truth is the d08
+    hash semi-join. Text never shuffles.
+    """
+    from kaylee_spark.operators.text import fingerprint_portable
+
+    key = F.col(key) if isinstance(key, str) else key
+    n_corpus = corpus.count()
+    m = max(1, bits_per_item * n_corpus)
+    fps = [fingerprint_portable(key, base=b) % F.lit(m) for b in BLOOM_BASES]
+    bits = (
+        corpus.select(F.explode(F.array(*fps)).alias("pos")).distinct()
+    )
+    probes = increment.select(
+        F.col("doc_id").alias("doc"),
+        content_hash(key).alias("sha"),
+        F.array_distinct(F.array(*fps)).alias("ps"),
+    )  # referenced twice below; increments are small — recompute beats
+    # a cache this helper could never safely unpersist
+    ex = probes.select("doc", F.explode("ps").alias("pos"), F.size("ps").alias("need"))
+    hits = (
+        ex.join(bits, "pos")
+        .groupBy("doc", "need")
+        .agg(F.count(F.lit(1)).alias("got"))
+    )
+    flagged = probes.join(hits, "doc", "left").select(
+        "doc", "sha", F.coalesce(F.col("got") == F.col("need"), F.lit(False)).alias("flagged")
+    )
+    seen = corpus.select(content_hash(key).alias("sha")).distinct()
+    truth = flagged.join(
+        seen.select("sha", F.lit(True).alias("is_dup")), "sha", "left"
+    ).select("doc", "flagged", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    out = truth.agg(
+        F.count(F.lit(1)).alias("n_increment"),
+        F.count(F.when(F.col("is_dup"), 1)).alias("n_true_dup"),
+        F.count(F.when(F.col("flagged"), 1)).alias("n_flagged"),
+        F.count(F.when(F.col("flagged") & ~F.col("is_dup"), 1)).alias("n_false_pos"),
+        F.count(F.when(~F.col("flagged") & F.col("is_dup"), 1)).alias("n_false_neg"),
+    )
+    return out

@@ -771,3 +771,86 @@ def d19_duplicate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     their join co-partition on the window key."""
     docs = load_table(spark, sf_dir, "documents")
     return D.duplicate_window_stats(docs, "doc_id", "text", w=10)
+
+
+#: the pre-screen key: the document's leading 8 whitespace tokens —
+#: the cheap near-dup key this corpus's paraphrase families share
+#: (exact-text keys never collide across the %10 split, so a content
+#: screen would be a trivially-empty observable).
+_BLOOM_KEY_SQL = (
+    "array_to_string(list_filter(string_split(text, ' '), t -> t <> '')[1:8], ' ')"
+)
+
+
+def _bloom_fp_sql(base: int) -> str:
+    """DuckDB twin of fingerprint_portable(prefix_key, base=...) — the
+    t04 list_reduce form, parameterized by the fold base."""
+    return f"""list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+            list_transform(list_filter(string_split({_BLOOM_KEY_SQL}, ' '), t -> t <> ''),
+                t -> (ascii(substring(t, 1, 1)) * 96031
+                      + ascii(substring(t, len(t), 1)) * 1299709
+                      + len(t) * 2654435761) % 2147483647)),
+        (acc, x) -> (acc * {base} + x) % 2147483647)"""
+
+
+def _bloom_oracle() -> str:
+    from kaylee_spark.operators.dedup import BLOOM_BASES
+
+    pos_unions = "\n        UNION ALL ".join(
+        f"SELECT ({_bloom_fp_sql(b)}) % m AS pos FROM corpus, params"
+        for b in BLOOM_BASES
+    )
+    probe_list = ", ".join(f"({_bloom_fp_sql(b)}) % m" for b in BLOOM_BASES)
+    return f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+    increment AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+    params AS (SELECT CAST(16 * COUNT(*) AS BIGINT) AS m FROM corpus),
+    bits AS (SELECT DISTINCT pos FROM ({pos_unions})),
+    probes AS (
+        SELECT doc_id AS doc, sha256({_BLOOM_KEY_SQL}) AS sha,
+               list_distinct([{probe_list}]) AS ps
+        FROM increment, params
+    ),
+    ex AS (SELECT doc, UNNEST(ps) AS pos, len(ps) AS need FROM probes),
+    hits AS (
+        SELECT doc, need, COUNT(*) AS got
+        FROM ex JOIN bits USING (pos) GROUP BY doc, need
+    ),
+    flagged AS (
+        SELECT p.doc, p.sha, COALESCE(h.got = h.need, FALSE) AS flagged
+        FROM probes p LEFT JOIN hits h ON p.doc = h.doc
+    ),
+    truth AS (
+        SELECT f.doc, f.flagged,
+               EXISTS (SELECT 1 FROM (SELECT sha256({_BLOOM_KEY_SQL}) AS ksha FROM corpus) c WHERE c.ksha = f.sha) AS is_dup
+        FROM flagged f
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_increment,
+           CAST(COUNT(CASE WHEN is_dup THEN 1 END) AS BIGINT) AS n_true_dup,
+           CAST(COUNT(CASE WHEN flagged THEN 1 END) AS BIGINT) AS n_flagged,
+           CAST(COUNT(CASE WHEN flagged AND NOT is_dup THEN 1 END) AS BIGINT) AS n_false_pos,
+           CAST(COUNT(CASE WHEN NOT flagged AND is_dup THEN 1 END) AS BIGINT) AS n_false_neg
+    FROM truth
+    """
+
+
+@query("d20_bloom_prescreen", oracle=_bloom_oracle(), extra=True)
+def d20_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter dedup pre-screen of the d08 daily increment,
+    keyed on the 8-leading-token prefix (the near-dup key this
+    corpus's paraphrase families share): a
+    k=3 portable-hash Bloom over the standing corpus flags the
+    increment rows that might be duplicates (only those proceed to
+    the exact verify), with the no-false-negative guarantee emitted
+    as data. The portable polynomial hash family means the oracle
+    replays the screen bit-for-bit — FALSE POSITIVES INCLUDED, a
+    stronger gate than error-bound booleans
+    (operators/dedup.py bloom_prescreen_report)."""
+    from kaylee_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    increment = docs.filter(F.col("doc_id") % 10 == 0)
+    key = F.concat_ws(" ", F.slice(tokens("text"), 1, 8))
+    return D.bloom_prescreen_report(increment, corpus, key)

@@ -576,3 +576,25 @@ def test_duplicate_window_intradoc_repeat_alone_not_shared(spark):
     df = spark.createDataFrame([(1, "a b a b a b")], ["doc_id", "text"])
     r = duplicate_window_stats(df, "doc_id", "text", w=2).collect()[0]
     assert r["n_windows"] == 5 and r["n_shared"] == 0
+
+
+def test_bloom_prescreen_planted(spark):
+    from kaylee_spark.operators.dedup import bloom_prescreen_report
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i} unique body") for i in range(1, 41)], ["doc_id", "text"]
+    )
+    increment = spark.createDataFrame(
+        [
+            (100, "corpus doc 7 unique body"),      # true dup of corpus 7
+            (101, "corpus doc 23 unique body"),     # true dup of corpus 23
+            (102, "completely novel text body"),    # clean
+            (103, "another novel body here now"),   # clean
+        ],
+        ["doc_id", "text"],
+    )
+    r = bloom_prescreen_report(increment, corpus, "text").collect()[0]
+    assert r["n_increment"] == 4 and r["n_true_dup"] == 2
+    assert r["n_false_neg"] == 0                      # the Bloom guarantee
+    assert r["n_flagged"] >= 2                        # both dups flagged
+    assert r["n_false_pos"] == r["n_flagged"] - 2
