@@ -75,6 +75,13 @@ SHOWCASE = [
     ("p02_pretraining_mix", "pretraining mix: zero-shuffle repetition gate fused into the scan + one lang-keyed budget window"),
     ("q30_large_volume_orders", "Q18 shape: HAVING-pruned quantity agg feeds the joins; top-100 is TakeOrderedAndProject"),
     ("q31_dormant_rich_customers", "Q22 shape: global average folded to a literal (no BNLJ); anti-join on a payload-free projection"),
+    ("s14_pq_adc_topk", "ADC search: melted 3-int code rows join the broadcast query lookup table; one map-side sum + rank"),
+    ("d20_bloom_prescreen", "bloom pre-screen: int-position semi-joins; text never shuffles"),
+    # the per-round count+rank lives BEHIND the per-round
+    # localCheckpoints (lineage deliberately truncated) — the final
+    # plan shows only the checkpointed label frame
+    ("g07_label_propagation", "label propagation: checkpointed label frames, per-round count + rank on one node-keyed exchange"),
+    ("w07_gini_concentration", "gini: rank window and 3-scalar close share ONE nation-keyed exchange"),
 ]
 
 
@@ -141,6 +148,10 @@ MUST_CONTAIN = {
     "p02_pretraining_mix": ("Window",),
     "q30_large_volume_orders": ("TakeOrderedAndProject",),
     "q31_dormant_rich_customers": ("BroadcastHashJoin",),
+    "s14_pq_adc_topk": ("BroadcastHashJoin", "Window"),
+    "d20_bloom_prescreen": ("HashAggregate",),
+    "g07_label_propagation": ("localCheckpoint",),
+    "w07_gini_concentration": ("Window",),
 }
 
 
