@@ -77,3 +77,55 @@ def m03_mapreduce_api_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return job.to_dataframe("word", "count").select(
         F.col("word"), F.col("count").cast("bigint").alias("count")
     )
+
+
+def _m04_oracle(splits: int = 8, rows_per_split: int = 1000) -> str:
+    from kaylee_spark.sources.pydatasource import (
+        LCG_MOD,
+        LCG_MULT,
+        VOCAB,
+        WORDS_PER_LINE,
+    )
+
+    vocab_sql = "[" + ", ".join(f"'{w}'" for w in VOCAB) + "]"
+    x = "(key + 1)"
+    word_exprs = []
+    for j in range(WORDS_PER_LINE):
+        x = f"({x} * {LCG_MULT} % {LCG_MOD})"
+        word_exprs.append(f"{vocab_sql}[({x} % {len(VOCAB)}) + 1] AS w{j}")
+    n = splits * rows_per_split
+    words_union = " UNION ALL ".join(
+        f"SELECT w{j} AS word FROM lines" for j in range(WORDS_PER_LINE)
+    )
+    return f"""
+    WITH raw AS (SELECT CAST(i.range AS BIGINT) AS key FROM range(0, {n}) i),
+    lines AS (SELECT {", ".join(word_exprs)} FROM raw),
+    words AS ({words_union})
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM words GROUP BY word
+    """
+
+
+@query("m04_pydatasource_wordcount", oracle=_m04_oracle(), extra=True)
+def m04_pydatasource_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's datafn contract as a REGISTERED SPARK SOURCE:
+    sdiehl/kaylee's input is a driver-side Python generator
+    (example.py:15-20; pulled one record per scheduler tick at
+    server.py:209) — here the same generator contract is a Spark 4
+    Python DataSource (sources/pydatasource.py) whose domain is cut
+    into 8 real input partitions, scanned in parallel by executors,
+    feeding the reference's own e2e wordcount. The source's records
+    are pure LCG integer arithmetic, so the DuckDB oracle replays the
+    SOURCE ITSELF from range() — source and query are both
+    hash-verified. (sf-independent by design: the source is synthetic
+    at every scale.)"""
+    from kaylee_spark.sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("kaylee_datafn")
+        .option("splits", 8)
+        .option("rows_per_split", 1000)
+        .load()
+    )
+    words = df.select(F.explode(F.split("line", " ")).alias("word"))
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))

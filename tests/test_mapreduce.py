@@ -120,3 +120,23 @@ def test_word_count_dataframe_golden(spark):
 def test_to_dataframe(spark):
     df = make_job(spark, combiner=lambda a, b: a + b).to_dataframe("word", "n")
     assert {r["word"]: r["n"] for r in df.collect()} == expected_counts()
+
+
+def test_pydatasource_partitions_and_determinism(spark):
+    from kaylee_spark.sources.pydatasource import line_for, register
+
+    register(spark)
+    df = (
+        spark.read.format("kaylee_datafn")
+        .option("splits", 4)
+        .option("rows_per_split", 25)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4          # real input splits
+    rows = {r["key"]: (r["split"], r["line"]) for r in df.collect()}
+    assert len(rows) == 100
+    # executor records match the driver-side generator definition
+    for key in (0, 26, 99):
+        s = key // 25
+        want_key, want_line = line_for(s, key % 25, 25)
+        assert want_key == key and rows[key] == (s, want_line)
