@@ -20,7 +20,7 @@ oracle-verifiable, not just the query over it.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import DataSource, DataSourceReader, EqualTo, InputPartition
 
 #: LCG parameters (minstd) and the fixed vocabulary — shared verbatim
 #: with the SQL oracle twin (queries/mapreduce.py m04).
@@ -52,15 +52,40 @@ class DatafnReader(DataSourceReader):
     def __init__(self, options):
         self.splits = int(options.get("splits", 4))
         self.rows_per_split = int(options.get("rows_per_split", 1000))
+        self.split_eq = None
 
     def partitions(self):
-        return [_Split(s, self.rows_per_split) for s in range(self.splits)]
+        ids = range(self.splits)
+        if self.split_eq is not None:
+            ids = [s for s in ids if s == self.split_eq]
+        return [_Split(s, self.rows_per_split) for s in ids]
 
     def read(self, partition):
         s, n = partition.split, partition.rows_per_split
         for pos in range(n):
             key, line = line_for(s, pos, n)
             yield (s, key, line)
+
+
+class PushdownDatafnReader(DatafnReader):
+    """Opt-in pushdown variant (``.option("pushdown", "true")``): a
+    ``split = k`` equality prunes the partition list at the source —
+    the custom-source analogue of parquet partition pruning. Kept as a
+    SEPARATE reader because Spark 4.1 REFUSES any reader that defines
+    pushFilters while ``spark.sql.python.filterPushdown.enabled`` is
+    false (the default) — the base reader must stay vanilla-session
+    safe (the config-independence rule: session configs are never
+    load-bearing for the driver-facing path)."""
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("split",) and isinstance(f.value, int):
+                self.split_eq = f.value
+                # keep Spark evaluating it too (cheap, and the filter
+                # remains correct if the pruning contract ever drifts)
+                yield f
+            else:
+                yield f
 
 
 class DatafnSource(DataSource):
@@ -75,6 +100,8 @@ class DatafnSource(DataSource):
         return "split int, key bigint, line string"
 
     def reader(self, schema):
+        if str(self.options.get("pushdown", "")).lower() == "true":
+            return PushdownDatafnReader(self.options)
         return DatafnReader(self.options)
 
 

@@ -140,3 +140,26 @@ def test_pydatasource_partitions_and_determinism(spark):
         s = key // 25
         want_key, want_line = line_for(s, key % 25, 25)
         assert want_key == key and rows[key] == (s, want_line)
+
+
+def test_pydatasource_filter_prunes_partitions(spark):
+    from kaylee_spark.sources.pydatasource import register
+
+    register(spark)
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        df = (
+            spark.read.format("kaylee_datafn")
+            .option("splits", 8)
+            .option("rows_per_split", 10)
+            .option("pushdown", "true")
+            .load()
+        )
+        pruned = df.filter("split = 3")
+        rows = pruned.collect()
+        assert len(rows) == 10 and all(r["split"] == 3 for r in rows)
+        # the pushed equality prunes the scan to ONE input partition
+        assert pruned.rdd.getNumPartitions() == 1
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
