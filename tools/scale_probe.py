@@ -147,6 +147,20 @@ PROBE_QUERIES = (
     "t26_shard_manifest",
     "p02_pretraining_mix",
     "g07_label_propagation",
+    # latest round-7 batch. w07's customer x orders fan-out multiplies
+    # every customer's revenue 100x (10 customer copies x 10 order
+    # copies via the un-offset custkey join) — the decimal(38,2) rank
+    # formula must absorb it; q30's qty sums grow 10x so nearly every
+    # order clears the 250 threshold (the top-100 tie-break does the
+    # work); q31's dormant set replicates 10x per customer copy; e31
+    # scores 10x-deep day bins against the same reference day; d20
+    # re-screens at a 10x corpus (m grows with |corpus|, so positions
+    # re-derive — the oracle replays the bigger filter bit-for-bit).
+    "w07_gini_concentration",
+    "q30_large_volume_orders",
+    "q31_dormant_rich_customers",
+    "e31_psi_timeline",
+    "d20_bloom_prescreen",
 )
 
 
