@@ -105,7 +105,7 @@ def _m04_oracle(splits: int = 8, rows_per_split: int = 1000) -> str:
     """
 
 
-@query("m04_pydatasource_wordcount", oracle=_m04_oracle(), extra=True)
+@query("m04_pydatasource_wordcount", oracle=_m04_oracle())
 def m04_pydatasource_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's datafn contract as a REGISTERED SPARK SOURCE:
     sdiehl/kaylee's input is a driver-side Python generator
@@ -129,3 +129,41 @@ def m04_pydatasource_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     words = df.select(F.explode(F.split("line", " ")).alias("word"))
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query("m05_stream_datafn_wordcount", oracle=_m04_oracle(), extra=True)
+def m05_stream_datafn_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of the datafn contract: kaylee's scheduler
+    pulls ONE work unit per tick from the generator
+    (`/root/reference/kaylee/server.py:209`) and the client consumes
+    map atoms as a stream (`client.py:190-202`) — here the same LCG
+    record domain is a Spark 4 SimpleDataSourceStreamReader
+    (sources/pydatasource.py: integer offset per micro-batch,
+    replay-exact readBetweenOffsets for restart recovery), drained to
+    exhaustion through a complete-mode streaming wordcount. The oracle
+    is m04's VERBATIM (the e32 pattern: stream ≡ batch, hash-equal),
+    so the driver verifies the streamed source emits bit-identical
+    records to the batch scan. State is bounded by |vocab| = 8 keys;
+    the checkpoint holds one integer offset."""
+    from kaylee_spark import streaming as ST
+    from kaylee_spark.sources.pydatasource import register
+
+    register(spark)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # 8 state keys total — see _drain_staged_stream's sizing note
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream = (
+            spark.readStream.format("kaylee_datafn")
+            .option("rows_per_batch", 1000)
+            .option("max_rows", 8000)
+            .load()
+        )
+        wc = (
+            stream.select(F.explode(F.split("line", " ")).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return ST.run_all_to_memory(wc, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

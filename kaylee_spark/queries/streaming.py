@@ -26,9 +26,14 @@ _TUMBLING_ORACLE = f"""
     """
 
 
-@query("e01_tumbling_window", oracle=_TUMBLING_ORACLE)
+@query("e01_tumbling_window", oracle=_TUMBLING_ORACLE, extra=True)
 def e01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1h windows per event type (streaming: + watermark)."""
+    """Tumbling 1h windows per event type (streaming: + watermark).
+
+    Extra-tier since round 8: its windowed-agg story is driver-covered
+    by the TRUE readStream drain e07; the slot went to
+    m04_pydatasource_wordcount (the reference-defining datafn source).
+    """
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

@@ -20,7 +20,13 @@ oracle-verifiable, not just the query over it.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, EqualTo, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: LCG parameters (minstd) and the fixed vocabulary — shared verbatim
 #: with the SQL oracle twin (queries/mapreduce.py m04).
@@ -30,16 +36,24 @@ VOCAB = ("alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel
 WORDS_PER_LINE = 6
 
 
-def line_for(split: int, pos: int, rows_per_split: int) -> tuple:
-    """The deterministic record for (split, pos): key = global row id,
-    line = WORDS_PER_LINE vocabulary words walked by the LCG."""
-    key = split * rows_per_split + pos
+def words_for(key: int) -> str:
+    """The deterministic line for a global row id: WORDS_PER_LINE
+    vocabulary words walked by the LCG seeded at key+1. Shared by the
+    batch reader, the stream reader, and (as SQL) the DuckDB oracle —
+    all three replay the identical record."""
     x = key + 1
     words = []
     for _ in range(WORDS_PER_LINE):
         x = (x * LCG_MULT) % LCG_MOD
         words.append(VOCAB[x % len(VOCAB)])
-    return key, " ".join(words)
+    return " ".join(words)
+
+
+def line_for(split: int, pos: int, rows_per_split: int) -> tuple:
+    """The deterministic record for (split, pos): key = global row id,
+    line = WORDS_PER_LINE vocabulary words walked by the LCG."""
+    key = split * rows_per_split + pos
+    return key, words_for(key)
 
 
 class _Split(InputPartition):
@@ -88,6 +102,62 @@ class PushdownDatafnReader(DatafnReader):
                 yield f
 
 
+class DatafnStreamReader(SimpleDataSourceStreamReader):
+    """The STREAMING half of the datafn contract: sdiehl/kaylee's
+    scheduler streams work units incrementally — ``server.py:209``
+    pulls ONE record from the generator per scheduler tick, and the
+    client consumes map atoms as a stream (``client.py:190-202``).
+    This is that exact behavior as a Spark 4 structured-streaming
+    source: each micro-batch advances a single integer offset
+    ``pos`` through the same LCG record domain the batch reader
+    scans, so stream and batch are replay-identical row for row.
+
+    Offset law: records of micro-batch ``[start, end)`` are a pure
+    function of the row id — so ``readBetweenOffsets`` (the restart /
+    replay path Spark calls when recovering a partially-committed
+    batch from the checkpoint's offset log) regenerates EXACTLY the
+    rows of the original batch. Exactly-once lands for free from
+    determinism + offset tracking, which is the honest Spark
+    translation of kaylee's at-least-once dedup guard
+    (``server.py:238-247`` drops duplicate map acks by key).
+
+    Boundedness: ``max_rows`` caps the domain (the reference
+    generator is finite too — StopIteration at ``server.py:216``
+    flips the job to the reduce phase); once ``pos == max_rows``
+    every further ``read`` returns an empty batch with an unchanged
+    offset, so ``processAllAvailable``/availableNow drains terminate.
+    At 100 TB the analogue is an unbounded offset with rows_per_batch
+    sized to the cluster's per-batch ingest budget; state stays O(1)
+    (one integer offset in the checkpoint, no source-side state).
+    """
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 1000))
+        self.max_rows = int(options.get("max_rows", 8000))
+        self.rows_per_split = int(options.get("rows_per_split", 1000))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _rows(self, start: int, end: int):
+        # a list_iterator, not a generator: Spark's simple-reader
+        # wrapper requires an iterator AND pickles the prefetched
+        # batch to ship it executor-side (generators don't pickle)
+        rps = self.rows_per_split
+        return iter([(key // rps, key, words_for(key)) for key in range(start, end)])
+
+    def read(self, start: dict):
+        s = int(start["pos"])
+        e = min(s + self.rows_per_batch, self.max_rows)
+        return self._rows(s, e), {"pos": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["pos"]), int(end["pos"]))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class DatafnSource(DataSource):
     """``spark.read.format("kaylee_datafn")`` — the datafn generator as
     a first-class partitioned source."""
@@ -103,6 +173,9 @@ class DatafnSource(DataSource):
         if str(self.options.get("pushdown", "")).lower() == "true":
             return PushdownDatafnReader(self.options)
         return DatafnReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return DatafnStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -343,6 +343,36 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "append", name: str |
     return stream_df.sparkSession.table(name)
 
 
+def run_all_to_memory(
+    stream_df: DataFrame, output_mode: str = "append", name: str | None = None
+) -> DataFrame:
+    """Drain the stream to EXHAUSTION into a memory sink and return
+    the result as a batch DataFrame.
+
+    Differs from run_to_memory's availableNow trigger, which caps the
+    run at the offset already prefetched when the query starts — for a
+    SimpleDataSourceStreamReader source that is exactly ONE micro-batch
+    (its latestOffset advances one ``read`` per tick). Here the query
+    runs on the default trigger and ``processAllAvailable()`` blocks
+    until the source stops advancing, which for a bounded source
+    (datafn's ``max_rows``) means the full domain has been committed
+    batch by batch — the behavior under test for the incremental
+    work-unit stream."""
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
 def drift_bin_counts(events: DataFrame, edges: tuple, watermark: str = "2 hours") -> DataFrame:
     """Streamed ingestion leg of the PSI drift store: per (event_type,
     day, value-bin) counts over daily tumbling event-time windows —

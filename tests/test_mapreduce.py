@@ -163,3 +163,94 @@ def test_pydatasource_filter_prunes_partitions(spark):
         assert pruned.rdd.getNumPartitions() == 1
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+
+
+def test_pydatasource_stream_equals_batch(spark):
+    """The streaming datafn source must emit bit-identical records to
+    the batch scan of the same domain (kaylee's one-record-per-tick
+    pull, server.py:209, re-expressed as micro-batch offsets)."""
+    from kaylee_spark import streaming as ST
+    from kaylee_spark.sources.pydatasource import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("kaylee_datafn")
+        .option("rows_per_batch", 40)
+        .option("max_rows", 100)
+        .option("rows_per_split", 25)
+        .load()
+    )
+    streamed = {
+        (r["split"], r["key"], r["line"]) for r in ST.run_all_to_memory(stream).collect()
+    }
+    batch = (
+        spark.read.format("kaylee_datafn")
+        .option("splits", 4)
+        .option("rows_per_split", 25)
+        .load()
+    )
+    want = {(r["split"], r["key"], r["line"]) for r in batch.collect()}
+    assert streamed == want
+    assert len(streamed) == 100  # exactly once, no batch-boundary dupes
+
+
+def test_pydatasource_stream_restart_exactly_once(spark, tmp_path):
+    """Kill the datafn stream mid-domain and resume from the
+    checkpoint: the landed parquet must hold every key EXACTLY once —
+    readBetweenOffsets replays a partially-committed batch
+    identically, and the offset log prevents double-commits. This is
+    the honest Spark translation of kaylee's duplicate-map-ack guard
+    (server.py:238-247)."""
+    import time
+
+    from kaylee_spark.sources.pydatasource import register
+
+    register(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.format("kaylee_datafn")
+            .option("rows_per_batch", 200)
+            .option("max_rows", 2000)
+            .load()
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    # first run: stop as soon as at least one batch has committed
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p["sink"].get("numOutputRows", 0) not in (0, -1):
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    landed_mid = spark.read.parquet(out).count()
+    assert 0 < landed_mid  # genuinely mid-stream (not a full drain)
+
+    # resume: same (source, checkpoint, sink) triple, drain to the end
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    q2.awaitTermination()
+    keys = [r["key"] for r in spark.read.parquet(out).collect()]
+    assert sorted(keys) == list(range(2000))  # every key exactly once
+
+    # third start with nothing left: commits nothing new
+    q3 = start()
+    try:
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+    q3.awaitTermination()
+    assert spark.read.parquet(out).count() == 2000
