@@ -561,8 +561,18 @@ def bootstrap_weight_sql(key_expr: str, rep_expr: str, replicates: int) -> str:
     Poisson(1) replication weight of row ``key_expr`` in replicate
     ``rep_expr``: u = minstd²(key·B + rep + 1) compared against the
     integer CDF thresholds."""
-    x = f"(CAST({key_expr} AS BIGINT) * {replicates} + CAST({rep_expr} AS BIGINT) + 1)"
-    h1 = f"(({x} * {MINSTD_A}) % {MINSTD_M})"
+    # reduce the KEY before any multiply so the chain is total over
+    # the whole bigint domain in BOTH engines: a raw key * B or x * A
+    # raises ARITHMETIC_OVERFLOW in ANSI Spark 4 and Out of Range in
+    # DuckDB once |key| nears 2^63/B — and a negative key would
+    # otherwise yield a negative h that collapses every weight to the
+    # first CDF arm. After the double-mod, k0 < M keeps every product
+    # within 2^48. Identical draws for all 0 <= key < M (every
+    # fixture/TPC-H key): (k % M)·B + r ≡ k·B + r (mod M) and
+    # (x % M)·A ≡ x·A (mod M).
+    k0 = f"(((CAST({key_expr} AS BIGINT) % {MINSTD_M}) + {MINSTD_M}) % {MINSTD_M})"
+    x = f"({k0} * {replicates} + CAST({rep_expr} AS BIGINT) + 1)"
+    h1 = f"((({x} % {MINSTD_M}) * {MINSTD_A}) % {MINSTD_M})"
     h = f"(({h1} * {MINSTD_A}) % {MINSTD_M})"
     arms = " ".join(f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(POISSON1_THRESHOLDS))
     return f"(CASE {arms} ELSE 8 END)"
@@ -598,30 +608,6 @@ def poisson_bootstrap_ci(
     """
     if replicates < 4:
         raise ValueError("need >= 4 replicates for the rank-based CI")
-    rep = df.select(
-        F.col(group_col).alias("grp"),
-        F.col(value_col).alias("val"),
-        F.col(key_col).alias("k"),
-        F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("rep"),
-    ).withColumn("w", F.expr(bootstrap_weight_sql("k", "rep", replicates)))
-    means = (
-        rep.groupBy("grp", "rep")
-        .agg(
-            F.sum((F.col("w") * F.col("val")).cast("decimal(18,2)")).alias("ws"),
-            F.sum("w").alias("wn"),
-        )
-        .select(
-            "grp",
-            F.round(
-                F.col("ws").cast("double") / F.col("wn").cast("double"), 6
-            ).alias("mean_r"),
-        )
-    )
-    ci = means.groupBy("grp").agg(F.sort_array(F.collect_list("mean_r")).alias("ms")).select(
-        "grp",
-        F.element_at("ms", 2).alias("ci_lo"),
-        F.element_at("ms", replicates - 1).alias("ci_hi"),
-    )
     base = df.groupBy(F.col(group_col).alias("grp")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(
@@ -629,6 +615,42 @@ def poisson_bootstrap_ci(
             / F.count(F.lit(1)).cast("double"),
             6,
         ).alias("point_mean"),
+    )
+    rep = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("val"),
+        F.col(key_col).alias("k"),
+        F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("rep"),
+    ).withColumn("w", F.expr(bootstrap_weight_sql("k", "rep", replicates)))
+    # degenerate-replicate guard: a tiny group can draw weight 0 on
+    # EVERY row of a replicate (P ~ e^-n), whose mean would be NULL —
+    # Spark's collect_list silently drops NULLs while DuckDB's list()
+    # keeps them NULLS-first, shifting the order statistics. Pin the
+    # replicate-mean list length to exactly `replicates` in both
+    # engines by collapsing an all-zero replicate to the group's point
+    # mean (the bootstrap convention: a degenerate resample carries no
+    # deviation information). base is |groups| rows — broadcast.
+    means = (
+        rep.groupBy("grp", "rep")
+        .agg(
+            F.sum((F.col("w") * F.col("val")).cast("decimal(18,2)")).alias("ws"),
+            F.sum("w").alias("wn"),
+        )
+        .join(F.broadcast(base.select("grp", "point_mean")), "grp")
+        .select(
+            "grp",
+            F.when(
+                F.col("wn") > 0,
+                F.round(F.col("ws").cast("double") / F.col("wn").cast("double"), 6),
+            )
+            .otherwise(F.col("point_mean"))
+            .alias("mean_r"),
+        )
+    )
+    ci = means.groupBy("grp").agg(F.sort_array(F.collect_list("mean_r")).alias("ms")).select(
+        "grp",
+        F.element_at("ms", 2).alias("ci_lo"),
+        F.element_at("ms", replicates - 1).alias("ci_hi"),
     )
     return base.join(ci, "grp").select("grp", "n_rows", "point_mean", "ci_lo", "ci_hi")
 
@@ -640,6 +662,11 @@ def poisson_bootstrap_ci(
 #: flip the boolean.
 KS_C2_NUM = 18444397
 KS_C2_DEN = 10000000
+
+#: largest n*m for which ks_num^2 * KS_C2_DEN fits DECIMAL(38,0)
+#: (ks_num <= n*m, so (2e15)^2 * 1e7 = 4e37 < 1e38); past this both
+#: engines take the identical double-compare branch.
+KS_EXACT_NM_BOUND = 2 * 10**15
 
 
 def ks_two_sample(
@@ -658,12 +685,16 @@ def ks_two_sample(
     (i, j) give |i*m - j*n| (an integer); D = max|.| / (n*m). The
     significance screen D > c(0.05)*sqrt((n+m)/(n*m)) is equivalently
     num^2 * KS_C2_DEN > KS_C2_NUM * (n+m) * n * m — evaluated in wide
-    integer arithmetic, so the boolean is bit-deterministic (no sqrt).
+    integer arithmetic while n*m <= KS_EXACT_NM_BOUND (2e15, ~4.5e7
+    rows per arm; beyond it the DECIMAL(38,0) square would overflow),
+    past which both engines switch to one identical double compare —
+    bit-deterministic either way, never a sqrt.
 
     Output: (grp, n, m, ks_num, ks_denom, ks_stat, significant) with
-    ks_stat = ks_num/ks_denom (one exact IEEE division; exact while
-    n*m < 2^53 — at larger n the *statistic* loses ulps but the test
-    decision stays integer-exact).
+    ks_stat = ks_num/(n*m) through double-side products (one IEEE
+    division; exact while n*m < 2^53 — at larger n the *statistic*
+    loses ulps but the test decision follows the guarded compare
+    above). ks_denom = n*m as BIGINT is exact while n*m < 2^63.
 
     Scale shape: the control sample is replicated once per treatment
     arm via a broadcast of the |arms|-row frame (bounded fan-out,
@@ -711,14 +742,37 @@ def ks_two_sample(
         * F.col("n").cast(dec)
         * F.col("m").cast(dec)
     )
+    # exact-decimal envelope: lhs needs <= 38 digits and ks_num <= n*m,
+    # so the integer compare is exact while n*m <= 2e15 (~4.5e7 rows
+    # per arm). Past that, non-ANSI Spark would silently NULL the
+    # overflowing DECIMAL multiply while DuckDB's HUGEINT survives —
+    # so BOTH engines switch to the same double compare there (same
+    # IEEE ops in the same order; at that scale the threshold side is
+    # ~1e-8 relative to D, far beyond double noise).
+    exact_ok = (F.col("n").cast(dec) * F.col("m").cast(dec)) <= F.lit(KS_EXACT_NM_BOUND).cast(
+        dec
+    )
+    sig_double = (
+        F.pow(F.col("ks_num").cast("double"), F.lit(2.0)) * F.lit(float(KS_C2_DEN))
+        > F.lit(float(KS_C2_NUM))
+        * (F.col("n") + F.col("m")).cast("double")
+        * F.col("n").cast("double")
+        * F.col("m").cast("double")
+    )
     return agg.select(
         "grp",
         "n",
         "m",
         "ks_num",
+        # n*m as BIGINT: exact while n*m < 2^63 (~3e9 rows per arm)
         (F.col("n") * F.col("m")).alias("ks_denom"),
-        (F.col("ks_num") / (F.col("n") * F.col("m"))).alias("ks_stat"),
-        (lhs > rhs).alias("significant"),
+        # double-side products so the statistic never routes through a
+        # wrappable int64 intermediate
+        (
+            F.col("ks_num").cast("double")
+            / (F.col("n").cast("double") * F.col("m").cast("double"))
+        ).alias("ks_stat"),
+        F.when(exact_ok, lhs > rhs).otherwise(sig_double).alias("significant"),
     )
 
 

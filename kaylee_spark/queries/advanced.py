@@ -1009,20 +1009,26 @@ def _bootstrap_oracle() -> str:
                CAST({w} AS BIGINT) AS w, o_totalprice AS val
         FROM orders CROSS JOIN reps
     ),
-    means AS (
-        SELECT grp, rep,
-               ROUND(CAST(SUM(CAST(w * val AS DECIMAL(18,2))) AS DOUBLE)
-                     / CAST(SUM(w) AS DOUBLE), 6) AS mean_r
-        FROM weighted GROUP BY grp, rep
-    ),
-    ci AS (
-        SELECT grp, list_sort(list(mean_r)) AS ms FROM means GROUP BY grp
-    ),
     base AS (
         SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                      / CAST(COUNT(*) AS DOUBLE), 6) AS point_mean
         FROM orders GROUP BY o_orderpriority
+    ),
+    means AS (
+        -- all-zero-weight replicate collapses to the point mean (the
+        -- engine's degenerate-replicate guard): list length stays
+        -- exactly |replicates|, so ms[2]/ms[31] are well-defined
+        SELECT w.grp, w.rep,
+               CASE WHEN SUM(w.w) > 0
+                    THEN ROUND(CAST(SUM(CAST(w.w * w.val AS DECIMAL(18,2))) AS DOUBLE)
+                               / CAST(SUM(w.w) AS DOUBLE), 6)
+                    ELSE MAX(b.point_mean) END AS mean_r
+        FROM weighted w JOIN base b USING (grp)
+        GROUP BY w.grp, w.rep
+    ),
+    ci AS (
+        SELECT grp, list_sort(list(mean_r)) AS ms FROM means GROUP BY grp
     )
     SELECT b.grp, b.n_rows, b.point_mean, ms[2] AS ci_lo, ms[31] AS ci_hi
     FROM base b JOIN ci USING (grp)
@@ -1109,7 +1115,7 @@ def a29_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ks_oracle() -> str:
-    from kaylee_spark.operators.analytics import KS_C2_DEN, KS_C2_NUM
+    from kaylee_spark.operators.analytics import KS_C2_DEN, KS_C2_NUM, KS_EXACT_NM_BOUND
 
     return f"""
     WITH arms AS (
@@ -1140,10 +1146,18 @@ def _ks_oracle() -> str:
         FROM c GROUP BY grp
     )
     SELECT grp, n, m, ks_num, n * m AS ks_denom,
-           CAST(ks_num AS DOUBLE) / CAST(n * m AS DOUBLE) AS ks_stat,
-           (CAST(ks_num AS HUGEINT) * CAST(ks_num AS HUGEINT) * {KS_C2_DEN} >
-            {KS_C2_NUM} * CAST(n + m AS HUGEINT) * CAST(n AS HUGEINT)
-            * CAST(m AS HUGEINT)) AS significant
+           CAST(ks_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)) AS ks_stat,
+           -- mirror the engine's exact-decimal envelope: within it the
+           -- integer compare, past it the SAME double compare (Spark's
+           -- DECIMAL(38,0) lhs would overflow where HUGEINT survives)
+           CASE WHEN CAST(n AS HUGEINT) * CAST(m AS HUGEINT) <= {KS_EXACT_NM_BOUND}
+                THEN (CAST(ks_num AS HUGEINT) * CAST(ks_num AS HUGEINT) * {KS_C2_DEN} >
+                      {KS_C2_NUM} * CAST(n + m AS HUGEINT) * CAST(n AS HUGEINT)
+                      * CAST(m AS HUGEINT))
+                ELSE (POWER(CAST(ks_num AS DOUBLE), 2.0) * {float(KS_C2_DEN)!r} >
+                      {float(KS_C2_NUM)!r} * CAST(n + m AS DOUBLE) * CAST(n AS DOUBLE)
+                      * CAST(m AS DOUBLE))
+           END AS significant
     FROM agg
     """
 

@@ -1047,23 +1047,37 @@ def q30_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     WHERE c_acctbal > (SELECT {oracle_dec_avg('c_acctbal')}
                        FROM customer WHERE c_acctbal > 0.0)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '2000-01-01')
     GROUP BY c_nationkey
     """,
     extra=True,
 )
 def q31_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (global sales opportunity): customers with an
-    above-average positive account balance and NO orders, counted per
-    nation. The global average folds into a codegen LITERAL (one
+    above-average positive account balance and NO RECENT orders
+    (none since 2000-01-01), counted per nation. Dormancy is a
+    recency window rather than Q22's literal never-ordered test
+    because the fixtures assign every customer at least one early
+    order — never-ordered selects 0 rows at sf<=0.01, a vacuous
+    observable (the fixture-fragile-filter class the three-scale
+    gate exists for); the window keeps the anti-join shape and is
+    non-empty at every shipped scale (5 / 55 / 646 customers).
+    The global average folds into a codegen LITERAL (one
     .first() of an exact decimal sum / count — the 1-row-scalar-attach
-    recipe that avoids a BNLJ), the no-orders test is a left-anti join
-    on a payload-free orders projection, and the close is one
+    recipe that avoids a BNLJ), the no-recent-orders test is a
+    left-anti join on a date-filtered payload-free orders projection
+    (the filter pushes to the parquet scan), and the close is one
     map-side-combined aggregate."""
     from kaylee_spark.functions import dec
 
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+        .select("o_custkey")
+    )
     row = cust.filter(F.col("c_acctbal") > 0.0).agg(
         F.round(F.sum(dec("c_acctbal")), 2).cast("double").alias("s"),
         F.count(dec("c_acctbal")).alias("n"),

@@ -559,3 +559,65 @@ def test_psi_timeline_reference_day_excluded_and_shift_scored(spark):
     assert abs(got["2024-01-02"]["psi"]) < 1e-9 and got["2024-01-02"]["drifted"] is False
     assert got["2024-01-03"]["psi"] > 2.0 and got["2024-01-03"]["drifted"] is True
     assert got["2024-01-03"]["na"] == 40 and got["2024-01-03"]["nb"] == 40
+
+
+def test_bootstrap_weight_sql_total_over_extreme_keys(spark):
+    """The weight draw must be a total function shared VERBATIM by both
+    engines: huge bigint keys must not overflow (DuckDB raises Out of
+    Range where Spark wraps) and negative keys must not collapse every
+    weight to the first CDF arm."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from kaylee_spark.operators.analytics import bootstrap_weight_sql
+
+    expr = bootstrap_weight_sql("k", "rep", 32)
+    keys = [-(2**60) - 7, -12345, -1, 0, 1, 2**40 + 3, 2**60 + 11]
+    rows = [(k, r) for k in keys for r in range(32)]
+    df = spark.createDataFrame(rows, "k long, rep int")
+    got = {
+        (r["k"], r["rep"]): r["w"]
+        for r in df.select("k", "rep", F.expr(expr).alias("w")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, rep INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        (k, r): w for k, r, w in con.execute(f"SELECT k, rep, {expr} FROM t").fetchall()
+    }
+    assert got == want  # bit-identical across engines, no Out of Range
+    assert all(0 <= w <= 8 for w in got.values())
+    # negative keys draw non-degenerate weights too
+    neg = [w for (k, _), w in got.items() if k < 0]
+    assert any(w > 0 for w in neg)
+
+
+def test_bootstrap_ci_degenerate_replicate_falls_back_to_point_mean(spark):
+    """A group so small that some replicate draws weight 0 on every row
+    must still emit a full-length replicate-mean list: the degenerate
+    replicate collapses to the group's point mean, so ci_lo/ci_hi are
+    never NULL and never mis-ranked (Spark's collect_list drops NULLs
+    where DuckDB's list() keeps them — the guard removes the NULL)."""
+    from pyspark.sql import functions as F
+
+    from kaylee_spark.operators.analytics import bootstrap_weight_sql, poisson_bootstrap_ci
+
+    # find a key whose 32 replicate draws include a zero weight — with
+    # a 1-row group that zero-weight replicate is fully degenerate
+    probe = spark.range(64).select(
+        F.col("id").alias("k"),
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("rep"),
+    ).select("k", F.expr(bootstrap_weight_sql("k", "rep", 32)).alias("w"))
+    zero_keys = {
+        r["k"] for r in probe.filter(F.col("w") == 0).select("k").distinct().collect()
+    }
+    assert zero_keys, "probe must find a key with a zero-weight replicate"
+    k = min(zero_keys)
+    df = spark.createDataFrame([(k, "lone", 42.5)], "k long, grp string, value double")
+    out = poisson_bootstrap_ci(df, "grp", "value", "k", replicates=32).collect()[0]
+    assert out["n_rows"] == 1
+    # every replicate mean is either the row's value or the point-mean
+    # fallback — which are the same number here, so the CI is a point
+    assert out["point_mean"] == 42.5
+    assert out["ci_lo"] == 42.5 and out["ci_hi"] == 42.5

@@ -249,3 +249,68 @@ def test_ingest_dedup_stream_matches_batch_and_restarts_exactly_once(spark, sf_d
     late.coalesce(1).write.mode("append").parquet(src)
     drain()
     assert spark.read.parquet(out).count() == len(want) + 1
+
+
+def test_drift_store_restart_no_double_count(spark, events_dir, tmp_path):
+    """The e32 drift store (streamed day x (type, bin) counts) must
+    survive a mid-stream kill-and-resume without double-counting: the
+    windowed-count state recovers from the checkpoint, the offset log
+    prevents re-reading committed files, and the batch_id-keyed
+    complete-mode overwrite makes the landing idempotent — so the
+    final store equals the batch-computed counts exactly."""
+    import time
+
+    from kaylee_spark.operators.analytics import PSI_BIN_EDGES
+
+    out, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    def start():
+        counts = ST.drift_bin_counts(
+            ST.events_stream(spark, events_dir, files_per_trigger=1), PSI_BIN_EDGES
+        )
+
+        def land(batch_df, batch_id):
+            # complete mode: each commit carries the FULL corrected
+            # store, so overwrite is idempotent across replays
+            batch_df.write.mode("overwrite").parquet(out)
+
+        return (
+            counts.writeStream.outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(land)
+            .start()
+        )
+
+    # first run: kill after at least one batch committed, before all 4
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p["batchId"] >= 1:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+
+    # resume from the checkpoint and drain the remaining files
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    q2.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    got = {
+        (str(r["window_start"]), r["grp"], r["bin"]): r["cnt"]
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (str(r["window_start"]), r["grp"], r["bin"]): r["cnt"]
+        for r in ST.drift_bin_counts(
+            _batch_events(spark, events_dir), PSI_BIN_EDGES, watermark="0 seconds"
+        ).collect()
+    }
+    assert got == want  # no missing windows, no double-counted bins
