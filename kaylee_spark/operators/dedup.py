@@ -491,23 +491,45 @@ def _lsh_candidates(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     )
 
 
+def resolve_banding(
+    num_hashes: int | None,
+    bands: int | None,
+    threshold: float,
+    target_recall: float = 0.99,
+    max_hashes: int = 64,
+) -> tuple[int, int]:
+    """Planner-backed banding defaults: when the caller does not pin a
+    config, lsh_planner.minhash_plan picks the minimum-false-candidate
+    (bands, rows) meeting the recall floor at ``threshold`` within the
+    signature budget — the SURVEY §4.2 optimizer decision, made once
+    at plan time from pure S-curve arithmetic."""
+    if num_hashes is None or bands is None:
+        from kaylee_spark.operators.lsh_planner import minhash_plan
+
+        plan = minhash_plan(threshold, target_recall=target_recall, max_hashes=max_hashes)
+        return plan.num_hashes, plan.bands
+    return num_hashes, bands
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
-    num_hashes: int = 64,
-    bands: int = 16,
+    num_hashes: int | None = 64,
+    bands: int | None = 16,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH.
 
     bands=16 x rows=4 over 64 hashes -> candidate iff any band matches
-    (s-curve threshold ~ (1/16)^(1/4) ≈ 0.5). Candidates are verified
-    with the estimated Jaccard = fraction of equal signature slots.
-    The band-bucket join replaces the O(n^2) cross join: cost scales
-    with bucket occupancy, not corpus size squared.
+    (s-curve threshold ~ (1/16)^(1/4) ≈ 0.5); pass None to let
+    lsh_planner pick the banding for ``threshold``. Candidates are
+    verified with the estimated Jaccard = fraction of equal signature
+    slots. The band-bucket join replaces the O(n^2) cross join: cost
+    scales with bucket occupancy, not corpus size squared.
     """
+    num_hashes, bands = resolve_banding(num_hashes, bands, threshold)
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes).cache()
     cands = _lsh_candidates(sig, num_hashes, bands)
     cands = cands.join(
@@ -530,8 +552,8 @@ def minhash_lsh_verified_pairs(
     id_col: str,
     text_col: str,
     n: int = 3,
-    num_hashes: int = 32,
-    bands: int = 16,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     threshold: float = 0.5,
 ) -> DataFrame:
     """The full LSH dedup pipeline: banded-MinHash candidate generation
@@ -546,13 +568,16 @@ def minhash_lsh_verified_pairs(
     intersection; sizes join in last.
 
     Output (doc_a, doc_b, jaccard) — exact values. With a banding
-    config whose recall is 1.0 at or above ``threshold`` (for 32
-    hashes, 16 bands x 2 rows: P(miss) = (1-J²)^16, ~1% at J=0.5 and
-    <1e-7 at J=0.8 — verified exhaustively equal to the exact pair set
-    on the test fixtures), the result equals jaccard_pairs(threshold),
-    which is what makes this driver-verifiable against the same SQL
-    oracle as the exact query.
+    config whose recall is 1.0 at or above ``threshold`` (the
+    planner's default for threshold 0.5 is 17 bands x 2 rows:
+    P(miss) = (1-J²)^17, ~0.75% at J=0.5 and <1e-7 at J=0.8 —
+    verified exhaustively equal to the exact pair set on the test
+    fixtures), the result equals jaccard_pairs(threshold), which is
+    what makes this driver-verifiable against the same SQL oracle as
+    the exact query. Banding defaults come from
+    lsh_planner.minhash_plan via resolve_banding.
     """
+    num_hashes, bands = resolve_banding(num_hashes, bands, threshold)
     sh = hashed_shingles(df, id_col, text_col, n).withColumnRenamed("sh64", "shingle").cache()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
     # signatures derive from the SAME cached shingle frame the verify
@@ -899,8 +924,9 @@ def write_lsh_index(
     id_col: str,
     text_col: str,
     n: int = 3,
-    num_hashes: int = 32,
-    bands: int = 16,
+    num_hashes: int | None = None,
+    bands: int | None = None,
+    threshold: float = 0.5,
 ) -> None:
     """Materialize the STANDING MinHash-LSH index a daily ingest
     probes: band buckets (doc, band, bucket) written parquet
@@ -909,8 +935,11 @@ def write_lsh_index(
     state incremental_neardup_pairs recomputes from the corpus frame —
     build it once per corpus snapshot, probe it every ingest without
     touching corpus text again (the IVF-at-rest idea, ivf_write_index,
-    applied to text LSH).
+    applied to text LSH). Banding defaults are planner-derived for
+    the probe ``threshold`` (resolve_banding) — the config is baked
+    into the index at write time, so the probe must use the same.
     """
+    num_hashes, bands = resolve_banding(num_hashes, bands, threshold)
     sh = hashed_shingles(corpus, id_col, text_col, n).cache()
     sh.write.mode("overwrite").parquet(f"{path}/shingles")
     sig = _signatures_from_shingles(sh, num_hashes)
@@ -930,8 +959,8 @@ def probe_lsh_index(
     id_col: str,
     text_col: str,
     n: int = 3,
-    num_hashes: int = 32,
-    bands: int = 16,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Near-dup pairs of an ingest increment against a PERSISTED LSH
@@ -944,10 +973,12 @@ def probe_lsh_index(
     independent of corpus size.
 
     Output: (doc_new, doc_old, jaccard >= threshold) — with a
-    recall-1.0 banding config (d04's 32x16 on the fixture) this EQUALS
-    the exact bipartite Jaccard pair set, which is what the d13 oracle
-    verifies.
+    recall-1.0 banding config (the planner's 34x17 on the fixture)
+    this EQUALS the exact bipartite Jaccard pair set, which is what
+    the d13 oracle verifies. Banding defaults are planner-derived
+    (resolve_banding) and MUST match the write_lsh_index config.
     """
+    num_hashes, bands = resolve_banding(num_hashes, bands, threshold)
     inc_sh = hashed_shingles(increment, id_col, text_col, n).cache()
     inc_sig = _signatures_from_shingles(inc_sh, num_hashes)
     inc_b = _band_buckets(inc_sig, num_hashes, bands).withColumnRenamed("doc", "doc_new")

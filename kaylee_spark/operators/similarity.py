@@ -169,14 +169,16 @@ def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_planes: int = 4,
-    n_tables: int = 4,
+    n_planes: int | None = 4,
+    n_tables: int | None = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
     parity_rerank: bool = False,
+    cos_threshold: float = 0.45,
+    target_recall: float = 0.9999,
 ) -> DataFrame:
     """ANN top-k via multi-table random-hyperplane LSH + exact re-rank.
 
@@ -187,7 +189,20 @@ def lsh_bucketed_topk(
     deduped then exactly re-ranked by cosine. Per-table bucket fan-out
     partitions the corpus 2^p ways, so cost/recall tunes smoothly via
     (p, L) — the knob that matters at 10^9 vectors.
+
+    Pass n_planes=None / n_tables=None to have lsh_planner.signlsh_plan
+    choose (p, L): the minimum-junk-candidate config whose 1-bit
+    multi-probe S-curve holds ``target_recall`` at ``cos_threshold``
+    (the weakest neighbor cosine the caller still wants surfaced)
+    within a 48-bit signature budget.
     """
+    if n_planes is None or n_tables is None:
+        from kaylee_spark.operators.lsh_planner import signlsh_plan
+
+        plan = signlsh_plan(
+            cos_threshold, target_recall=target_recall, max_bits=48, probe_bits=1
+        )
+        n_tables, n_planes = plan.bands, plan.rows
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
     q = queries.select(F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
 

@@ -119,7 +119,10 @@ def d04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-scale dedup pipeline (candidate generation prunes the pair
     space; exact verification touches candidates only).
 
-    Driver-verifiable because the 32-hash/16-band x 2-row config has
+    Banding comes from the LSH PLANNER (operators/lsh_planner
+    minhash_plan: recall >= 0.99 at J = 0.5 within 64 hashes, minimum
+    false-candidate rate -> 17 bands x 2 rows = 34 hashes), wired as
+    the operator default. Driver-verifiable because that config has
     recall 1.0 on the fixture at J>=0.5 (checked exhaustively in
     tests/test_dedup.py), so the verified output EQUALS the exact
     Jaccard pair set and shares d03's SQL oracle shape. The pure
@@ -127,7 +130,7 @@ def d04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     D.minhash_lsh_pairs in tests with recall bounds.
     """
     return D.minhash_lsh_verified_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.5
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
     )
 
 
@@ -567,9 +570,9 @@ def d13_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"kaylee_lsh_index_{os.path.basename(sf_dir.rstrip('/'))}",
     )
-    D.write_lsh_index(corpus, path, "doc_id", "text", n=3, num_hashes=32, bands=16)
+    D.write_lsh_index(corpus, path, "doc_id", "text", n=3, threshold=0.5)
     return D.probe_lsh_index(
-        spark, path, increment, "doc_id", "text", n=3, num_hashes=32, bands=16, threshold=0.5
+        spark, path, increment, "doc_id", "text", n=3, threshold=0.5
     )
 
 

@@ -46,8 +46,14 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("s02_lsh_ann_topk", oracle=_EXACT_TOPK_ORACLE)
 def s02_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 via random-hyperplane LSH (4 planes x 12 tables,
-    1-bit multi-probe) + exact re-rank.
+    """ANN top-10 via random-hyperplane LSH + exact re-rank, with the
+    (planes, tables) config chosen by the LSH PLANNER
+    (operators/lsh_planner signlsh_plan: 1-bit multi-probe S-curve,
+    recall 0.9999 at cosine 0.45 within 48 bits -> 4 planes x 12
+    tables — the multi-probe term is what affords 4-plane-deep tables
+    at that recall; the plain exact-bucket law would either need 92
+    bits at 4 planes or fall back to shallower tables with a worse
+    false-candidate rate).
 
     Driver-verifiable against the exact-top-k oracle: at this fixture
     scale the 12-table candidate union covers the true top-10 for every
@@ -59,7 +65,9 @@ def s02_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
-    out = S.lsh_bucketed_topk(emb, queries, k=10, n_planes=4, n_tables=12, dim=64, parity_rerank=True)
+    out = S.lsh_bucketed_topk(
+        emb, queries, k=10, n_planes=None, n_tables=None, dim=64, parity_rerank=True
+    )
     return out.select("query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
 
 
