@@ -986,3 +986,46 @@ def test_positional_grams_equals_lambda_build(spark):
     rows = df.select(old.alias("old"), positional_grams(toks, n).alias("new")).collect()
     for r in rows:
         assert r["old"] == r["new"]
+
+
+def test_aqe_skew_join_engages_on_forced_shuffle(spark):
+    """AQE skew splitting must actually ENGAGE on the skew_probe's
+    planted shape (docs/SCALE.md cites the dial as the first line of
+    defense; this pins it to a real executed plan): a forced
+    sort-merge join with one hot key and probe-scaled thresholds must
+    show skew=true in the final adaptive plan."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128k",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(1000)))
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("payload"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), F.lit("d").alias("dim_payload")
+        )
+        joined = fact.join(dim, "k")
+        assert joined.count() > 0  # execute: AQE finalizes at runtime
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, f"AQE skew split did not engage:\n{final_plan[:2000]}"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

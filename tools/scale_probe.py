@@ -164,16 +164,24 @@ PROBE_QUERIES = (
 )
 
 
-def build(base: str, out: str, multiplier: int) -> None:
+def build(
+    base: str,
+    out: str,
+    multiplier: int,
+    multiplied: tuple = MULTIPLIED,
+    id_offset: dict | None = None,
+) -> None:
     from pyspark.sql import functions as F
 
     from kaylee_spark.session import get_spark
     from kaylee_spark.sources import TABLES
 
+    if id_offset is None:
+        id_offset = ID_OFFSET
     spark = get_spark("scale_probe", cpus=16)
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out, exist_ok=True)
-    for t in MULTIPLIED:
+    for t in multiplied:
         dst = f"{out}/{t}.parquet"
         if os.path.lexists(dst):
             (shutil.rmtree if os.path.isdir(dst) else os.remove)(dst)
@@ -181,8 +189,8 @@ def build(base: str, out: str, multiplier: int) -> None:
         big = df.crossJoin(
             spark.range(multiplier).select(F.col("id").alias("_copy"))
         )
-        if t in ID_OFFSET:
-            col, off = ID_OFFSET[t]
+        if t in id_offset:
+            col, off = id_offset[t]
             big = big.withColumn(col, F.col(col) + F.col("_copy") * F.lit(off))
         big = big.drop("_copy")
         # single FILE, not a directory: DuckDB's view creation reads
