@@ -1020,7 +1020,9 @@ def test_aqe_skew_join_engages_on_forced_shuffle(spark):
             F.col("id").alias("k"), F.lit("d").alias("dim_payload")
         )
         joined = fact.join(dim, "k")
-        assert joined.count() > 0  # execute: AQE finalizes at runtime
+        # Execute THIS lineage: count() spawns a separate QueryExecution,
+        # so the plan inspected below would never finalize under it.
+        assert len(joined.collect()) > 0  # execute: AQE finalizes at runtime
         final_plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "skew=true" in final_plan, f"AQE skew split did not engage:\n{final_plan[:2000]}"
     finally:
