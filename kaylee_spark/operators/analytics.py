@@ -752,8 +752,13 @@ def ks_two_sample(
     exact_ok = (F.col("n").cast(dec) * F.col("m").cast(dec)) <= F.lit(KS_EXACT_NM_BOUND).cast(
         dec
     )
+    # square by SELF-MULTIPLICATION, not pow: IEEE multiply is
+    # correctly rounded in both engines, while Math.pow (1-ulp spec) /
+    # libm pow are not — self-multiply keeps the double branch
+    # genuinely bit-deterministic cross-engine even at a near-tie.
+    ks_num_dbl = F.col("ks_num").cast("double")
     sig_double = (
-        F.pow(F.col("ks_num").cast("double"), F.lit(2.0)) * F.lit(float(KS_C2_DEN))
+        ks_num_dbl * ks_num_dbl * F.lit(float(KS_C2_DEN))
         > F.lit(float(KS_C2_NUM))
         * (F.col("n") + F.col("m")).cast("double")
         * F.col("n").cast("double")

@@ -502,12 +502,29 @@ def resolve_banding(
     config, lsh_planner.minhash_plan picks the minimum-false-candidate
     (bands, rows) meeting the recall floor at ``threshold`` within the
     signature budget — the SURVEY §4.2 optimizer decision, made once
-    at plan time from pure S-curve arithmetic."""
-    if num_hashes is None or bands is None:
+    at plan time from pure S-curve arithmetic.
+
+    Half-pinned configs are honored, not silently re-planned: a pinned
+    ``num_hashes`` with ``bands=None`` becomes the planner's signature
+    budget (the 128-hash caller gets a 128-hash plan, not the 64
+    default); a pinned ``bands`` without ``num_hashes`` is an error —
+    bands alone does not determine a row count."""
+    if num_hashes is None and bands is None:
         from kaylee_spark.operators.lsh_planner import minhash_plan
 
         plan = minhash_plan(threshold, target_recall=target_recall, max_hashes=max_hashes)
         return plan.num_hashes, plan.bands
+    if bands is None:
+        from kaylee_spark.operators.lsh_planner import minhash_plan
+
+        plan = minhash_plan(threshold, target_recall=target_recall, max_hashes=num_hashes)
+        return plan.num_hashes, plan.bands
+    if num_hashes is None:
+        raise ValueError(
+            "bands pinned without num_hashes — pass both (explicit banding) "
+            "or neither (planner default); bands alone does not determine "
+            "a signature length"
+        )
     return num_hashes, bands
 
 
@@ -832,29 +849,51 @@ def hamming_pairs(
     id_col: str = "doc",
     sig_col: str = "simhash",
     out_prefix: str = "doc",
+    blocks: int | None = None,
 ) -> DataFrame:
     """All id pairs whose ``bits``-bit signatures differ in at most
     ``max_hamming`` bits — COMPLETE (every qualifying pair emitted,
     exactly once) and sub-quadratic.
 
-    Pigeonhole bucketing: split the signature into (max_hamming+1)
-    disjoint chunks; a pair within distance max_hamming has at most
-    max_hamming differing bits, so at least one chunk agrees — all
-    candidates come from chunk-equal buckets, then exact popcount
-    verifies. (Chunks of width bits // (max_hamming+1) may leave the
-    top bits un-keyed; that only ADDS candidates — completeness is
+    Pigeonhole bucketing: split the signature into ``blocks`` disjoint
+    chunks (default: lsh_planner.hamming_plan's choice — max_hamming+1
+    when the corpus size is unknown); a pair within distance
+    max_hamming has its differing bits inside at most max_hamming
+    chunks, so in SOME (blocks - max_hamming)-sized chunk set both
+    signatures agree — all candidates come from agreeing-key buckets,
+    then exact popcount verifies. With blocks = max_hamming+1 the key
+    is one chunk (the classic construction, shortest keys, fewest
+    tables); deeper blocking keys multiple chunks per table for
+    exponentially fewer false candidates at a C(blocks, max_hamming)
+    table fan-out — the Manku et al. WWW'07 trade hamming_plan
+    cost-models from n_docs. (Chunks of width bits // blocks may leave
+    the top bits un-keyed; that only ADDS candidates — completeness is
     unaffected, the popcount still sees every bit.)
 
-    Candidate dedup (a pair can surface from several agreeing chunks)
+    Candidate dedup (a pair can surface from several agreeing tables)
     is ARITHMETIC, not a shuffle: each side carries its 8-byte
     signature through the bucket join, so after the join we know every
-    chunk's agreement from ``sig_a XOR sig_b`` and keep the pair only
-    in the FIRST agreeing chunk's bucket. One shuffle total past the
+    table's agreement from ``sig_a XOR sig_b`` and keep the pair only
+    in the FIRST agreeing table's bucket. One shuffle total past the
     signature frame — no pair-distinct exchange, no signature
     re-attach joins (an earlier ids-only+rejoin shape paid three
     shuffles to save 8 bytes/row of join width; strictly worse at any
     scale since |candidates| >= |banded rows|).
     """
+    if blocks is None:
+        from kaylee_spark.operators.lsh_planner import hamming_plan
+
+        blocks = hamming_plan(max_hamming, bits).blocks
+    if blocks > max_hamming + 1:
+        return _hamming_pairs_blocked(
+            sig, max_hamming, bits, blocks, id_col, sig_col, out_prefix
+        )
+    if blocks != max_hamming + 1:
+        raise ValueError(
+            f"blocks={blocks} < max_hamming+1={max_hamming + 1} cannot "
+            "guarantee completeness (pigeonhole needs every "
+            f"{max_hamming}-error pattern to leave one block clean)"
+        )
     chunks = max_hamming + 1
     width = bits // chunks
     mask = (1 << width) - 1
@@ -902,20 +941,114 @@ def hamming_pairs(
     )
 
 
+def _signed64(mask: int) -> int:
+    """Reinterpret an unsigned 64-bit mask as the signed BIGINT Spark
+    literals require (a kept top block of a 64-bit signature sets bit
+    63)."""
+    return mask - (1 << 64) if mask >= (1 << 63) else mask
+
+
+def _hamming_pairs_blocked(
+    sig: DataFrame,
+    max_hamming: int,
+    bits: int,
+    blocks: int,
+    id_col: str,
+    sig_col: str,
+    out_prefix: str,
+) -> DataFrame:
+    """Deep-blocking pigeonhole (hamming_pairs with
+    blocks > max_hamming+1): one bucket table per max_hamming-subset
+    of blocks, bucket key = the signature with the subset's blocks
+    masked OUT (i.e. agreement required on every other block — the
+    same 8-byte column serves as the key, no bit re-packing). A pair
+    within distance max_hamming differs in at most max_hamming blocks,
+    so the table wildcarding exactly those blocks keys it equal —
+    completeness for every design, which is why hamming_plan can
+    cost-choose the depth freely. First-agreeing-table arithmetic
+    dedup and the exact popcount verify mirror the shallow path.
+    """
+    import itertools
+
+    width = bits // blocks
+    if width < 1:
+        raise ValueError(f"blocks={blocks} exceeds bits={bits}")
+    a_id, b_id = f"{out_prefix}_a", f"{out_prefix}_b"
+    block_mask = [((1 << width) - 1) << (j * width) for j in range(blocks)]
+    subsets = list(itertools.combinations(range(blocks), max_hamming))
+    keep = [
+        _signed64(sum(block_mask[j] for j in range(blocks) if j not in s))
+        for s in subsets
+    ]
+    sig = sig.cache()  # same materialization barrier as the shallow path
+    banded = sig.select(
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        F.col(sig_col).bitwiseAND(F.lit(keep[t])).alias("key"),
+                    )
+                    for t in range(len(subsets))
+                ]
+            )
+        ).alias("tb"),
+    ).select("id", "sig", "tb.table", "tb.key")
+    a = banded.select(F.col("id").alias(a_id), F.col("sig").alias("sh_a"), "table", "key")
+    b = banded.select(F.col("id").alias(b_id), F.col("sig").alias("sh_b"), "table", "key")
+    first_agree = "CASE " + " ".join(
+        f"WHEN ((sh_a ^ sh_b) & CAST({keep[t]} AS BIGINT)) = 0 THEN {t}"
+        for t in range(len(subsets))
+    ) + " END"
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["table", "key"])
+        .filter(F.col(a_id) < F.col(b_id))
+        .filter(F.col("table") == F.expr(first_agree))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(a_id, b_id, "hamming")
+    )
+
+
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, portable: bool = False
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    portable: bool = False,
+    blocks: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming
     (pigeonhole bucketing + exact popcount verify — see hamming_pairs
     for the completeness argument and shuffle accounting).
+
+    The blocking depth defaults to lsh_planner.hamming_plan's
+    cost-model choice — pass ``n_docs`` (a corpus-size estimate; a
+    catalog rowcount, never a fresh count job) to let it trade table
+    fan-out against expected bucket collisions: at fixture scale the
+    classic max_hamming+1 split wins, at 10^9 docs the planner moves
+    to deeper blocking whose longer keys keep buckets sparse. Every
+    design in the space has recall exactly 1.0 (pigeonhole), so the
+    OUTPUT is blocking-independent — only the cost moves, which is
+    what lets the d05 oracle stay valid for any planner choice.
 
     ``portable=True`` builds the signatures from the portable
     polynomial token hash instead of xxhash64, making the whole pair
     set re-derivable by any SQL engine (the d05 oracle brute-forces
     it); the default keeps xxhash64 for raw speed."""
     bits = PORTABLE_SIMHASH_BITS if portable else _SIMHASH_BITS
+    if blocks is None:
+        from kaylee_spark.operators.lsh_planner import hamming_plan
+
+        blocks = hamming_plan(max_hamming, bits, n_docs=n_docs).blocks
     sig = simhash(df, id_col, text_col, portable=portable)
-    return hamming_pairs(sig, max_hamming, bits, id_col="doc", sig_col="simhash", out_prefix="doc")
+    return hamming_pairs(
+        sig, max_hamming, bits, id_col="doc", sig_col="simhash", out_prefix="doc", blocks=blocks
+    )
 
 
 def write_lsh_index(
@@ -936,8 +1069,10 @@ def write_lsh_index(
     build it once per corpus snapshot, probe it every ingest without
     touching corpus text again (the IVF-at-rest idea, ivf_write_index,
     applied to text LSH). Banding defaults are planner-derived for
-    the probe ``threshold`` (resolve_banding) — the config is baked
-    into the index at write time, so the probe must use the same.
+    the probe ``threshold`` (resolve_banding); the RESOLVED config
+    (num_hashes, bands, shingle n) is persisted as index metadata at
+    ``{path}/meta`` so probe_lsh_index reads the baked banding instead
+    of re-deriving it from a possibly-different threshold.
     """
     num_hashes, bands = resolve_banding(num_hashes, bands, threshold)
     sh = hashed_shingles(corpus, id_col, text_col, n).cache()
@@ -950,6 +1085,12 @@ def write_lsh_index(
         .parquet(f"{path}/buckets")
     )
     sh.unpersist()
+    # metadata travels with the index via the same storage scheme the
+    # index uses (works for any Hadoop-FS path, not just local disk)
+    corpus.sparkSession.createDataFrame(
+        [(int(num_hashes), int(bands), int(n))],
+        "num_hashes int, bands int, shingle_n int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def probe_lsh_index(
@@ -975,10 +1116,42 @@ def probe_lsh_index(
     Output: (doc_new, doc_old, jaccard >= threshold) — with a
     recall-1.0 banding config (the planner's 34x17 on the fixture)
     this EQUALS the exact bipartite Jaccard pair set, which is what
-    the d13 oracle verifies. Banding defaults are planner-derived
-    (resolve_banding) and MUST match the write_lsh_index config.
+    the d13 oracle verifies.
+
+    The banding/shingle config is read from the index's persisted
+    metadata (written by write_lsh_index), so a probe with a different
+    ``threshold`` still hashes into the SAME buckets the index baked —
+    threshold stays purely the Jaccard filter. Explicitly pinned
+    arguments are validated against the metadata and raise on mismatch
+    (a silent mismatch previously produced near-empty results).
+    Indexes written before metadata existed fall back to
+    resolve_banding — which must then match the write-time config.
     """
-    num_hashes, bands = resolve_banding(num_hashes, bands, threshold)
+    try:
+        meta = spark.read.parquet(f"{path}/meta").first()
+    except Exception:
+        meta = None  # pre-metadata index layout
+    if meta is not None:
+        if num_hashes is not None and num_hashes != meta["num_hashes"]:
+            raise ValueError(
+                f"probe num_hashes={num_hashes} mismatches the persisted "
+                f"index (num_hashes={meta['num_hashes']}) — omit it to use "
+                "the index's baked config"
+            )
+        if bands is not None and bands != meta["bands"]:
+            raise ValueError(
+                f"probe bands={bands} mismatches the persisted index "
+                f"(bands={meta['bands']}) — omit it to use the index's "
+                "baked config"
+            )
+        if n != meta["shingle_n"]:
+            raise ValueError(
+                f"probe shingle n={n} mismatches the persisted index "
+                f"(shingle_n={meta['shingle_n']})"
+            )
+        num_hashes, bands = meta["num_hashes"], meta["bands"]
+    else:
+        num_hashes, bands = resolve_banding(num_hashes, bands, threshold)
     inc_sh = hashed_shingles(increment, id_col, text_col, n).cache()
     inc_sig = _signatures_from_shingles(inc_sh, num_hashes)
     inc_b = _band_buckets(inc_sig, num_hashes, bands).withColumnRenamed("doc", "doc_new")

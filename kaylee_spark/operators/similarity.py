@@ -196,13 +196,20 @@ def lsh_bucketed_topk(
     (the weakest neighbor cosine the caller still wants surfaced)
     within a 48-bit signature budget.
     """
-    if n_planes is None or n_tables is None:
+    if n_planes is None and n_tables is None:
         from kaylee_spark.operators.lsh_planner import signlsh_plan
 
         plan = signlsh_plan(
             cos_threshold, target_recall=target_recall, max_bits=48, probe_bits=1
         )
         n_tables, n_planes = plan.bands, plan.rows
+    elif n_planes is None or n_tables is None:
+        # don't silently discard a half-pinned config: (p, L) only make
+        # sense together — the planner chooses the PAIR
+        raise ValueError(
+            "pass both n_planes and n_tables (explicit config) or neither "
+            "(planner default); a half-pinned pair would be silently re-planned"
+        )
     c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv"))
     q = queries.select(F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
 

@@ -1154,7 +1154,7 @@ def _ks_oracle() -> str:
                 THEN (CAST(ks_num AS HUGEINT) * CAST(ks_num AS HUGEINT) * {KS_C2_DEN} >
                       {KS_C2_NUM} * CAST(n + m AS HUGEINT) * CAST(n AS HUGEINT)
                       * CAST(m AS HUGEINT))
-                ELSE (POWER(CAST(ks_num AS DOUBLE), 2.0) * {float(KS_C2_DEN)!r} >
+                ELSE (CAST(ks_num AS DOUBLE) * CAST(ks_num AS DOUBLE) * {float(KS_C2_DEN)!r} >
                       {float(KS_C2_NUM)!r} * CAST(n + m AS DOUBLE) * CAST(n AS DOUBLE)
                       * CAST(m AS DOUBLE))
            END AS significant

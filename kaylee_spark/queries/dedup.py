@@ -231,8 +231,12 @@ def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact popcount verify), built on the PORTABLE polynomial token
     hash so the full pair set is re-derivable by the DuckDB oracle
     (three integer ops per fold step — any engine computes them
-    identically). The xxhash64 signature path stays available
-    (portable=False) for ingests that don't need external audit."""
+    identically). The blocking depth is lsh_planner.hamming_plan's
+    cost-model choice (7 blocks at unknown corpus size; deeper
+    multi-table blocking at 10^9 docs) — every design has pigeonhole
+    recall 1.0, so this oracle verifies ANY planner output. The
+    xxhash64 signature path stays available (portable=False) for
+    ingests that don't need external audit."""
     return D.simhash_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=6, portable=True
     )

@@ -70,6 +70,70 @@ def test_simhash_identical_docs(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} >= {(1, 2)}
 
 
+def test_hamming_pairs_deep_blocking_matches_classic(spark):
+    """hamming_plan's large-N design (deep blocking, one table per
+    radius-subset) must emit EXACTLY the classic radius+1 design's
+    pair set — pigeonhole recall is 1.0 at every depth, the planner
+    only moves cost. Planted signatures spread the differing bits
+    across blocks (the adversarial case for any blocking)."""
+    from kaylee_spark.operators.lsh_planner import hamming_plan
+
+    base = int("10" * 31, 2)  # alternating 62-bit pattern
+    sigs = [
+        (1, base),
+        (2, base ^ (1 << 0)),                                  # d(1)=1
+        (3, base ^ (1 << 0) ^ (1 << 20) ^ (1 << 45)),          # d(1)=3, d(2)=2
+        (4, base ^ (1 << 5) ^ (1 << 6) ^ (1 << 7) ^ (1 << 8)),  # d(1)=4: out
+        (5, base ^ ((1 << 40) - 1)),                           # far from all
+    ]
+    df = spark.createDataFrame(sigs, "doc long, simhash long")
+    expected = {(1, 2, 1), (1, 3, 3), (2, 3, 2)}
+
+    classic = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in D.hamming_pairs(df, 3, 62).collect()
+    }
+    assert classic == expected
+
+    deep_plan = hamming_plan(3, 62, n_docs=10**9)
+    assert deep_plan.blocks > 4
+    deep = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in D.hamming_pairs(df, 3, 62, blocks=deep_plan.blocks).collect()
+    }
+    assert deep == expected
+
+    # under-blocked designs cannot guarantee completeness -> refused
+    import pytest
+
+    with pytest.raises(ValueError, match="completeness"):
+        D.hamming_pairs(df, 3, 62, blocks=3)
+
+
+def test_simhash_pairs_output_is_blocking_invariant(spark):
+    """The n_docs hint changes only the plan, never the pair set."""
+    df = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6"),
+            (2, "w1 w2 w3 w4 w5 w6"),  # identical: hamming 0 at any depth
+            (3, "completely different words over here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    default = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in D.simhash_pairs(df, "doc_id", "text", max_hamming=6).collect()
+    }
+    at_scale = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in D.simhash_pairs(
+            df, "doc_id", "text", max_hamming=6, n_docs=10**9
+        ).collect()
+    }
+    assert default == at_scale
+    assert {(a, b) for a, b, _ in default} >= {(1, 2)}
+
+
 def test_connected_components_literal_graph(spark):
     """Two chains + a singleton edge: labels converge to component minima."""
     edges = spark.createDataFrame(
@@ -434,6 +498,27 @@ def test_lsh_index_write_probe_roundtrip(spark, tmp_path):
     assert [(r["doc_new"], r["doc_old"], r["jaccard"]) for r in again] == [
         (row["doc_new"], row["doc_old"], row["jaccard"])
     ]
+    # the banding is persisted as index metadata: a probe that omits it
+    # — even with a DIFFERENT threshold, which used to silently derive
+    # mismatched banding — reads the baked 32x16 config and still hits
+    from_meta = probe_lsh_index(
+        spark, path, increment, "doc_id", "text", n=3, threshold=0.5
+    ).collect()
+    assert {(r["doc_new"], r["doc_old"]) for r in from_meta} == {(10, 1)}
+    lower_thresh = probe_lsh_index(
+        spark, path, increment, "doc_id", "text", n=3, threshold=0.3
+    ).collect()
+    assert {(r["doc_new"], r["doc_old"]) for r in lower_thresh} == {(10, 1)}
+    # explicitly pinned config that mismatches the persisted one raises
+    # instead of silently probing foreign buckets
+    import pytest
+
+    with pytest.raises(ValueError, match="mismatches the persisted"):
+        probe_lsh_index(
+            spark, path, increment, "doc_id", "text", n=3, num_hashes=64, bands=16
+        )
+    with pytest.raises(ValueError, match="shingle n"):
+        probe_lsh_index(spark, path, increment, "doc_id", "text", n=5)
 
 
 def test_leakage_free_split_keeps_near_dups_on_one_side(spark):

@@ -50,6 +50,55 @@ def test_minhash_plan_reproduces_shipped_d04_config():
     assert D.resolve_banding(32, 16, 0.5) == (32, 16)
 
 
+def test_resolve_banding_honors_half_pinned_budget():
+    """A pinned num_hashes with bands=None is a BUDGET, not a value to
+    silently discard: the planner must plan within it (and a bigger
+    budget must not plan worse than the 64-hash default)."""
+    nh_default, _ = D.resolve_banding(None, None, 0.5)
+    nh_128, bands_128 = D.resolve_banding(128, None, 0.5)
+    assert nh_128 <= 128
+    assert nh_128 >= nh_default  # the larger budget was actually used
+    assert nh_128 % bands_128 == 0  # still a valid bands x rows grid
+    # a tiny pinned budget binds
+    nh_8, _ = D.resolve_banding(8, None, 0.5)
+    assert nh_8 <= 8
+    # bands without num_hashes is underdetermined -> error, not a guess
+    with pytest.raises(ValueError):
+        D.resolve_banding(None, 16, 0.5)
+
+
+def test_hamming_plan_defaults_to_classic_pigeonhole():
+    """Unknown corpus size (and fixture-scale sizes) -> the classic
+    radius+1 split, i.e. exactly the shipped d05 designs."""
+    from kaylee_spark.operators.lsh_planner import hamming_plan
+
+    plan = hamming_plan(3, 62)
+    assert (plan.blocks, plan.tables) == (4, 4)
+    assert hamming_plan(6, 62).blocks == 7  # d05's max_hamming=6 design
+    assert hamming_plan(3, 62, n_docs=5_000).blocks == 4
+
+
+def test_hamming_plan_deepens_at_scale():
+    """At 10^9 docs the collision term dominates: the planner must
+    move to deeper blocking (longer keys, more tables) and that design
+    must genuinely beat the classic one under the same cost model."""
+    from kaylee_spark.operators.lsh_planner import hamming_plan
+
+    n = 10**9
+    deep = hamming_plan(3, 62, n_docs=n)
+    assert deep.blocks > 4
+    assert deep.keyed_bits > 15
+    classic_cost = 4 * n + 4 * (n * (n - 1) / 2) / 2**15
+    assert deep.cost < classic_cost / 100
+    # recall is structural (pigeonhole), not probabilistic: every
+    # design the planner can emit keys C(blocks, radius) wildcards
+    assert deep.tables == __import__("math").comb(deep.blocks, 3)
+    with pytest.raises(ValueError):
+        hamming_plan(-1, 62)
+    with pytest.raises(ValueError):
+        hamming_plan(70, 62)
+
+
 def test_signlsh_plan_reproduces_shipped_s02_config():
     """The shipped ANN config (4 planes x 12 tables, 1-bit probe) is
     the planner's own choice at recall 0.9999 / cosine 0.45 / 48 bits

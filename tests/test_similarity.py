@@ -42,6 +42,20 @@ def test_lsh_ann_recall(spark, sf_dir):
     assert recall >= 0.6, f"ANN recall {recall}"
 
 
+def test_lsh_bucketed_topk_rejects_half_pinned_config(spark):
+    """(p, L) only make sense as a pair: pinning one and leaving the
+    other None used to silently re-plan BOTH, discarding the pinned
+    value — it must raise instead."""
+    import pytest
+
+    corpus = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    queries = spark.createDataFrame([(100, [1.0, 0.0])], ["query_id", "embedding"])
+    with pytest.raises(ValueError, match="n_planes and n_tables"):
+        S.lsh_bucketed_topk(corpus, queries, n_planes=4, n_tables=None, dim=2)
+    with pytest.raises(ValueError, match="n_planes and n_tables"):
+        S.lsh_bucketed_topk(corpus, queries, n_planes=None, n_tables=4, dim=2)
+
+
 def test_ivf_ann_recall(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
