@@ -214,11 +214,15 @@ def e04_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n_dups
     FROM events GROUP BY user_id, event_type
     """,
+    extra=True,
 )
 def e05_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stateful-dedup analog: first event per
     (user, type). The streaming twin (dropDuplicatesWithinWatermark)
-    is exercised in tests/test_streaming.py."""
+    is exercised in tests/test_streaming.py. Extra-tier since round 9:
+    the capability is driver-covered by e18's true streamed dedup
+    drain, freeing the driver slot for m05's stream≡batch datafn
+    claim (VERDICT r8 item 5)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id", "event_type").agg(
         F.min("event_id").alias("first_event_id"), F.count("*").alias("n_dups")

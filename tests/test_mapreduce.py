@@ -165,6 +165,29 @@ def test_pydatasource_filter_prunes_partitions(spark):
         spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
 
 
+def test_m06_pushdown_query_leaves_conf_restored(spark):
+    """m06 plans the pushdown read inside a set/restore conf bracket:
+    after the query function returns, the session conf must be back to
+    its prior value AND the returned frame must still execute (the
+    filterPushdown conf is consumed at plan time, not execution time —
+    this is exactly the driver's collect-after-return flow)."""
+    from kaylee_spark.queries.mapreduce import m06_pushdown_datafn_wordcount
+    from kaylee_spark.sources.pydatasource import words_for
+
+    key = "spark.sql.python.filterPushdown.enabled"
+    before = spark.conf.get(key)
+    out = m06_pushdown_datafn_wordcount(spark, "unused")
+    assert spark.conf.get(key) == before  # bracket restored it
+    counts = {r["word"]: r["n"] for r in out.collect()}  # executes post-restore
+    # exactly split 3's slice: 1000 lines x 6 words
+    assert sum(counts.values()) == 6000
+    expect = {}
+    for k in range(3000, 4000):
+        for w in words_for(k).split(" "):
+            expect[w] = expect.get(w, 0) + 1
+    assert counts == expect
+
+
 def test_pydatasource_stream_equals_batch(spark):
     """The streaming datafn source must emit bit-identical records to
     the batch scan of the same domain (kaylee's one-record-per-tick
