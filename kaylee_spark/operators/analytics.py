@@ -972,3 +972,83 @@ def psi_score_pivot(pivot: DataFrame, ref_day: str, n_bins: int) -> DataFrame:
     return days.join(F.broadcast(ref), "grp").selectExpr(
         "grp", "CAST(day AS STRING) AS day", "na", "nb", *psi_final_exprs(n_bins)
     )
+
+
+def heavy_hitters(
+    items: DataFrame,
+    item_col: str,
+    min_share_ppm: int,
+    k: int | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters (every item whose share of all rows is at
+    least ``min_share_ppm`` parts-per-million) in two passes with
+    bounded memory — the 100 TB alternative to a full-domain groupBy
+    when the item domain (tokens, URLs, n-grams) is astronomically
+    larger than the heavy set.
+
+    Pass 1 — candidates: each partition streams its Arrow batches
+    through a Misra-Gries summary of ``k`` counters (per-batch
+    vectorized value_counts folded into the dict; when the dict
+    exceeds k, the (k+1)-th largest count is subtracted from every
+    counter and non-positive ones drop — the mergeable-summaries
+    trim). MG's undercount is at most n_p/(k+1) per partition, so any
+    item with global count > n/(k+1) keeps a positive counter in at
+    least one partition summary: with k >= 1e6/min_share_ppm the union
+    of summaries is a SUPERSET of the true heavy set, regardless of
+    row order (the default k plans 2x that floor). Memory is O(k) per
+    partition; the shuffle after pass 1 carries at most
+    k * num_partitions candidate items, never the domain.
+
+    Pass 2 — exactness: a broadcast semi-join restricts the corpus to
+    candidate items, one map-side-combined count per candidate, and
+    the exact integer threshold ``cnt * 1e6 >= ppm * n`` keeps the
+    true heavies. False candidates from pass 1 are filtered HERE, so
+    the OUTPUT is exact and deterministic even though the candidate
+    extras depend on partitioning — which is what lets a plain
+    GROUP BY / HAVING oracle hash-verify the sketch path (t27).
+
+    ``items`` is a frame whose ``item_col`` holds string items; the
+    total n is the number of non-null rows. Returns (item, cnt).
+    """
+    import math
+
+    import pandas as pd
+
+    if not 0 < min_share_ppm <= 1_000_000:
+        raise ValueError("min_share_ppm must be in (0, 1e6]")
+    floor_k = math.ceil(1_000_000 / min_share_ppm)
+    if k is None:
+        k = max(16, 2 * floor_k)
+    elif k < floor_k:
+        raise ValueError(
+            f"k={k} cannot guarantee recall at {min_share_ppm} ppm "
+            f"(needs k >= {floor_k}: MG undercount is n/(k+1))"
+        )
+    src = items.select(F.col(item_col).alias("item")).filter(F.col("item").isNotNull())
+
+    def mg_summaries(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf["item"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                dec = sorted(counters.values(), reverse=True)[k]
+                counters = {i: c - dec for i, c in counters.items() if c > dec}
+        yield pd.DataFrame({"item": pd.array(list(counters), dtype="string")})
+
+    cands = src.mapInPandas(mg_summaries, "item string").distinct()
+    # total is a single scalar — fold it into a literal (the 1-row
+    # scalar-attach frame compiles to a BNLJ otherwise)
+    total = src.count()
+    return (
+        src.join(F.broadcast(cands), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # both literals cast to BIGINT first: INT x INT overflows ANSI
+        # Spark once ppm * n exceeds 2^31 (~2k rows at 1e6 ppm)
+        .filter(
+            F.col("cnt") * F.lit(1_000_000).cast("bigint")
+            >= F.lit(int(min_share_ppm)).cast("bigint") * F.lit(int(total)).cast("bigint")
+        )
+        .select("item", "cnt")
+    )

@@ -910,3 +910,52 @@ def t26_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment + ONE map-side-combined aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     return T.shard_manifest(docs, "doc_id", "text", n_shards=16)
+
+
+@query(
+    "t27_heavy_phrases",
+    oracle="""
+    WITH toks AS (
+        SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    uni AS (SELECT UNNEST(t) AS phrase FROM toks),
+    bi AS (
+        SELECT t[i] || ' ' || t[i+1] AS phrase
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    all_p AS (SELECT phrase FROM uni UNION ALL SELECT phrase FROM bi),
+    tot AS (SELECT COUNT(*) AS n FROM all_p)
+    SELECT phrase, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM all_p
+    GROUP BY phrase
+    HAVING COUNT(*) * 1000000 >= 10000 * (SELECT n FROM tot)
+    """,
+    extra=True,
+)
+def t27_heavy_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters over the phrase domain (unigrams +
+    bigrams): every phrase holding >= 1% of all phrase occurrences,
+    via the two-pass bounded-memory sketch
+    (operators/analytics.heavy_hitters) — per-partition Misra-Gries
+    summaries (k=200 counters, genuinely trimming here: the fixture
+    realizes ~950 distinct phrases) build a guaranteed candidate
+    superset, then one broadcast-semi-joined exact count applies the
+    integer threshold. The output is EXACT (pass-2 filters every
+    false candidate), which is why a plain GROUP BY / HAVING oracle
+    hash-verifies the sketch path — same gate idea as a02's
+    sketch-within-bound booleans, but here the sketch's answer IS the
+    exact answer. At 100 TB this is how "which tokens/URLs/domains
+    exceed 0.01% of the corpus" runs without shuffling a
+    trillion-item domain: the one full-width exchange carries only
+    candidates (<= k x partitions rows)."""
+    from kaylee_spark.operators.analytics import heavy_hitters
+    from kaylee_spark.operators.text import positional_grams, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    uni = docs.select(F.explode(toks).alias("phrase"))
+    bi = docs.select(F.explode(positional_grams(toks, 2)).alias("phrase"))
+    items = uni.unionByName(bi)
+    out = heavy_hitters(items, "phrase", min_share_ppm=10_000, k=200)
+    return out.select(F.col("item").alias("phrase"), "cnt")

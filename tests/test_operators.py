@@ -1031,3 +1031,30 @@ def test_aqe_skew_join_engages_on_forced_shuffle(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_heavy_hitters_exact_under_forced_trimming(spark):
+    """The two-pass MG heavy hitter must return the EXACT heavy set
+    even when pass-1 trimming genuinely engages: 1002 distinct items
+    vs k=20 counters, heavies spread across partitions by round-robin
+    (the adversarial layout — every partition summary must carry them
+    through its trims)."""
+    import pytest
+
+    from kaylee_spark.operators.analytics import heavy_hitters
+
+    lights = spark.range(1000).select(F.concat(F.lit("u"), F.col("id")).alias("item"))
+    h1 = spark.range(500).select(F.lit("h1").alias("item"))
+    h2 = spark.range(300).select(F.lit("h2").alias("item"))
+    items = lights.unionByName(h1).unionByName(h2).repartition(7)
+    # n = 1800; 10% share -> threshold 180 -> exactly {h1: 500, h2: 300}
+    got = {
+        (r["item"], r["cnt"])
+        for r in heavy_hitters(items, "item", min_share_ppm=100_000, k=20).collect()
+    }
+    assert got == {("h1", 500), ("h2", 300)}
+    # k below the recall floor (1e6/ppm) is refused, not silently lossy
+    with pytest.raises(ValueError, match="recall"):
+        heavy_hitters(items, "item", min_share_ppm=100_000, k=5)
+    with pytest.raises(ValueError, match="ppm"):
+        heavy_hitters(items, "item", min_share_ppm=0)
