@@ -82,6 +82,7 @@ SHOWCASE = [
     # plan shows only the checkpointed label frame
     ("g07_label_propagation", "label propagation: checkpointed label frames, per-round count + rank on one node-keyed exchange"),
     ("w07_gini_concentration", "gini: rank window and 3-scalar close share ONE nation-keyed exchange"),
+    ("t27_heavy_phrases", "heavy hitters: MG candidate sketch in mapInPandas, broadcast semi-join, exact count — the one exchange carries candidates only"),
 ]
 
 

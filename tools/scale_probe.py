@@ -161,6 +161,11 @@ PROBE_QUERIES = (
     "q31_dormant_rich_customers",
     "e31_psi_timeline",
     "d20_bloom_prescreen",
+    # round-9 addition. t27 over the x10 corpus: every phrase count
+    # scales 10x so every SHARE is invariant — the heavy set must be
+    # IDENTICAL at x10 while the MG pass-1 summaries see 10x the rows
+    # (trim pressure grows for real; pass-2 exactness must hold).
+    "t27_heavy_phrases",
 )
 
 
