@@ -158,9 +158,14 @@ def m05_stream_datafn_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8 state keys total — see _drain_staged_stream's sizing note
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
+        # 4 micro-batches over the same 8000-row domain: enough batches
+        # to exercise real offset advancement (the incremental contract
+        # m05 exists to prove), without paying 8x the fixed per-batch
+        # planning + state-commit floor in the bench window (measured
+        # ~0.35 s/batch; the restart tests use their own finer batching)
         stream = (
             spark.readStream.format("kaylee_datafn")
-            .option("rows_per_batch", 1000)
+            .option("rows_per_batch", 2000)
             .option("max_rows", 8000)
             .load()
         )
