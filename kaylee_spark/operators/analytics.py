@@ -1007,6 +1007,13 @@ def heavy_hitters(
     extras depend on partitioning — which is what lets a plain
     GROUP BY / HAVING oracle hash-verify the sketch path (t27).
 
+    The total row count n rides the pass-1 summaries (one meta row per
+    partition), so the whole operator is exactly TWO scans of the item
+    frame — on a 100 TB corpus whose items come from an explode, a
+    separate count() would be a third full explode pass. The summary
+    frame is cached: it is droplet-sized (<= (k+1) x partitions rows)
+    and read twice (the total aggregate and the candidate broadcast).
+
     ``items`` is a frame whose ``item_col`` holds string items; the
     total n is the number of non-null rows. Returns (item, cnt).
     """
@@ -1028,18 +1035,28 @@ def heavy_hitters(
 
     def mg_summaries(batches):
         counters: dict = {}
+        n_rows = 0
         for pdf in batches:
+            n_rows += len(pdf)
             for v, c in pdf["item"].value_counts().items():
                 counters[v] = counters.get(v, 0) + int(c)
             if len(counters) > k:
                 dec = sorted(counters.values(), reverse=True)[k]
                 counters = {i: c - dec for i, c in counters.items() if c > dec}
-        yield pd.DataFrame({"item": pd.array(list(counters), dtype="string")})
+        # counter rows carry n_part=0; ONE meta row (item null) carries
+        # the partition's row count — total n needs no extra scan
+        yield pd.DataFrame(
+            {
+                "item": pd.array(list(counters) + [None], dtype="string"),
+                "n_part": [0] * len(counters) + [n_rows],
+            }
+        )
 
-    cands = src.mapInPandas(mg_summaries, "item string").distinct()
+    summ = src.mapInPandas(mg_summaries, "item string, n_part long").cache()
     # total is a single scalar — fold it into a literal (the 1-row
     # scalar-attach frame compiles to a BNLJ otherwise)
-    total = src.count()
+    total = int(summ.agg(F.sum("n_part")).first()[0] or 0)
+    cands = summ.filter(F.col("item").isNotNull()).select("item").distinct()
     return (
         src.join(F.broadcast(cands), "item", "left_semi")
         .groupBy("item")
