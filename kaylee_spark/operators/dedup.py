@@ -1127,10 +1127,15 @@ def probe_lsh_index(
     Indexes written before metadata existed fall back to
     resolve_banding — which must then match the write-time config.
     """
+    from pyspark.errors import AnalysisException
+
     try:
         meta = spark.read.parquet(f"{path}/meta").first()
-    except Exception:
-        meta = None  # pre-metadata index layout
+    except AnalysisException:
+        # PATH_NOT_FOUND: a pre-metadata index layout — legacy fallback.
+        # Anything else (corrupt/unreadable meta) must raise: silently
+        # re-deriving banding is the bug this metadata exists to kill.
+        meta = None
     if meta is not None:
         if num_hashes is not None and num_hashes != meta["num_hashes"]:
             raise ValueError(
