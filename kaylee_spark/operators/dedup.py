@@ -743,9 +743,18 @@ def dedup_clusters(
     document (singletons are their own cluster).
 
     ``edges`` picks the pair stage:
-    - "lsh" (default): banded-MinHash candidates + exact-Jaccard
-      verify (minhash_lsh_verified_pairs) — the 100 TB pipeline shape;
-      with the recall-1.0 banding config the edge set EQUALS the exact
+    - "auto": lsh_planner.plan_dedup_edges stages the pipeline from
+      the corpus's df histogram (one extra shingle scan into a
+      droplet-sized aggregate): exact inverted-index while its
+      Sigma C(df,2) candidate volume stays below the LSH path's fixed
+      signature cost, banded LSH once shingle sharing makes the exact
+      join explode — SURVEY §4.2's "dedup-pipeline staging" decision,
+      made from measured quantities, not a guess. Both stages emit
+      the same edge set (recall-1.0 banding), so the choice never
+      changes the output — only the cost.
+    - "lsh": banded-MinHash candidates + exact-Jaccard verify
+      (minhash_lsh_verified_pairs) — the 100 TB pipeline shape; with
+      the recall-1.0 banding config the edge set EQUALS the exact
       one (asserted in tests/test_dedup.py), so clustering output is
       unchanged while the pair stage cost scales with candidates, not
       corpus².
@@ -758,6 +767,17 @@ def dedup_clusters(
     both the candidate joins and the iterative loop (see
     connected_components for the sizing argument).
     """
+    if edges not in ("auto", "lsh", "exact"):
+        raise ValueError(f"edges must be 'auto', 'lsh', or 'exact' (got {edges!r})")
+    if edges == "auto":
+        from kaylee_spark.operators.lsh_planner import (
+            plan_dedup_edges,
+            shingle_df_histogram,
+        )
+
+        sh = hashed_shingles(df, id_col, text_col, n).withColumnRenamed("sh64", "shingle")
+        hist = shingle_df_histogram(sh)  # one scan; the result is droplet-sized
+        edges = plan_dedup_edges(hist, n_docs=df.count(), threshold=threshold).stage
     if edges == "lsh":
         pairs = minhash_lsh_verified_pairs(df, id_col, text_col, n=n, threshold=threshold)
     else:

@@ -3,7 +3,7 @@ for custom optimizer work in this engine (everything relational is
 Catalyst's job; LSH banding/table choice is a *library-level* cost
 decision Spark cannot make for us).
 
-Four pure planners, no Spark dependency, fully deterministic:
+Five pure planners, no Spark dependency, fully deterministic:
 
 - ``minhash_plan``      — (bands, rows) for banded MinHash from the
                           standard S-curve P(candidate) = 1-(1-s^r)^b.
@@ -18,8 +18,11 @@ Four pure planners, no Spark dependency, fully deterministic:
                           index exact-Jaccard (d03/d12/d16), chosen
                           from a df histogram so the Sigma df^2
                           candidate-pair bound stays inside a budget.
+- ``plan_dedup_edges``  — pipeline STAGING for near-dup clustering
+                          (d06): exact inverted-index vs LSH+verify,
+                          decided from the same df histogram.
 
-All four minimize *downstream verified work* (candidate volume)
+All five minimize *downstream verified work* (candidate volume)
 subject to a recall floor at the caller's threshold — the objective
 that matters at 100 TB, where every surviving candidate pays an exact
 verification join. Outputs are recorded per-query in docs/SCALE.md.
@@ -311,6 +314,71 @@ def plan_max_df(
         if candidate_pairs_bound(df_histogram, df) <= pair_budget:
             chosen = max(chosen, df)
     return chosen, candidate_pairs_bound(df_histogram, chosen)
+
+
+@dataclass(frozen=True)
+class EdgePlan:
+    """A dedup-pipeline staging decision (SURVEY §4.2's second named
+    candidate: 'dedup-pipeline staging'): which pair stage feeds the
+    clustering — the exact inverted-index join or banded MinHash +
+    exact verify."""
+
+    stage: str  # "exact" | "lsh"
+    exact_pairs: int  # capped Sigma C(df,2): the exact path's candidate volume
+    lsh_extra_rows: float  # LSH's extra shuffled rows vs the exact path
+    num_hashes: int
+    bands: int
+
+
+def plan_dedup_edges(
+    df_histogram: list[tuple[int, int]],
+    n_docs: int = 0,
+    threshold: float = 0.5,
+    target_recall: float = 0.99,
+    max_hashes: int = 64,
+    max_df: int | None = None,
+) -> EdgePlan:
+    """Stage the near-dup pipeline: exact inverted-index Jaccard or
+    banded-MinHash + exact verify, chosen from the SAME droplet-sized
+    df histogram plan_max_df reads (|distinct df| rows at any scale).
+
+    The unit is SHUFFLED ROWS — both pipelines scan and exchange the
+    (doc, shingle) postings; they differ in:
+
+    - exact: every same-shingle pair reaches the verify stage —
+      Sigma_g C(df_g, 2) extra rows (capped at ``max_df``), the
+      quantity candidate_pairs_bound computes exactly (unit-tested
+      against the real join size). Quadratic in df: one shingle shared
+      by 1M docs alone contributes 5e11 rows.
+    - LSH: one extra postings pass (the signature aggregate) plus
+      n_docs x bands banded rows, then verify over only the banded
+      candidates (measured 6.5x below the exact pair volume already at
+      the x10 probe; the gap widens with df since banding is
+      corpus-size-linear). True near-dup pairs pay verify in BOTH
+      pipelines and cancel out of the comparison.
+
+    So: exact iff its pair bound undercuts LSH's extra fixed volume
+    (one postings pass + the banded rows). MEASURED caveat (round 9,
+    BASELINE.md): at droplet scale (5k docs, sf0.1) the two pipelines
+    land within stage-floor noise of each other (exact 2.7-3.5 s vs
+    LSH 2.4-2.9 s warm) — the decision only MATTERS in the explosive
+    regime, where it is always "lsh"; that is why d06 ships the
+    scale-safe LSH stage unconditionally and "auto" exists as the
+    operator-level option. Banding comes from minhash_plan at
+    ``threshold``.
+    """
+    plan = minhash_plan(threshold, target_recall=target_recall, max_hashes=max_hashes)
+    cap = max_df if max_df is not None else max((df for df, _ in df_histogram), default=2)
+    exact_pairs = candidate_pairs_bound(df_histogram, cap)
+    postings = sum(df * n for df, n in df_histogram)
+    lsh_extra = float(postings + n_docs * plan.bands)
+    return EdgePlan(
+        stage="exact" if exact_pairs <= lsh_extra else "lsh",
+        exact_pairs=exact_pairs,
+        lsh_extra_rows=lsh_extra,
+        num_hashes=plan.num_hashes,
+        bands=plan.bands,
+    )
 
 
 def shingle_df_histogram(sh) -> list[tuple[int, int]]:

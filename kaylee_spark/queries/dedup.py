@@ -292,6 +292,18 @@ def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pinned to 8 shuffle partitions, sized to the fixture pair graph
     (labels are exact min-propagation, width-independent — see
     connected_components).
+
+    Pipeline staging (SURVEY §4.2's second named optimizer candidate)
+    is available as ``edges="auto"`` (lsh_planner.plan_dedup_edges:
+    exact inverted-index iff its Sigma C(df,2) volume undercuts LSH's
+    extra postings pass + banded rows). d06 SHIPS the LSH stage
+    unconditionally, deliberately: round-9 measurement (BASELINE.md)
+    found the two stages within stage-floor noise at fixture scale
+    (exact 2.7-3.5 s vs LSH 2.4-2.9 s warm — the round-2 '~2 s slower'
+    note is stale after the shingle rewrites), so the shipped shape is
+    the one that survives the explosive-df regime at 100 TB. Both
+    stages emit the identical edge set (recall-1.0 banding, asserted
+    in tests), so the oracle is valid for either.
     """
     return D.dedup_clusters(
         load_table(spark, sf_dir, "documents"),
@@ -299,6 +311,7 @@ def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         n=3,
         threshold=0.5,
+        edges="lsh",
         shuffle_partitions=8,
     )
 

@@ -274,9 +274,40 @@ def test_dedup_clusters_lsh_equals_exact_edges(spark, sf_dir):
     lsh = {(r.doc, r.cluster) for r in D.dedup_clusters(docs, "doc_id", "text", edges="lsh").collect()}
     exact = {(r.doc, r.cluster) for r in D.dedup_clusters(docs, "doc_id", "text", edges="exact").collect()}
     assert lsh == exact
+    # the staged path (d06's shipped config) equals both by construction
+    auto = {(r.doc, r.cluster) for r in D.dedup_clusters(docs, "doc_id", "text", edges="auto").collect()}
+    assert auto == exact
+    import pytest
+
+    with pytest.raises(ValueError, match="edges"):
+        D.dedup_clusters(docs, "doc_id", "text", edges="fastest")
 
 
-def test_jaccard_max_df_cap(spark):
+def test_plan_dedup_edges_stages_by_histogram(spark, sf_dir):
+    """plan_dedup_edges must pick the pipeline with the smaller
+    measurable work: exact on the real documents fixture (clean corpus,
+    Sigma C(df,2) far under the signature cost — the round-2 measured
+    crossover), LSH on a boilerplate-heavy histogram where the exact
+    join explodes. Pure decision both ways, validated on the real
+    fixture's histogram."""
+    from kaylee_spark.operators.lsh_planner import (
+        plan_dedup_edges,
+        shingle_df_histogram,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.hashed_shingles(docs, "doc_id", "text", 3).withColumnRenamed("sh64", "shingle")
+    hist = shingle_df_histogram(sh)
+    fixture_plan = plan_dedup_edges(hist, n_docs=docs.count(), threshold=0.5)
+    assert fixture_plan.stage == "exact"
+    assert fixture_plan.exact_pairs <= fixture_plan.lsh_extra_rows
+
+    # 100k docs all sharing 200 boilerplate shingles + a light tail:
+    # the exact join's Sigma C(df,2) dwarfs LSH's extra fixed volume
+    hot = [(100_000, 200), (2, 50_000)]
+    hot_plan = plan_dedup_edges(hot, n_docs=100_000, threshold=0.5)
+    assert hot_plan.stage == "lsh"
+    assert hot_plan.exact_pairs > hot_plan.lsh_extra_rows
     """max_df drops only hot shingles: with the cap above every
     document frequency the result is identical to the exact metric,
     and with a tight cap a planted boilerplate shingle shared by ALL
