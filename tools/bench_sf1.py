@@ -44,9 +44,20 @@ FIXTURE = "/tmp/kaylee_sf1"
 
 #: scale_probe's fact tables + embeddings (vec_id offset keeps ids
 #: unique so ANN bucket occupancy grows for real instead of stacking
-#: 10 identical vectors in every bucket)
+#: 10 identical vectors in every bucket). Unlike scale_probe, customer
+#: ALSO gets a key offset: the probe deliberately keeps duplicate
+#: custkeys (w07's rank-tie stress depends on the fan-out), but for a
+#: TIMED tier a PK-violating dimension makes every orders⋈customer
+#: join x10 super-linear by construction (measured round 9: q26 32x,
+#: q03 13.6x — fixture artifact, not plan). Offset copies never join
+#: (orders reference the original keys), so the join stays PK-clean
+#: and fact-side ratios mean what they look like.
 BENCH_MULTIPLIED = tuple(MULTIPLIED) + ("embeddings",)
-BENCH_ID_OFFSET = dict(ID_OFFSET, embeddings=("vec_id", 1_000_000))
+BENCH_ID_OFFSET = dict(
+    ID_OFFSET,
+    embeddings=("vec_id", 1_000_000),
+    customer=("c_custkey", 10_000_000),
+)
 
 
 def newest_baseline() -> str | None:
