@@ -107,6 +107,16 @@ def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
     return spark.read.options(**options).orc(path)
 
 
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row", **options) -> DataFrame:
+    """XML source — NATIVE in Spark 4 (the former spark-xml package
+    moved into core; probed working in this build, unlike avro whose
+    external module is not deployed — docs/COVERAGE.md §5). ``rowTag``
+    names the repeating element that becomes a row; schema inference
+    or an explicit ``schema`` option work like the JSON reader. The
+    interchange format when upstream is SOAP/feeds/config dumps."""
+    return spark.read.option("rowTag", row_tag).options(**options).format("xml").load(path)
+
+
 def read_binary_files(
     spark: SparkSession, path: str, glob: str | None = None, recursive: bool = False
 ) -> DataFrame:

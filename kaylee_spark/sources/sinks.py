@@ -88,6 +88,27 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite", **options) -> 
     df.write.mode(mode).options(**options).json(path)
 
 
+def write_xml(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    **options,
+) -> None:
+    """XML sink (native in Spark 4 — see sources.read_xml). Row-
+    oriented interchange like csv/json: no pushdown, no stats — for
+    handing data to XML-consuming systems, not for analytics."""
+    (
+        df.write.mode(mode)
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .options(**options)
+        .format("xml")
+        .save(path)
+    )
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,
