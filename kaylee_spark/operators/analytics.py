@@ -1056,7 +1056,16 @@ def heavy_hitters(
     # total is a single scalar — fold it into a literal (the 1-row
     # scalar-attach frame compiles to a BNLJ otherwise)
     total = int(summ.agg(F.sum("n_part")).first()[0] or 0)
-    cands = summ.filter(F.col("item").isNotNull()).select("item").distinct()
+    # Candidates are droplet-sized (<= k x partitions): pull them to
+    # the driver and rebuild the broadcast side as a literal frame so
+    # the returned plan holds no reference to the cached summary —
+    # which can then be released HERE instead of leaking a cached RDD
+    # per call for the session lifetime.
+    cand_rows = (
+        summ.filter(F.col("item").isNotNull()).select("item").distinct().collect()
+    )
+    summ.unpersist()
+    cands = items.sparkSession.createDataFrame(cand_rows, "item string")
     return (
         src.join(F.broadcast(cands), "item", "left_semi")
         .groupBy("item")

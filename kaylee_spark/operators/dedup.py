@@ -504,11 +504,15 @@ def resolve_banding(
     signature budget — the SURVEY §4.2 optimizer decision, made once
     at plan time from pure S-curve arithmetic.
 
-    Half-pinned configs are honored, not silently re-planned: a pinned
-    ``num_hashes`` with ``bands=None`` becomes the planner's signature
-    budget (the 128-hash caller gets a 128-hash plan, not the 64
-    default); a pinned ``bands`` without ``num_hashes`` is an error —
-    bands alone does not determine a row count."""
+    Half-pinned configs are honored as constraints, not silently
+    re-planned: a pinned ``num_hashes`` with ``bands=None`` becomes
+    the planner's signature BUDGET CEILING — the 128-hash caller's
+    plan is chosen within 128 hashes instead of the 64 default, but
+    the planner may use fewer if a shorter signature already meets
+    the recall floor (callers that must bake an exact signature
+    length, e.g. write_lsh_index, should pin both); a pinned
+    ``bands`` without ``num_hashes`` is an error — bands alone does
+    not determine a row count."""
     if num_hashes is None and bands is None:
         from kaylee_spark.operators.lsh_planner import minhash_plan
 
@@ -737,6 +741,7 @@ def dedup_clusters(
     threshold: float = 0.5,
     edges: str = "lsh",
     shuffle_partitions: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Full near-dup clustering: Jaccard pairs above ``threshold``
     -> connected components -> (doc, cluster, is_canonical) for every
@@ -745,7 +750,10 @@ def dedup_clusters(
     ``edges`` picks the pair stage:
     - "auto": lsh_planner.plan_dedup_edges stages the pipeline from
       the corpus's df histogram (one extra shingle scan into a
-      droplet-sized aggregate): exact inverted-index while its
+      droplet-sized aggregate, plus — when no ``n_docs`` hint is
+      given — a count job on the corpus frame; at scale pass
+      ``n_docs`` from catalog statistics, same as simhash_pairs, so
+      planning reads no data at all): exact inverted-index while its
       Sigma C(df,2) candidate volume stays below the LSH path's fixed
       signature cost, banded LSH once shingle sharing makes the exact
       join explode — SURVEY §4.2's "dedup-pipeline staging" decision,
@@ -777,7 +785,9 @@ def dedup_clusters(
 
         sh = hashed_shingles(df, id_col, text_col, n).withColumnRenamed("sh64", "shingle")
         hist = shingle_df_histogram(sh)  # one scan; the result is droplet-sized
-        edges = plan_dedup_edges(hist, n_docs=df.count(), threshold=threshold).stage
+        if n_docs is None:
+            n_docs = df.count()  # avoidable: pass n_docs from catalog stats
+        edges = plan_dedup_edges(hist, n_docs=n_docs, threshold=threshold).stage
     if edges == "lsh":
         pairs = minhash_lsh_verified_pairs(df, id_col, text_col, n=n, threshold=threshold)
     else:
@@ -989,10 +999,23 @@ def _hamming_pairs_blocked(
     dedup and the exact popcount verify mirror the shallow path.
     """
     import itertools
+    import math
 
     width = bits // blocks
     if width < 1:
         raise ValueError(f"blocks={blocks} exceeds bits={bits}")
+    # Same sanity ceiling hamming_plan enforces (max_tables=64): an
+    # explicitly pinned deep config like blocks=62, max_hamming=6
+    # would otherwise build C(62,6) ~ 6e7 structs PER ROW in the
+    # exploded array — a plan that never finishes compiling, let
+    # alone running.
+    n_tables = math.comb(blocks, max_hamming)
+    if n_tables > 64:
+        raise ValueError(
+            f"blocks={blocks}, max_hamming={max_hamming} needs "
+            f"C({blocks},{max_hamming})={n_tables} bucket tables "
+            "(> 64) — use hamming_plan to pick a feasible depth"
+        )
     a_id, b_id = f"{out_prefix}_a", f"{out_prefix}_b"
     block_mask = [((1 << width) - 1) << (j * width) for j in range(blocks)]
     subsets = list(itertools.combinations(range(blocks), max_hamming))
@@ -1151,10 +1174,14 @@ def probe_lsh_index(
 
     try:
         meta = spark.read.parquet(f"{path}/meta").first()
-    except AnalysisException:
+    except AnalysisException as e:
         # PATH_NOT_FOUND: a pre-metadata index layout — legacy fallback.
-        # Anything else (corrupt/unreadable meta) must raise: silently
-        # re-deriving banding is the bug this metadata exists to kill.
+        # Anything else (e.g. UNABLE_TO_INFER_SCHEMA from an empty or
+        # footerless meta dir left by an interrupted write_lsh_index)
+        # must raise: silently re-deriving banding is the bug this
+        # metadata exists to kill.
+        if e.getCondition() != "PATH_NOT_FOUND":
+            raise
         meta = None
     if meta is not None:
         if num_hashes is not None and num_hashes != meta["num_hashes"]:

@@ -109,6 +109,13 @@ def test_hamming_pairs_deep_blocking_matches_classic(spark):
     with pytest.raises(ValueError, match="completeness"):
         D.hamming_pairs(df, 3, 62, blocks=3)
 
+    # over-deep explicit designs are refused BEFORE plan construction:
+    # blocks=31, max_hamming=3 would need C(31,3)=4495 bucket tables
+    # (hamming_plan caps at 64) — an exploded array that size per row
+    # never finishes compiling
+    with pytest.raises(ValueError, match="bucket tables"):
+        D.hamming_pairs(df, 3, 62, blocks=31)
+
 
 def test_simhash_pairs_output_is_blocking_invariant(spark):
     """The n_docs hint changes only the plan, never the pair set."""
@@ -550,6 +557,26 @@ def test_lsh_index_write_probe_roundtrip(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="shingle n"):
         probe_lsh_index(spark, path, increment, "doc_id", "text", n=5)
+    # a meta dir that EXISTS but is unreadable (e.g. an interrupted
+    # write_lsh_index left it empty) must raise, not silently fall
+    # back to re-derived banding — only PATH_NOT_FOUND is the legacy
+    # pre-metadata layout
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
+    for f in os.listdir(f"{path}/meta"):
+        p = os.path.join(f"{path}/meta", f)
+        os.remove(p) if os.path.isfile(p) else shutil.rmtree(p)
+    with pytest.raises(AnalysisException):
+        probe_lsh_index(spark, path, increment, "doc_id", "text", n=3)
+    # a fully MISSING meta dir is the legacy layout: falls back to
+    # resolve_banding, which here re-derives the same 32x16 config
+    shutil.rmtree(f"{path}/meta")
+    legacy = probe_lsh_index(
+        spark, path, increment, "doc_id", "text", n=3, num_hashes=32, bands=16
+    ).collect()
+    assert {(r["doc_new"], r["doc_old"]) for r in legacy} == {(10, 1)}
 
 
 def test_leakage_free_split_keeps_near_dups_on_one_side(spark):
