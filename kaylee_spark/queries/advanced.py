@@ -178,6 +178,7 @@ def a04_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
            {oracle_dec_sum("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS R
     FROM lineitem GROUP BY l_linestatus
     """,
+    extra=True,
 )
 def a05_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT with explicit value list (explicit list avoids the extra
@@ -346,6 +347,7 @@ def a09_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
     GROUP BY n_nationkey
     """,
+    extra=True,
 )
 def a10_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic array aggregation: collect + sort (collect order
@@ -811,6 +813,51 @@ def a23_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a32_png_pixel_stats",
+    oracle="""
+    WITH imgs AS (
+        SELECT doc_id AS media_id, doc_id % 251 AS seed,
+               4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (
+        SELECT media_id, ch.c AS channel,
+               (seed + 3*xs.x + 5*ys.y + 11*ch.c) % 256 AS v
+        FROM imgs,
+             LATERAL (SELECT UNNEST(range(w)) AS x) xs,
+             LATERAL (SELECT UNNEST(range(h)) AS y) ys,
+             (SELECT UNNEST([0,1,2]) AS c) ch
+    )
+    SELECT media_id, CAST(channel AS INT) AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(MIN(v) AS INT) AS min_v,
+           CAST(MAX(v) AS INT) AS max_v
+    FROM px GROUP BY media_id, channel
+    """,
+    extra=True,
+)
+def a32_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIXEL-LEVEL image decode, end-to-end and hash-gated (closes the
+    last env-blocked decode stub for the one format stdlib can carry):
+    synth_png_media builds FULL PNGs — zlib-compressed IDAT, scanline
+    filters cycling through all five W3C types, CRC'd chunks — from
+    pure doc_id arithmetic, and decode_image_stats decodes them back
+    (operators/multimodal.png_decode_rgb: chunk walk -> decompress ->
+    per-filter unfilter) into per-channel integer statistics. The
+    oracle never sees a byte: it replays the pixel formula
+    (seed + 3x + 5y + 11c) % 256 over the (w, h) lattice, so the hash
+    only matches if compression, filtering, and reconstruction are
+    all exact. The stats shape (count/sum/extrema per channel) is the
+    mergeable form an image-corpus quality pass persists; at 100 TB
+    the decode stays inside Arrow batches, 3 output rows per image."""
+    from kaylee_spark.operators.multimodal import decode_image_stats, synth_png_media
+
+    media = synth_png_media(load_table(spark, sf_dir, "documents"))
+    return decode_image_stats(media)
+
+
+@query(
     "a24_spearman_corr",
     oracle="""
     WITH r AS (
@@ -1162,7 +1209,7 @@ def _ks_oracle() -> str:
     """
 
 
-@query("a30_ks_test", oracle=_ks_oracle(), extra=True)
+@query("a30_ks_test", oracle=_ks_oracle())
 def a30_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov distribution-shift test of
     every event type's value distribution against the 'view' control
@@ -1213,7 +1260,7 @@ def _psi_oracle() -> str:
     """
 
 
-@query("a31_psi_drift", oracle=_psi_oracle(), extra=True)
+@query("a31_psi_drift", oracle=_psi_oracle())
 def a31_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index drift monitor: each event type's
     value distribution in the first half of January vs the second,

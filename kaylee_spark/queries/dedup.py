@@ -779,7 +779,6 @@ def d17_corpus_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM occ JOIN support USING (win)
     GROUP BY doc
     """,
-    extra=True,
 )
 def d19_duplicate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-substring audit (Lee et al. 2022):

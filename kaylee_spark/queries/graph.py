@@ -345,7 +345,7 @@ def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
     """
 
 
-@query("g06_kcore_peel", oracle=_kcore_oracle(3, 3), extra=True)
+@query("g06_kcore_peel", oracle=_kcore_oracle(3, 3))
 def g06_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohesion decomposition of the REPEAT-trading graph (customer
     <-> supplier pairs with >= 2 distinct orders — the sparsified
@@ -398,7 +398,7 @@ def _lpa_oracle(rounds: int = 3) -> str:
     """
 
 
-@query("g07_label_propagation", oracle=_lpa_oracle(3), extra=True)
+@query("g07_label_propagation", oracle=_lpa_oracle(3))
 def g07_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the repeat-trading graph: three
     synchronous label-propagation rounds (plurality neighbor label,

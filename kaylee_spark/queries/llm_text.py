@@ -931,7 +931,6 @@ def t26_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY phrase
     HAVING COUNT(*) * 1000000 >= 10000 * (SELECT n FROM tot)
     """,
-    extra=True,
 )
 def t27_heavy_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT corpus heavy hitters over the phrase domain (unigrams +

@@ -182,7 +182,6 @@ def m05_stream_datafn_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "m06_pushdown_datafn_wordcount",
     oracle=_m04_oracle(only_split=3),
-    extra=True,
 )
 def m06_pushdown_datafn_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The datafn source's FILTER-PUSHDOWN path, runnable under the

@@ -262,6 +262,7 @@ def q16_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     GROUP BY c_count
     """,
+    extra=True,
 )
 def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13: outer join preserving empty groups, then a
@@ -406,6 +407,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
     )
     """,
+    extra=True,
 )
 def q20_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operator surface in one driver-verified query: INTERSECT
@@ -496,6 +498,7 @@ def q22_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
+    extra=True,
 )
 def q11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over two dims (all 4 grouping sets in one shuffle)."""
@@ -577,6 +580,7 @@ def q14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p_name LIKE '%a%'
     GROUP BY UPPER(SUBSTRING(p_type, 1, 5))
     """,
+    extra=True,
 )
 def q15_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function surface in one driver-verified query:
@@ -845,6 +849,7 @@ def q25_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE n1.n_name <> n2.n_name
     GROUP BY n1.n_name, n2.n_name, CAST(EXTRACT(year FROM l_shipdate) AS INT)
     """,
+    extra=True,
 )
 def q26_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: cross-border revenue by (supplier nation,

@@ -137,6 +137,7 @@ def e07_streamed_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     GROUP BY window_start
     """,
+    extra=True,
 )
 def e02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows: 1h length, 15m slide (each event in 4 windows)."""
@@ -169,7 +170,7 @@ _SESSION_ORACLE = """
     """
 
 
-@query("e03_session_window", oracle=_SESSION_ORACLE)
+@query("e03_session_window", oracle=_SESSION_ORACLE, extra=True)
 def e03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30m gap) per user — Spark's session_window;
     the oracle reproduces its semantics (a gap of exactly 30m starts a
@@ -730,9 +731,7 @@ def e25_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "e18_streamed_dedup",
-    oracle="SELECT DISTINCT user_id, event_type FROM events",
-    extra=True,
-)
+    oracle="SELECT DISTINCT user_id, event_type FROM events")
 def e18_streamed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE Structured-Streaming dedup: readStream ->
     dropDuplicates over (user_id, event_type) -> availableNow drain.
@@ -827,9 +826,7 @@ def e20_streamed_stateful_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents i
     WHERE doc_id % 10 = 0
       AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.seen = sha256(i.text))
-    """,
-    extra=True,
-)
+    """)
 def e21_streamed_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE streaming near-dup ingest — the daily 100 TB pipeline as
     one row: documents arrive as staged file deliveries (readStream),
@@ -1190,7 +1187,7 @@ def e31_psi_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_timeline(ev, "value", "event_type", "ts", "2024-01-01")
 
 
-@query("e32_streamed_psi_ingest", oracle=_psi_timeline_oracle(), extra=True)
+@query("e32_streamed_psi_ingest", oracle=_psi_timeline_oracle())
 def e32_streamed_psi_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The drift store fed by a TRUE stream: readStream -> daily
     tumbling (event_type, value-bin) counts (streaming/

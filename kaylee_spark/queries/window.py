@@ -72,6 +72,7 @@ def w01_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_orderkey
     FROM orders
     """,
+    extra=True,
 )
 def w02_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running aggregate over an explicit ROWS frame plus LAG/LEAD

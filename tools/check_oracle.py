@@ -6,6 +6,11 @@ given sf dir, then compares row count, schema shape, and values
 ints/strings/timestamps, exact-or-tiny-ulp report for doubles).
 
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+       [--main-only] [--vanilla]
+
+--vanilla runs the queries on a BARE SparkSession (no kaylee_spark
+session configs), exactly as the external driver does — the probe
+that proves get_spark's tuning is never load-bearing for correctness.
 """
 
 from __future__ import annotations
@@ -130,12 +135,18 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
     args = [a for a in sys.argv[1:] if not os.path.isdir(a)]
     main_only = "--main-only" in args
+    vanilla = "--vanilla" in args
     only = set(a for a in args if not a.startswith("--"))
     # default: verify the whole surface (driver-facing main registry
     # plus the locally-verified extra tier)
     registry = load_all() if main_only else load_everything()
     extra_names = set() if main_only else set(registry) - set(load_all())
-    spark = get_spark("check_oracle")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("check_oracle_vanilla").getOrCreate()
+    else:
+        spark = get_spark("check_oracle")
     con = duck_connection(sf_dir)
     n_pass = n_fail = n_rows_only = 0
     for name, spec in sorted(registry.items()):
