@@ -103,6 +103,23 @@ def main() -> None:
         timed_pass(unstable)
     timings = {name: min(s) for name, s in samples.items() if s}
 
+    # noise diagnostics (VERDICT r9 item 6): the min is the steady-state
+    # estimator, but a round-over-round comparison needs to know how
+    # noisy THIS run was — a uniform +7% drift across all queries is
+    # ambiguous without it. Emit per-query median and sample count, and
+    # one summary number: the median over queries of (median-min)/min,
+    # i.e. the typical half-spread this host showed during the run.
+    def _median(s: list[float]) -> float:
+        s = sorted(s)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else round((s[m - 1] + s[m]) / 2, 3)
+
+    medians = {name: _median(s) for name, s in samples.items() if s}
+    rel_spread = sorted(
+        (medians[n] - timings[n]) / timings[n] for n in timings if timings[n] > 0
+    )
+    spread_pct = round(100 * _median(rel_spread), 1) if rel_spread else 0.0
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "total_query_wall_seconds",
@@ -110,6 +127,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "passes": n_passes,
+        "queries_median": medians,
+        "samples_per_query": {name: len(s) for name, s in samples.items() if s},
+        "median_rel_spread_pct": spread_pct,
+        "precondition": "solo-JVM: per-query min of the passes; numbers are "
+        "only comparable across rounds when no other Spark JVM shares the host",
     }
     if errors:
         result["errors"] = errors
