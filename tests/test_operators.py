@@ -1058,3 +1058,108 @@ def test_heavy_hitters_exact_under_forced_trimming(spark):
         heavy_hitters(items, "item", min_share_ppm=100_000, k=5)
     with pytest.raises(ValueError, match="ppm"):
         heavy_hitters(items, "item", min_share_ppm=0)
+
+
+def test_png_codec_roundtrips_all_filters():
+    """Every W3C filter type must reconstruct exactly — the encoder
+    filters with TRUE pixel neighbors, the decoder predicts from its
+    own reconstruction, so an asymmetric bug in any branch corrupts
+    every scanline after the first."""
+    import numpy as np
+
+    from kaylee_spark.operators.multimodal import png_decode_rgb, png_encode_rgb
+
+    rng = np.random.RandomState(7)
+    for _ in range(10):
+        h, w = int(rng.randint(1, 20)), int(rng.randint(1, 20))
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        filters = [int(rng.randint(0, 5)) for _ in range(h)]
+        w2, h2, out = png_decode_rgb(png_encode_rgb(px, filters))
+        assert (w2, h2) == (w, h)
+        assert (out == px).all()
+    # single-filter images too (the prior-row state must carry per type)
+    px = rng.randint(0, 256, (6, 5, 3)).astype(np.uint8)
+    for f in range(5):
+        _, _, out = png_decode_rgb(png_encode_rgb(px, [f] * 6))
+        assert (out == px).all(), f"filter {f} asymmetric"
+
+
+def test_png_decode_rejects_corruption_and_unsupported():
+    import numpy as np
+    import pytest
+
+    from kaylee_spark.operators.multimodal import png_decode_rgb, png_encode_rgb
+
+    px = np.zeros((3, 3, 3), dtype=np.uint8)
+    enc = bytearray(png_encode_rgb(px))
+    # flip one IDAT byte -> CRC mismatch must raise, not decode garbage
+    enc[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|pixel|zlib|PNG"):
+        png_decode_rgb(bytes(enc))
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_decode_rgb(b"GIF89a" + b"\x00" * 20)
+    # 16-bit / palette / interlaced headers are refused loudly
+    good = png_encode_rgb(px)
+    import struct
+    import zlib
+
+    bad_ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 3, 0, 0, 0)  # palette
+    bad = (
+        good[:8]
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + bad_ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + bad_ihdr) & 0xFFFFFFFF)
+        + good[33:]
+    )
+    with pytest.raises(ValueError, match="truecolor"):
+        png_decode_rgb(bad)
+
+
+def test_real_decode_png_no_longer_stubbed():
+    """real_decode handles PNG end-to-end in stdlib; only non-PNG
+    formats remain env-blocked."""
+    import numpy as np
+    import pytest
+
+    from kaylee_spark.operators.multimodal import png_encode_rgb, real_decode
+
+    px = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+    w, h, out = real_decode(png_encode_rgb(px), "image")
+    assert (w, h) == (4, 3) and (out == px).all()
+    with pytest.raises(NotImplementedError):
+        real_decode(b"\xff\xd8\xff\xe0 jpeg bytes", "image")
+
+
+def test_decode_image_stats_matches_formula(spark, sf_dir):
+    """The a32 path: full-PNG fixture -> stdlib decode -> per-channel
+    integer stats == the generator's pixel arithmetic, computed
+    independently in numpy here (the oracle does it in SQL)."""
+    import numpy as np
+
+    from kaylee_spark.operators.multimodal import decode_image_stats, synth_png_media
+    from kaylee_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    stats = decode_image_stats(synth_png_media(docs)).collect()
+    assert stats, "no image rows decoded"
+    by_key = {(r["media_id"], r["channel"]): r for r in stats}
+    mids = {r["media_id"] for r in stats}
+    for mid in mids:
+        seed, w, h = mid % 251, 4 + mid % 13, 4 + mid % 11
+        x, y, c = np.arange(w), np.arange(h), np.arange(3)
+        px = (seed + 3 * x[None, :, None] + 5 * y[:, None, None] + 11 * c[None, None, :]) % 256
+        for ch in range(3):
+            r = by_key[(mid, ch)]
+            col = px[:, :, ch]
+            assert r["n_px"] == w * h
+            assert r["sum_v"] == int(col.sum())
+            assert r["min_v"] == int(col.min())
+            assert r["max_v"] == int(col.max())
+    # non-PNG payloads are skipped, not fatal
+    from pyspark.sql import functions as F
+
+    from kaylee_spark.operators.multimodal import synth_media_from_documents
+
+    mixed = synth_media_from_documents(docs)  # opaque text payloads
+    assert decode_image_stats(mixed).count() == 0
