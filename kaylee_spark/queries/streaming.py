@@ -210,6 +210,57 @@ def e04_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e33_variant_extract",
+    oracle=f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           COUNT(*) AS n_events,
+           {oracle_dec_sum('value')} AS total_value,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.absent') IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_absent
+    FROM events
+    GROUP BY CAST(json_extract_string(props, '$.k') AS INT) % 10
+    """,
+    extra=True,
+)
+def e33_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e04's semi-structured path on Spark 4 VariantType (VERDICT r9
+    item 4): ``parse_json`` parses each props string ONCE into the
+    binary variant encoding, and every subsequent access
+    (``try_variant_get`` with typed paths, including a missing-path
+    probe that must yield null) reads the binary form — vs
+    get_json_object's re-parse of the string per access. At 100 TB the
+    variant column is what you PERSIST (parquet writes the binary
+    form), so repeated extraction across queries never re-parses text;
+    probed working on this build's vanilla session (parse_json /
+    try_variant_get / schema_of_variant all functional). The oracle
+    replays every access with DuckDB's JSON functions on the raw
+    strings — same buckets, same typed values, same null handling."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    k_long = F.try_variant_get(v, "$.k", "long")
+    absent = F.try_variant_get(v, "$.absent", "string")
+    return (
+        ev.select(
+            (k % 10).alias("k_bucket"),
+            k_long.alias("k_long"),
+            absent.alias("absent"),
+            "value",
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            dec_sum("value").alias("total_value"),
+            F.min("k_long").alias("min_k"),
+            F.max("k_long").alias("max_k"),
+            F.count("absent").alias("n_absent"),
+        )
+    )
+
+
+@query(
     "e05_event_dedup",
     oracle="""
     SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n_dups
