@@ -124,6 +124,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = DEFAULT_MAX_DF,
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs from the inverted index.
 
@@ -158,8 +159,30 @@ def jaccard_pairs(
     test (tests/test_dedup.py) pins that behavior. ``max_df=None``
     opts out for the exact full-space metric on corpora known to be
     boilerplate-free.
+
+    ``pair_budget`` is the production knob for users who think in
+    join-cost, not document frequency: lsh_planner.plan_max_df reads
+    the corpus's df histogram (one droplet-sized aggregate over the
+    same cached postings) and picks the LARGEST cap whose Σ C(df,2)
+    candidate bound fits the budget — ``max_df`` is then ignored. The
+    planner's decision travels with the result as a ``budget_plan``
+    attribute ({pair_budget, max_df, predicted_pair_bound}) so a
+    pipeline can log exactly what the cap dropped. Users who want
+    bounded OUTPUT rather than bounded join cost should use
+    jaccard_topk_per_doc below.
     """
+    plan_meta = None
     sh = hashed_shingles(df, id_col, text_col, n).withColumnRenamed("sh64", "shingle")
+    if pair_budget is not None:
+        from kaylee_spark.operators.lsh_planner import plan_max_df, shingle_df_histogram
+
+        sh = sh.cache()
+        max_df, bound = plan_max_df(shingle_df_histogram(sh), pair_budget)
+        plan_meta = {
+            "pair_budget": int(pair_budget),
+            "max_df": int(max_df),
+            "predicted_pair_bound": int(bound),
+        }
     if max_df is not None:
         # cache the raw posting frame: the df-count pass and the capped
         # join both read it — uncached, the shingling scan runs twice
@@ -176,7 +199,7 @@ def jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
-    return (
+    out = (
         common.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_shingles", "size_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_shingles", "size_b"), "doc_b")
         .withColumn(
@@ -186,6 +209,59 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    if plan_meta is not None:
+        out.budget_plan = plan_meta
+    return out
+
+
+def jaccard_topk_per_doc(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 3,
+    max_df: int | None = DEFAULT_MAX_DF,
+    pair_budget: int | None = None,
+) -> DataFrame:
+    """Bounded-OUTPUT rung of the exact-pairs family: each document's
+    ``k`` most similar partners by capped n-gram Jaccard, instead of
+    every pair above a threshold. On a duplicated corpus the full pair
+    set is inherently quadratic in the duplication factor (d03's
+    measured 79x at x10 — no exact semantics can beat its own output
+    cardinality); a production user usually wants "who are this doc's
+    nearest neighbors", whose output is <= k rows per doc at ANY
+    corpus scale.
+
+    Plan: the same capped inverted-index candidate stage (optionally
+    budget-planned via ``pair_budget``, see jaccard_pairs), then the
+    pair set symmetrized and cut by a per-doc rank window — ties
+    broken (jaccard DESC, neighbor ASC) so the output is
+    deterministic. The window partitions by doc, so it shuffles the
+    PAIR set (already bounded by the cap/budget), never the corpus.
+
+    Output: (doc, neighbor, jaccard, rnk) with rnk in 1..k.
+    """
+    from pyspark.sql import Window
+
+    pairs = jaccard_pairs(
+        df, id_col, text_col, n=n, threshold=0.0, max_df=max_df, pair_budget=pair_budget
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("doc"), F.col("doc_b").alias("neighbor"), "jaccard"
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc"), F.col("doc_a").alias("neighbor"), "jaccard"
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("jaccard"), F.asc("neighbor"))
+    out = (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc", "neighbor", "jaccard", "rnk")
+    )
+    if getattr(pairs, "budget_plan", None) is not None:
+        out.budget_plan = pairs.budget_plan
+    return out
 
 
 def containment_pairs(
@@ -195,6 +271,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = DEFAULT_MAX_DF,
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """Asymmetric n-gram containment over candidate pairs from the
     inverted index: containment(src -> dst) = |S(src) ∩ S(dst)| /
@@ -222,8 +299,23 @@ def containment_pairs(
     similarity surface at all (server.py's MapReduce core); this and
     jaccard_pairs are part of the dedup family the absence list in
     SURVEY.md §2.3 prescribes.
+
+    ``pair_budget`` works as in jaccard_pairs: plan_max_df picks the
+    cap from the df histogram to fit the candidate-pair budget, and
+    the decision is attached as the result's ``budget_plan``.
     """
+    plan_meta = None
     sh = hashed_shingles(df, id_col, text_col, n).withColumnRenamed("sh64", "shingle")
+    if pair_budget is not None:
+        from kaylee_spark.operators.lsh_planner import plan_max_df, shingle_df_histogram
+
+        sh = sh.cache()
+        max_df, bound = plan_max_df(shingle_df_histogram(sh), pair_budget)
+        plan_meta = {
+            "pair_budget": int(pair_budget),
+            "max_df": int(max_df),
+            "predicted_pair_bound": int(bound),
+        }
     if max_df is not None:
         sh = sh.cache()
         rare = sh.groupBy("shingle").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_df)
@@ -255,7 +347,10 @@ def containment_pairs(
         F.col("doc_a").alias("dst"),
         (F.col("n_common") / F.col("size_b")).cast("double").alias("containment"),
     )
-    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+    out = fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+    if plan_meta is not None:
+        out.budget_plan = plan_meta
+    return out
 
 
 def incremental_exact_dedup(

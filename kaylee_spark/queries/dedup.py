@@ -84,8 +84,74 @@ def d03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate verifies the capped metric itself, so the cap is a defined
     semantic, not a silent approximation. The fixture's hottest
     shingle sits far below the cap, so the cap also provably changes
-    nothing here."""
+    nothing here.
+
+    Budget-minded users: the full pair set is inherently quadratic on
+    a duplicated corpus (measured 79x output at x10 data — BASELINE).
+    ``jaccard_pairs(pair_budget=...)`` bounds the JOIN cost via the
+    planner-picked df cap (the decision rides the result's
+    budget_plan attribute), and jaccard_topk_per_doc (query d21)
+    bounds the OUTPUT to k rows per document."""
     return D.jaccard_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.2)
+
+
+@query(
+    "d21_topk_neighbors",
+    oracle=f"""
+    WITH sh0 AS (
+        SELECT DISTINCT doc_id AS doc, gram AS shingle FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS gram
+            FROM documents
+        )
+    ),
+    kept AS (
+        SELECT shingle FROM sh0 GROUP BY shingle
+        HAVING COUNT(*) <= {D.DEFAULT_MAX_DF}
+    ),
+    sh AS (SELECT sh0.doc, sh0.shingle FROM sh0 JOIN kept USING (shingle)),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b,
+               CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+    ),
+    sym AS (
+        SELECT doc_a AS doc, doc_b AS neighbor, jaccard FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc, doc_a AS neighbor, jaccard FROM pairs
+    ),
+    ranked AS (
+        SELECT doc, neighbor, jaccard,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc ORDER BY jaccard DESC, neighbor ASC
+               ) AS INT) AS rnk
+        FROM sym
+    )
+    SELECT doc, neighbor, jaccard, rnk FROM ranked WHERE rnk <= 3
+    """,
+    extra=True,
+)
+def d21_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-output rung of the exact-pairs family (VERDICT r9 item
+    5): each document's 3 nearest neighbors by capped 3-gram Jaccard —
+    <= k rows per doc at ANY corpus scale, where the thresholded pair
+    set (d03) grows with the square of the duplication factor. The
+    rank window shuffles only the capped candidate PAIR set, never the
+    corpus; ties broken (jaccard DESC, neighbor ASC) so both engines
+    rank identically on the exact integer-ratio doubles."""
+    return D.jaccard_topk_per_doc(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, k=3
+    )
 
 
 @query(

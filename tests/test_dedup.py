@@ -741,3 +741,77 @@ def test_bloom_prescreen_planted(spark):
     assert r["n_false_neg"] == 0                      # the Bloom guarantee
     assert r["n_flagged"] >= 2                        # both dups flagged
     assert r["n_false_pos"] == r["n_flagged"] - 2
+
+
+def test_pair_budget_plans_cap_and_reports(spark):
+    """pair_budget wires plan_max_df into the call sites: the cap is
+    planner-chosen from the df histogram and the decision travels as
+    the result's budget_plan attribute."""
+    base = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, f"{base} copy") for i in range(20)] + [(100, "totally unrelated words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # hot shingles have df=20 -> C(20,2)=190 pairs each; a tight budget
+    # must drop them (cap < 20), a loose one must keep them
+    tight = D.jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.0, pair_budget=50)
+    assert tight.budget_plan["max_df"] < 20
+    assert tight.budget_plan["predicted_pair_bound"] <= 50
+    assert tight.budget_plan["pair_budget"] == 50
+    assert tight.count() == 0  # every shared shingle was corpus-hot
+    loose = D.jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9, pair_budget=10_000)
+    assert loose.budget_plan["max_df"] >= 20
+    assert loose.count() == 190  # all copy-pairs survive
+    # containment_pairs shares the knob
+    cont = D.containment_pairs(df, "doc_id", "text", n=3, threshold=0.9, pair_budget=10_000)
+    assert cont.budget_plan["max_df"] >= 20
+    assert cont.count() == 380  # both directions
+
+
+def test_jaccard_topk_per_doc_bounds_output(spark):
+    """Top-k neighbors: <= k rows per doc, ranked by similarity with
+    deterministic tie-breaks, matching a brute-force reference."""
+    texts = {
+        1: "a b c d e f",
+        2: "a b c d e g",   # J(1,2) = 3/5 on 4-shingles? use n=3
+        3: "a b c x y z",
+        4: "p q r s t u",   # overlaps nothing
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = D.jaccard_topk_per_doc(df, "doc_id", "text", n=3, k=2).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc"], []).append(r)
+    assert all(len(v) <= 2 for v in per_doc.values())
+    assert 4 not in per_doc  # no shared shingle -> no neighbors
+    # brute force reference
+    import itertools
+
+    def shingles(t):
+        toks = t.split()
+        return {" ".join(toks[i:i+3]) for i in range(len(toks) - 2)}
+
+    ref = {}
+    for a, b in itertools.combinations(texts, 2):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        inter = len(sa & sb)
+        if inter:
+            j = inter / len(sa | sb)
+            ref.setdefault(a, []).append((j, b))
+            ref.setdefault(b, []).append((j, a))
+    for doc, lst in ref.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        want = [(n, j) for j, n in lst[:2]]
+        got = sorted(per_doc[doc], key=lambda r: r["rnk"])
+        assert [(r["neighbor"], r["jaccard"]) for r in got] == [
+            (n, pytest_approx(j)) for n, j in want
+        ] or [(r["neighbor"], round(r["jaccard"], 12)) for r in got] == [
+            (n, round(j, 12)) for n, j in want
+        ]
+    # rnk is 1..k dense per doc
+    for v in per_doc.values():
+        assert sorted(r["rnk"] for r in v) == list(range(1, len(v) + 1))
+
+
+def pytest_approx(x):
+    import pytest
+
+    return pytest.approx(x, abs=1e-12)
