@@ -986,3 +986,86 @@ def with_repetition_profile(df: DataFrame, text_col: str, n: int = 3) -> DataFra
         F.lit(None).cast("double")
     )
     return step3.withColumn("dup_frac", dup_frac).drop("__rp_toks", "__rp_grams")
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 5,
+) -> DataFrame:
+    """DISTRIBUTED BPE tokenizer-training loop — the iterative
+    completion of bpe_pair_counts (which is one round's counting
+    step): ``rounds`` merge rules learned corpus-wide, each round =
+    count adjacent pairs -> take the most frequent (ties: pair_a,
+    pair_b ascending — a pure function of the corpus) -> merge every
+    non-overlapping occurrence left-to-right across the whole corpus.
+
+    Wire format: each document's tokens joined by a TWO-SPACE
+    separator into one string column. A merge is then ONE literal
+    (non-regex) ``replace`` of ``"a<2sp>b"`` with ``"ab"`` — string
+    replace is left-to-right non-overlapping in both Spark and any
+    ANSI engine, and the double separator keeps back-to-back
+    occurrences intact ("a  b  a  b" -> "ab  ab", where a single-space
+    join would swallow the second match's boundary). That one
+    equivalence is what lets a SQL oracle replay the whole loop with
+    REPLACE + re-split, round by round (t28's oracle unrolls it as
+    chained CTEs, the g07 pattern).
+
+    Per round: the pair count is row-local array zipping into ONE
+    map-side-combined aggregate (corpus-sized input, |distinct pairs|
+    output); the argmax is TakeOrdered(1) — a per-partition heap,
+    never a global sort — folded into driver literals (the 1-row
+    scalar-attach frame would compile to a BNLJ otherwise); the merge
+    application is a narrow per-row string op, no shuffle. The corpus
+    is localCheckpoint'ed each round so round k re-evaluates one
+    replace, not a k-deep chain (the iterative-loop lineage lesson).
+    Cost: 2 corpus scans per round. A production trainer doing
+    thousands of merges batches the top-M pairwise-disjoint rules per
+    round (same replace mechanics, M rules per scan) — this operator
+    keeps one rule per round so the learned table is exactly
+    reference-BPE's greedy sequence.
+
+    Returns (round, pair_a, pair_b, merged, n) — the merge table, the
+    artifact a BPE trainer actually ships. Stops early only if the
+    corpus runs out of adjacent pairs entirely.
+    """
+    if rounds < 1:
+        raise ValueError(f"bpe_train requires rounds >= 1, got {rounds}")
+    SEP = "  "
+    spark = df.sparkSession
+    corpus = (
+        df.select(F.array_join(tokens(text_col), SEP).alias("s"))
+        .filter(F.col("s") != "")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        t = F.split(F.col("s"), "  ")
+        top = (
+            corpus.select(t.alias("t"))
+            .filter(F.size("t") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(t) - 2),"
+                        " i -> struct(t[i] AS pair_a, t[i+1] AS pair_b))"
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.pair_a", "p.pair_b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair_a"), F.asc("pair_b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["pair_a"], top[0]["pair_b"], int(top[0]["n"])
+        merged = a + b
+        merges.append((r, a, b, merged, n))
+        corpus = corpus.select(
+            F.replace(F.col("s"), F.lit(a + SEP + b), F.lit(merged)).alias("s")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "round int, pair_a string, pair_b string, merged string, n bigint"
+    )

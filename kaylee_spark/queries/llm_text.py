@@ -958,3 +958,59 @@ def t27_heavy_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = uni.unionByName(bi)
     out = heavy_hitters(items, "phrase", min_share_ppm=10_000, k=200)
     return out.select(F.col("item").alias("phrase"), "cnt")
+
+
+def _bpe_oracle(rounds: int = 5) -> str:
+    """Unrolled-CTE replay of bpe_train (the g07 pattern): per round,
+    pair counts from the current two-space-joined corpus, argmax with
+    (n DESC, a, b) ties, then REPLACE — string replace is left-to-right
+    non-overlapping in DuckDB exactly as in Spark, and the double
+    separator preserves back-to-back occurrences."""
+    parts = [
+        """r0 AS (
+        SELECT array_to_string(list_filter(string_split(text, ' '), x -> x <> ''), '  ') AS s
+        FROM documents
+        WHERE array_to_string(list_filter(string_split(text, ' '), x -> x <> ''), '  ') <> ''
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""p{r} AS (
+        SELECT p.pair_a AS a, p.pair_b AS b, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT UNNEST(list_transform(
+                range(1, greatest(len(t), 1)),
+                i -> struct_pack(pair_a := t[i], pair_b := t[i+1]))) AS p
+            FROM (SELECT string_split(s, '  ') AS t FROM r{r-1})
+        )
+        GROUP BY 1, 2
+    ),
+    m{r} AS (
+        SELECT {r} AS round, a, b, a || b AS merged, n
+        FROM p{r} ORDER BY n DESC, a ASC, b ASC LIMIT 1
+    ),
+    r{r} AS (
+        SELECT REPLACE(s, (SELECT a || '  ' || b FROM m{r}), (SELECT merged FROM m{r})) AS s
+        FROM r{r-1}
+    )""")
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST(round AS INT) AS round, a AS pair_a, b AS pair_b, merged, n FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + union
+
+
+@query("t28_bpe_train", oracle=_bpe_oracle(5), extra=True)
+def t28_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five rounds of corpus-wide BPE tokenizer training
+    (operators/text.bpe_train): the iterative completion of t19's
+    single counting round. Each round's merge rule is the exact
+    most-frequent adjacent pair (lexicographic ties) and the merge is
+    applied across the whole corpus before the next count — the
+    learned table is reference-BPE's greedy sequence, and the oracle
+    replays all five rounds as unrolled CTEs sharing the one
+    load-bearing equivalence: literal string REPLACE over a
+    two-space-joined token stream is left-to-right non-overlapping in
+    both engines."""
+    from kaylee_spark.operators.text import bpe_train
+
+    return bpe_train(load_table(spark, sf_dir, "documents"), "text", rounds=5)

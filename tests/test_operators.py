@@ -1163,3 +1163,42 @@ def test_decode_image_stats_matches_formula(spark, sf_dir):
 
     mixed = synth_media_from_documents(docs)  # opaque text payloads
     assert decode_image_stats(mixed).count() == 0
+
+
+def test_bpe_train_learns_greedy_merge_sequence(spark):
+    """The merge table equals a hand-run greedy BPE: most-frequent
+    adjacent pair per round (lexicographic ties), merges applied
+    corpus-wide before the next count — including the back-to-back
+    occurrence case the two-space wire format exists for."""
+    from kaylee_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "lo w lo w lo w"),       # (lo,w) x3
+            (2, "lo w er lo w er"),      # (lo,w) x2 more, (w,er) x2
+            (3, "n e w n e w"),          # (n,e) x2, (e,w) x2
+        ],
+        "doc_id long, text string",
+    )
+    out = bpe_train(docs, "text", rounds=3).collect()
+    got = [(r["round"], r["pair_a"], r["pair_b"], r["merged"], r["n"]) for r in out]
+    # round 1: (lo,w) n=5 -> "low" everywhere
+    # round 2 corpus: doc1 "low low low", doc2 "low er low er", doc3 "n e w n e w"
+    #   pairs: (low,low) 2, (low,er) 2, (er,low) 1, (n,e) 2, (e,w) 2, (w,n) 1
+    #   tie at n=2 -> lexicographic: (e,w) wins
+    # round 3 corpus: doc3 "n ew n ew": (n,ew) 2, (ew,n) 1;
+    #   doc1 "low low low": (low,low) 2; doc2: (low,er) 2, (er,low) 1
+    #   tie at n=2 -> (low,er) < (low,low) < (n,ew) -> (low,er) wins
+    assert got == [
+        (1, "lo", "w", "low", 5),
+        (2, "e", "w", "ew", 2),
+        (3, "low", "er", "lower", 2),
+    ]
+    # back-to-back merge: "a a a a" -> (a,a) x3 counted, replace yields
+    # "aa aa" (left-to-right non-overlapping), round 2 merges (aa,aa)
+    runs = spark.createDataFrame([(1, "a a a a")], "doc_id long, text string")
+    out2 = bpe_train(runs, "text", rounds=2).collect()
+    assert [(r["round"], r["merged"], r["n"]) for r in out2] == [
+        (1, "aa", 3),
+        (2, "aaaa", 1),
+    ]
