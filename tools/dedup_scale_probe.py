@@ -310,7 +310,11 @@ def main() -> int:
     return subprocess.call(
         [sys.executable, tool, top_dir,
          "d03_jaccard_pairs", "d04_minhash_lsh", "d05_simhash_pairs",
-         "s03_embedding_neardup", "s02_lsh_ann_topk", "d12_incremental_neardup"]
+         "s03_embedding_neardup", "s02_lsh_ann_topk", "d12_incremental_neardup",
+         # r10: the bounded-output rung — each copy-group's top-3 ties
+         # at jaccard 1.0, so the (jaccard DESC, neighbor ASC) break is
+         # exercised under MAXIMAL ties while output stays 3/doc
+         "d21_topk_neighbors"]
     )
 
 

@@ -83,6 +83,13 @@ SHOWCASE = [
     ("g07_label_propagation", "label propagation: checkpointed label frames, per-round count + rank on one node-keyed exchange"),
     ("w07_gini_concentration", "gini: rank window and 3-scalar close share ONE nation-keyed exchange"),
     ("t27_heavy_phrases", "heavy hitters: MG candidate sketch in mapInPandas, broadcast semi-join, exact count — the one exchange carries candidates only"),
+    ("d21_topk_neighbors", "top-k neighbors: d03's capped inverted index feeds a doc-keyed rank window — output bounded at k rows/doc"),
+    ("a32_png_pixel_stats", "PNG pixel stats: generate + decode stay inside ONE mapInPandas pair; 3 integer rows per image leave the executor"),
+    ("e33_variant_extract", "variant extract: parse_json once, binary variant accesses; same single map-side-combined agg as e04"),
+    # the per-round argmax actions live BEHIND the per-round
+    # localCheckpoints (the g07 pattern) — the final plan is the
+    # driver-built merge table
+    ("t28_bpe_train", "BPE train: per-round pair count + TakeOrdered(1) behind checkpoints; output is the learned merge table"),
 ]
 
 

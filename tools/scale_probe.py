@@ -166,6 +166,16 @@ PROBE_QUERIES = (
     # IDENTICAL at x10 while the MG pass-1 summaries see 10x the rows
     # (trim pressure grows for real; pass-2 exactness must hold).
     "t27_heavy_phrases",
+    # round-10 additions. a32 decodes ~16.7k full PNGs whose dims/seed
+    # derive from the OFFSET doc_ids (real new pixel arithmetic, not 10
+    # repeats — the oracle enumerates a 10x lattice); e33's variant
+    # k-bucket counts scale 10x with per-copy re-parse of the same
+    # props domain; t28's pair counts scale 10x so the greedy merge
+    # SEQUENCE is invariant (ties break identically) while every
+    # round's count grows — the loop must land the same 5 rules.
+    "a32_png_pixel_stats",
+    "e33_variant_extract",
+    "t28_bpe_train",
 )
 
 
