@@ -65,18 +65,21 @@ FEATURE_SCHEMA = StructType(
 
 
 def real_decode(payload: bytes, modality: str):
-    """The true codec path. PNG is decoded END-TO-END in stdlib
-    (png_decode_rgb below: chunk parse -> zlib.decompress -> per-
-    scanline unfilter) — no external library needed. Every other
-    format (JPEG/GIF/WAV/MP4...) genuinely requires codec libraries
-    (PIL/ffmpeg/soundfile) absent in this container and stays
+    """The true codec path. PNG (png_decode_rgb: chunk parse ->
+    zlib.decompress -> per-scanline unfilter) and PCM WAV
+    (wav_decode_pcm16: RIFF walk -> int16 samples) are decoded
+    END-TO-END in stdlib — no external library needed. Compressed
+    formats (JPEG/GIF/MP3/MP4...) genuinely require codec libraries
+    (PIL/ffmpeg/soundfile) absent in this container and stay
     env-blocked; plumbing callers use the deterministic fake below."""
     if payload is not None and payload[:8] == b"\x89PNG\r\n\x1a\n":
         return png_decode_rgb(payload)
+    if payload is not None and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return wav_decode_pcm16(payload)
     raise NotImplementedError(
-        "non-PNG media codecs (PIL/ffmpeg) are not installed in this "
-        "environment; use fake_features (deterministic stub) — swap "
-        "here when libs exist"
+        "compressed media codecs (JPEG/GIF/MP3/video — PIL/ffmpeg) are "
+        "not installed in this environment; use fake_features "
+        "(deterministic stub) — swap here when libs exist"
     )
 
 
@@ -652,3 +655,151 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(process, IMAGE_STATS_SCHEMA)
+
+
+def wav_encode_pcm16(samples, sample_rate: int = 8000) -> bytes:
+    """Minimal PCM WAV writer, pure stdlib ``struct``: 16-bit signed
+    little-endian mono samples behind a canonical RIFF/fmt/data header
+    (the exact layout sniff_media_meta already parses). Used by
+    synth_wav_media so the a33 fixture payloads are REAL decodable
+    audio, not header stubs."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype=np.int16).tobytes()
+    n = len(pcm)
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", n)
+    )
+    return hdr + pcm
+
+
+def wav_decode_pcm16(payload: bytes):
+    """Stdlib PCM WAV decode (the audio analogue of png_decode_rgb):
+    RIFF chunk walk, fmt validation (PCM, 16-bit — the one audio
+    format that needs no codec library), data chunk to an int16
+    sample array. Returns (sample_rate, numpy int16 array).
+
+    Compressed audio (MP3/FLAC/AAC) genuinely needs external codecs
+    and stays env-blocked in real_decode."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    rate = None
+    bits = channels = fmt_code = None
+    while i + 8 <= len(payload):
+        chunk = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if chunk == b"fmt " and i + 8 + 16 <= len(payload):
+            fmt_code, channels, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", payload[i + 8 : i + 24]
+            )
+        elif chunk == b"data":
+            if fmt_code != 1 or bits != 16 or channels != 1:
+                raise ValueError(
+                    "wav_decode_pcm16 supports 16-bit mono PCM only "
+                    f"(got fmt={fmt_code} bits={bits} channels={channels})"
+                )
+            data = payload[i + 8 : i + 8 + size]
+            if len(data) != size:
+                raise ValueError("WAV data chunk truncated")
+            return int(rate), np.frombuffer(data, dtype="<i2")
+        i += 8 + size + (size % 2)
+    raise ValueError("WAV missing data chunk")
+
+
+def synth_wav_media(docs: DataFrame) -> DataFrame:
+    """Audio twin of synth_png_media: each document with
+    doc_id % 3 == 1 (the rows the media fixtures mark "audio") gets a
+    FULL decodable PCM WAV whose samples come from pure doc_id
+    arithmetic, so a byte-blind SQL oracle can replay the decoded
+    statistics:
+
+        seed        = doc_id % 1009
+        n_samples   = 64 + doc_id % 937
+        sample(i)   = ((seed + 13*i + 7*i*i) % 65536) - 32768
+    """
+    import numpy as np
+
+    aud = docs.filter(F.col("doc_id") % 3 == 1).select(F.col("doc_id").alias("media_id"))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                seed, n = mid % 1009, 64 + mid % 937
+                i = np.arange(n, dtype=np.int64)
+                s = ((seed + 13 * i + 7 * i * i) % 65536) - 32768
+                payloads.append(wav_encode_pcm16(s.astype(np.int16)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": ["audio"] * len(pdf),
+                    "payload": payloads,
+                    "meta": [
+                        {
+                            "mime": "audio/wav",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                            "n_bytes": len(p),
+                        }
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return aud.mapInPandas(build, MEDIA_SCHEMA)
+
+
+#: decode_audio_stats output — all-integer (sum of squares included so
+#: RMS-style energy checks stay exact)
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("sum_v", LongType(), False),
+        StructField("sum_sq", LongType(), False),
+        StructField("min_v", IntegerType(), False),
+        StructField("max_v", IntegerType(), False),
+    ]
+)
+
+
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """REAL sample-level audio decode over Arrow batches: each PCM WAV
+    payload is decoded with wav_decode_pcm16 and reduced to exact
+    integer statistics (count, sum, sum of squares, extrema) — the
+    loudness/clipping screen an audio-corpus quality pass runs before
+    any expensive model pass. Non-RIFF payloads are skipped; same
+    constant-memory mapInPandas shape as decode_image_stats."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "n_samples", "sum_v", "sum_sq", "min_v", "max_v")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or bytes(payload[:4]) != b"RIFF":
+                    continue
+                _rate, s = wav_decode_pcm16(bytes(payload))
+                v = s.astype("int64")
+                rows["media_id"].append(int(mid))
+                rows["n_samples"].append(len(v))
+                rows["sum_v"].append(int(v.sum()))
+                rows["sum_sq"].append(int((v * v).sum()))
+                rows["min_v"].append(int(v.min()))
+                rows["max_v"].append(int(v.max()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(process, AUDIO_STATS_SCHEMA)

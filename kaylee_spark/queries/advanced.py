@@ -858,6 +858,46 @@ def a32_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a33_wav_sample_stats",
+    oracle="""
+    WITH auds AS (
+        SELECT doc_id AS media_id, doc_id % 1009 AS seed,
+               64 + doc_id % 937 AS n
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    s AS (
+        SELECT media_id,
+               ((seed + 13*i.i + 7*i.i*i.i) % 65536) - 32768 AS v
+        FROM auds, LATERAL (SELECT UNNEST(range(n)) AS i) i
+    )
+    SELECT media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(SUM(v*v) AS BIGINT) AS sum_sq,
+           CAST(MIN(v) AS INT) AS min_v,
+           CAST(MAX(v) AS INT) AS max_v
+    FROM s GROUP BY media_id
+    """,
+    extra=True,
+)
+def a33_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-LEVEL audio decode, end-to-end and hash-gated — the
+    audio twin of a32: synth_wav_media builds FULL PCM WAVs (RIFF/fmt/
+    data, 16-bit mono, samples from pure doc_id arithmetic) and
+    decode_audio_stats decodes them back (operators/multimodal.
+    wav_decode_pcm16, stdlib struct — PCM is the one audio format
+    that needs no codec library) into exact integer statistics incl.
+    sum-of-squares (the loudness/clipping screen an audio curation
+    pass runs). The oracle replays the sample formula over the
+    per-doc range without seeing a byte; env-blocked decode now means
+    COMPRESSED codecs only."""
+    from kaylee_spark.operators.multimodal import decode_audio_stats, synth_wav_media
+
+    media = synth_wav_media(load_table(spark, sf_dir, "documents"))
+    return decode_audio_stats(media)
+
+
+@query(
     "a24_spearman_corr",
     oracle="""
     WITH r AS (

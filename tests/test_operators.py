@@ -1202,3 +1202,49 @@ def test_bpe_train_learns_greedy_merge_sequence(spark):
         (1, "aa", 3),
         (2, "aaaa", 1),
     ]
+
+
+def test_wav_codec_roundtrips_and_rejects():
+    import numpy as np
+    import pytest
+
+    from kaylee_spark.operators.multimodal import (
+        real_decode,
+        wav_decode_pcm16,
+        wav_encode_pcm16,
+    )
+
+    rng = np.random.RandomState(11)
+    s = rng.randint(-32768, 32768, 777).astype(np.int16)
+    rate, out = wav_decode_pcm16(wav_encode_pcm16(s, sample_rate=16000))
+    assert rate == 16000 and (out == s).all()
+    # real_decode routes RIFF/WAVE through the stdlib PCM path
+    rate2, out2 = real_decode(wav_encode_pcm16(s), "audio")
+    assert rate2 == 8000 and (out2 == s).all()
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decode_pcm16(b"not audio at all, clearly")
+    # sniff_media_meta still reads the canonical header this writer emits
+    from kaylee_spark.operators.multimodal import sniff_media_meta
+
+    mime, _w, _h, dur = sniff_media_meta(wav_encode_pcm16(s, sample_rate=8000))
+    assert mime == "audio/wav" and dur == (777 * 2 * 1000) // 16000
+
+
+def test_decode_audio_stats_matches_formula(spark, sf_dir):
+    import numpy as np
+
+    from kaylee_spark.operators.multimodal import decode_audio_stats, synth_wav_media
+    from kaylee_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    stats = decode_audio_stats(synth_wav_media(docs)).collect()
+    assert stats, "no audio rows decoded"
+    for r in stats:
+        mid = r["media_id"]
+        seed, n = mid % 1009, 64 + mid % 937
+        i = np.arange(n, dtype=np.int64)
+        v = ((seed + 13 * i + 7 * i * i) % 65536) - 32768
+        assert r["n_samples"] == n
+        assert r["sum_v"] == int(v.sum())
+        assert r["sum_sq"] == int((v * v).sum())
+        assert r["min_v"] == int(v.min()) and r["max_v"] == int(v.max())

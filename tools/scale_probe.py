@@ -176,6 +176,8 @@ PROBE_QUERIES = (
     "a32_png_pixel_stats",
     "e33_variant_extract",
     "t28_bpe_train",
+    # a33 like a32: offset doc_ids give real new sample arithmetic
+    "a33_wav_sample_stats",
 )
 
 
