@@ -243,3 +243,37 @@ def portable_stratified_sample(
         rate = cond if rate is None else rate.when(F.col(strata_col) == F.lit(value), F.lit(p))
     rate = F.lit(default_ppm) if rate is None else rate.otherwise(F.lit(default_ppm))
     return df.filter(portable_bucket(key) < rate)
+
+
+def weighted_sample_k_portable(
+    df: DataFrame, key: str, weight_col: str, k: int
+) -> DataFrame:
+    """Oracle-verifiable twin of weighted_sample_k (the d05/t16
+    portability pattern): same Efraimidis–Spirakis exactly-k weighted
+    sample without replacement, but every ingredient is re-derivable
+    by an external SQL engine —
+
+    - uniform: u = (portable_bucket(key) + 0.5) / 1e6, pure integer
+      arithmetic then ONE exact IEEE division;
+    - score: u^(1/w) ranked via the monotone-equivalent ln(u)/w, with
+      ln QUANTIZED to 6 dp before the division (the t17 recipe: raw ln
+      differs in the last ulp across engines; round-half-away agrees);
+    - selection: top-k by (score desc, key asc) —
+      TakeOrderedAndProject, per-partition heaps, no global sort, no
+      data shuffle.
+
+    Production samplers without a cross-engine audit requirement
+    should prefer weighted_sample_k (seeded xxhash64 — stronger mixing
+    on adversarial/clustered keys). Rows with weight <= 0 or null are
+    excluded, as in the sibling."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    u = (portable_bucket(key) + F.lit(0.5)) / F.lit(float(PORTABLE_PPM))
+    score = F.round(F.log(u), 6) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_es_score", score)
+        .orderBy(F.desc("_es_score"), F.col(key))
+        .limit(k)
+        .drop("_es_score")
+    )

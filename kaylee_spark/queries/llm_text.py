@@ -1014,3 +1014,42 @@ def t28_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kaylee_spark.operators.text import bpe_train
 
     return bpe_train(load_table(spark, sf_dir, "documents"), "text", rounds=5)
+
+
+@query(
+    "t29_weighted_sample",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+               ((doc_id % 2147483647) * 2654435761 % 1000000) AS bucket
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               ROUND(ln((bucket + 0.5) / 1000000.0), 6) / n_tokens AS score
+        FROM w WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens
+    FROM s ORDER BY score DESC, doc_id LIMIT 100
+    """,
+    extra=True,
+)
+def t29_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted exact-k corpus subsample — the quality/size-
+    proportional selection step of a pretraining mix ("sample 100 docs
+    with probability proportional to token count, without
+    replacement") via the ORACLE-VERIFIABLE Efraimidis–Spirakis
+    variant (operators/sampling.weighted_sample_k_portable): integer
+    portable-hash uniforms, 6dp-quantized ln scores, top-k by
+    TakeOrderedAndProject — membership is a pure function of the data
+    that DuckDB re-derives row for row, the audit property t16
+    established for rate sampling, extended here to weighted
+    without-replacement selection."""
+    from kaylee_spark.operators.sampling import weighted_sample_k_portable
+    from kaylee_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    return weighted_sample_k_portable(docs, "doc_id", "n_tokens", 100)

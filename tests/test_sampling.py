@@ -177,3 +177,38 @@ def test_mad_outliers_zero_mad_group_defines_none(spark):
     rows = [("c", 5.0)] * 8 + [("c", 9e9)]  # median & MAD both degenerate
     df = spark.createDataFrame(rows, ["event_type", "value"])
     assert mad_outliers(df, "value", "event_type").count() == 0
+
+
+def test_weighted_sample_k_portable_matches_reference(spark):
+    """The portable variant's membership is re-derivable outside Spark:
+    recompute the quantized-ln scores in pure Python and check the
+    exact top-k set, partitioning-invariant."""
+    import math
+
+    from kaylee_spark.operators.sampling import (
+        PORTABLE_MULT,
+        PORTABLE_PPM,
+        _PORTABLE_FOLD,
+        weighted_sample_k_portable,
+    )
+
+    rows = [(i, 1 + (i * 7) % 50) for i in range(500)]
+    df = spark.createDataFrame(rows, "key long, w long")
+    got = sorted(r["key"] for r in weighted_sample_k_portable(df, "key", "w", 40).collect())
+    again = sorted(
+        r["key"]
+        for r in weighted_sample_k_portable(df.repartition(17), "key", "w", 40).collect()
+    )
+    assert got == again
+
+    def score(k, w):
+        b = (k % _PORTABLE_FOLD) * PORTABLE_MULT % PORTABLE_PPM
+        return round(math.log((b + 0.5) / PORTABLE_PPM), 6) / w
+
+    ref = sorted(rows, key=lambda r: (-score(r[0], r[1]), r[0]))[:40]
+    assert got == sorted(k for k, _ in ref)
+    # heavier keys are overrepresented vs uniform: selection prob ~ w
+    heavy = {k for k, w in rows if w >= 40}
+    frac_heavy_corpus = len(heavy) / len(rows)
+    frac_heavy_sample = len(heavy & set(got)) / 40
+    assert frac_heavy_sample > 1.5 * frac_heavy_corpus

@@ -86,6 +86,7 @@ SHOWCASE = [
     ("d21_topk_neighbors", "top-k neighbors: d03's capped inverted index feeds a doc-keyed rank window — output bounded at k rows/doc"),
     ("a32_png_pixel_stats", "PNG pixel stats: generate + decode stay inside ONE mapInPandas pair; 3 integer rows per image leave the executor"),
     ("a33_wav_sample_stats", "WAV sample stats: RIFF decode inside mapInPandas; one integer row per clip leaves the executor"),
+    ("t29_weighted_sample", "weighted sample: codegen score, TakeOrderedAndProject top-k — no shuffle of the data"),
     ("e33_variant_extract", "variant extract: parse_json once, binary variant accesses; same single map-side-combined agg as e04"),
     # the per-round argmax actions live BEHIND the per-round
     # localCheckpoints (the g07 pattern) — the final plan is the

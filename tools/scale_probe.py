@@ -178,6 +178,10 @@ PROBE_QUERIES = (
     "t28_bpe_train",
     # a33 like a32: offset doc_ids give real new sample arithmetic
     "a33_wav_sample_stats",
+    # t29: offset ids give 10x REAL candidates for the same k=100 —
+    # the quantized-ln boundary behavior at a selection pressure no
+    # shipped fixture reaches
+    "t29_weighted_sample",
 )
 
 
