@@ -992,6 +992,7 @@ def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     rounds: int = 5,
+    batch_m: int = 1,
 ) -> DataFrame:
     """DISTRIBUTED BPE tokenizer-training loop — the iterative
     completion of bpe_pair_counts (which is one round's counting
@@ -1002,35 +1003,53 @@ def bpe_train(
 
     Wire format: each document's tokens joined by a TWO-SPACE
     separator into one string column. A merge is then ONE literal
-    (non-regex) ``replace`` of ``"a<2sp>b"`` with ``"ab"`` — string
-    replace is left-to-right non-overlapping in both Spark and any
-    ANSI engine, and the double separator keeps back-to-back
-    occurrences intact ("a  b  a  b" -> "ab  ab", where a single-space
-    join would swallow the second match's boundary). That one
-    equivalence is what lets a SQL oracle replay the whole loop with
+    (non-regex) ``replace`` — string replace is left-to-right
+    non-overlapping in both Spark and any ANSI engine, which is the
+    equivalence that lets a SQL oracle replay the whole loop with
     REPLACE + re-split, round by round (t28's oracle unrolls it as
-    chained CTEs, the g07 pattern).
+    chained CTEs, the g07 pattern). The match must be anchored to
+    TOKEN boundaries, not raw substrings: the string is wrapped in
+    single-space sentinels (s -> " "+s+" ") and the rule (a, b)
+    replaces " a<2sp>b " with " ab " — every token occurrence is then
+    flanked by at least one space on each side, so a rule (of, the)
+    can never fire inside the token "thereof" ("thereof<2sp>the" has
+    no space before "of"), while the two-space separator still leaves
+    one space on each side after a match, so back-to-back occurrences
+    (" a  b  a  b ") keep merging left-to-right. Sentinels are
+    stripped (trim) before the next round's re-split.
 
     Per round: the pair count is row-local array zipping into ONE
     map-side-combined aggregate (corpus-sized input, |distinct pairs|
-    output); the argmax is TakeOrdered(1) — a per-partition heap,
+    output); each argmax is TakeOrdered(1) — a per-partition heap,
     never a global sort — folded into driver literals (the 1-row
     scalar-attach frame would compile to a BNLJ otherwise); the merge
     application is a narrow per-row string op, no shuffle. The corpus
-    is localCheckpoint'ed each round so round k re-evaluates one
-    replace, not a k-deep chain (the iterative-loop lineage lesson).
-    Cost: 2 corpus scans per round. A production trainer doing
-    thousands of merges batches the top-M pairwise-disjoint rules per
-    round (same replace mechanics, M rules per scan) — this operator
-    keeps one rule per round so the learned table is exactly
-    reference-BPE's greedy sequence.
+    is localCheckpoint'ed each round so round k re-evaluates a bounded
+    replace chain, not a k-deep lineage (the iterative-loop lesson).
 
-    Returns (round, pair_a, pair_b, merged, n) — the merge table, the
-    artifact a BPE trainer actually ships. Stops early only if the
-    corpus runs out of adjacent pairs entirely.
+    ``batch_m`` is the production rung for trainers doing thousands of
+    merges: per round, the ONE pair count (cached) yields up to
+    ``batch_m`` rules picked greedily in (n DESC, pair_a, pair_b)
+    order subject to TOKEN-DISJOINTNESS — a candidate sharing pair_a
+    or pair_b with an already-picked rule this round is skipped, so
+    the batched replaces cannot interact (merging a disjoint rule
+    neither creates nor destroys another rule's adjacencies, and the
+    sentinel anchoring means its pattern cannot match inside the other
+    rule's output). Training M rules then costs one corpus-count scan
+    per M rules instead of one per rule; the recorded ``n`` for ranks
+    >= 2 is the count observed in that round's scan (standard batched
+    BPE semantics — the greedy ``batch_m=1`` sequence is recovered
+    exactly when rules happen to be disjoint anyway).
+
+    Returns (round, rank, pair_a, pair_b, merged, n) — the merge
+    table, the artifact a BPE trainer actually ships; ``rank`` is the
+    1..batch_m position within the round's batch. Stops early only if
+    the corpus runs out of adjacent pairs entirely.
     """
     if rounds < 1:
         raise ValueError(f"bpe_train requires rounds >= 1, got {rounds}")
+    if batch_m < 1:
+        raise ValueError(f"bpe_train requires batch_m >= 1, got {batch_m}")
     SEP = "  "
     spark = df.sparkSession
     corpus = (
@@ -1038,10 +1057,10 @@ def bpe_train(
         .filter(F.col("s") != "")
         .localCheckpoint(eager=True)
     )
-    merges: list[tuple[int, str, str, str, int]] = []
+    merges: list[tuple[int, int, str, str, str, int]] = []
     for r in range(1, rounds + 1):
         t = F.split(F.col("s"), "  ")
-        top = (
+        pair_counts = (
             corpus.select(t.alias("t"))
             .filter(F.size("t") >= 2)
             .select(
@@ -1054,18 +1073,45 @@ def bpe_train(
             )
             .groupBy("p.pair_a", "p.pair_b")
             .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.desc("n"), F.asc("pair_a"), F.asc("pair_b"))
-            .limit(1)
-            .collect()
         )
-        if not top:
+        if batch_m > 1:
+            # the M argmax passes share one materialization of the
+            # (droplet-sized) pair table; released before the merge
+            pair_counts = pair_counts.cache()
+        used: list[str] = []
+        selected: list[tuple[int, int, str, str, str, int]] = []
+        for k in range(1, batch_m + 1):
+            cand = pair_counts
+            if used:
+                cand = cand.filter(
+                    ~F.col("pair_a").isin(used) & ~F.col("pair_b").isin(used)
+                )
+            top = (
+                cand.orderBy(F.desc("n"), F.asc("pair_a"), F.asc("pair_b"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            a, b, n = top[0]["pair_a"], top[0]["pair_b"], int(top[0]["n"])
+            selected.append((r, k, a, b, a + b, n))
+            used.extend((a, b))
+        if batch_m > 1:
+            pair_counts.unpersist()
+        if not selected:
             break
-        a, b, n = top[0]["pair_a"], top[0]["pair_b"], int(top[0]["n"])
-        merged = a + b
-        merges.append((r, a, b, merged, n))
-        corpus = corpus.select(
-            F.replace(F.col("s"), F.lit(a + SEP + b), F.lit(merged)).alias("s")
-        ).localCheckpoint(eager=True)
+        merges.extend(selected)
+        # pad with the single-space sentinels ONCE, chain the batch's
+        # literal replaces in rank order, strip the sentinels once —
+        # each match consumes one boundary space per side and puts one
+        # back, so the padded invariant holds across the whole chain
+        padded = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
+        for _r, _k, a, b, merged, _n in selected:
+            padded = F.replace(
+                padded, F.lit(f" {a}{SEP}{b} "), F.lit(f" {merged} ")
+            )
+        corpus = corpus.select(F.trim(padded).alias("s")).localCheckpoint(eager=True)
     return spark.createDataFrame(
-        merges, "round int, pair_a string, pair_b string, merged string, n bigint"
+        merges,
+        "round int, rank int, pair_a string, pair_b string, merged string, n bigint",
     )

@@ -960,21 +960,37 @@ def t27_heavy_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("item").alias("phrase"), "cnt")
 
 
-def _bpe_oracle(rounds: int = 5) -> str:
+def _bpe_oracle(rounds: int = 5, batch_m: int = 1) -> str:
     """Unrolled-CTE replay of bpe_train (the g07 pattern): per round,
-    pair counts from the current two-space-joined corpus, argmax with
-    (n DESC, a, b) ties, then REPLACE — string replace is left-to-right
-    non-overlapping in DuckDB exactly as in Spark, and the double
-    separator preserves back-to-back occurrences."""
+    pair counts from the current two-space-joined corpus, then
+    ``batch_m`` greedy (n DESC, a, b) argmaxes — each excluding the
+    tokens already used by this round's earlier picks (the
+    token-disjointness filter) — then the round's REPLACE chain.
+    String replace is left-to-right non-overlapping in DuckDB exactly
+    as in Spark; matches are anchored to token boundaries by wrapping
+    the corpus string in single-space sentinels and replacing
+    ' a<2sp>b ' with ' ab ' (one boundary space survives on each side
+    of a match, so back-to-back occurrences keep merging), mirroring
+    the engine.  A missing rule (rank k found no disjoint pair) is
+    COALESCEd to a three-space pattern, which can never occur in the
+    wire format (separators are exactly two spaces).
+
+    Every CTE is AS MATERIALIZED: DuckDB inlines plain CTEs, and the
+    round-r frames reference round r-1 several times (pair count +
+    each rule's two scalar subqueries + each NOT IN), so inlining
+    re-expands the whole history per reference — exponential in
+    rounds x batch_m (measured: 176 s for rounds=2, batch_m=3 at
+    sf0.001 inlined vs sub-second materialized)."""
     parts = [
-        """r0 AS (
+        """r0 AS MATERIALIZED (
         SELECT array_to_string(list_filter(string_split(text, ' '), x -> x <> ''), '  ') AS s
         FROM documents
         WHERE array_to_string(list_filter(string_split(text, ' '), x -> x <> ''), '  ') <> ''
     )"""
     ]
+    all_m: list[str] = []
     for r in range(1, rounds + 1):
-        parts.append(f"""p{r} AS (
+        parts.append(f"""p{r} AS MATERIALIZED (
         SELECT p.pair_a AS a, p.pair_b AS b, CAST(COUNT(*) AS BIGINT) AS n
         FROM (
             SELECT UNNEST(list_transform(
@@ -983,18 +999,36 @@ def _bpe_oracle(rounds: int = 5) -> str:
             FROM (SELECT string_split(s, '  ') AS t FROM r{r-1})
         )
         GROUP BY 1, 2
-    ),
-    m{r} AS (
-        SELECT {r} AS round, a, b, a || b AS merged, n
-        FROM p{r} ORDER BY n DESC, a ASC, b ASC LIMIT 1
-    ),
-    r{r} AS (
-        SELECT REPLACE(s, (SELECT a || '  ' || b FROM m{r}), (SELECT merged FROM m{r})) AS s
+    )""")
+        for k in range(1, batch_m + 1):
+            if k == 1:
+                excl = ""
+            else:
+                toks = " UNION ALL ".join(
+                    f"SELECT a FROM m{r}_{j} UNION ALL SELECT b FROM m{r}_{j}"
+                    for j in range(1, k)
+                )
+                excl = f"WHERE a NOT IN ({toks}) AND b NOT IN ({toks})\n        "
+            parts.append(f"""m{r}_{k} AS MATERIALIZED (
+        SELECT {r} AS round, {k} AS rank, a, b, a || b AS merged, n
+        FROM p{r} {excl}ORDER BY n DESC, a ASC, b ASC LIMIT 1
+    )""")
+            all_m.append(f"m{r}_{k}")
+        chain = "' ' || s || ' '"
+        for k in range(1, batch_m + 1):
+            chain = (
+                f"REPLACE({chain},\n"
+                f"            COALESCE((SELECT ' ' || a || '  ' || b || ' ' FROM m{r}_{k}), '   '),\n"
+                f"            COALESCE((SELECT ' ' || merged || ' ' FROM m{r}_{k}), ' '))"
+            )
+        parts.append(f"""r{r} AS MATERIALIZED (
+        SELECT trim({chain}) AS s
         FROM r{r-1}
     )""")
     union = "\n    UNION ALL\n    ".join(
-        f"SELECT CAST(round AS INT) AS round, a AS pair_a, b AS pair_b, merged, n FROM m{r}"
-        for r in range(1, rounds + 1)
+        f"SELECT CAST(round AS INT) AS round, CAST(rank AS INT) AS rank,"
+        f" a AS pair_a, b AS pair_b, merged, n FROM {m}"
+        for m in all_m
     )
     return "WITH " + ",\n    ".join(parts) + "\n    " + union
 
@@ -1009,11 +1043,32 @@ def t28_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned table is reference-BPE's greedy sequence, and the oracle
     replays all five rounds as unrolled CTEs sharing the one
     load-bearing equivalence: literal string REPLACE over a
-    two-space-joined token stream is left-to-right non-overlapping in
-    both engines."""
+    sentinel-padded two-space-joined token stream is token-anchored
+    AND left-to-right non-overlapping in both engines (the padding is
+    what keeps a rule like (of, the) from firing inside "thereof" —
+    see bpe_train's wire-format contract)."""
     from kaylee_spark.operators.text import bpe_train
 
     return bpe_train(load_table(spark, sf_dir, "documents"), "text", rounds=5)
+
+
+@query("t30_bpe_train_batched", oracle=_bpe_oracle(2, batch_m=3), extra=True)
+def t30_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batched production rung of t28: two rounds learning up to
+    THREE token-disjoint merge rules per corpus scan
+    (bpe_train(batch_m=3)) — training M rules costs one pair-count
+    scan per M rules instead of one per rule, which is the difference
+    between 1000 and 333 corpus scans for a real 1000-merge tokenizer.
+    Per round the single cached pair count yields three greedy
+    (n DESC, a, b) argmaxes, each excluding tokens used by the round's
+    earlier picks, so the batch's replaces cannot interact; the oracle
+    unrolls exactly that selection (chained NOT IN CTEs) and the same
+    sentinel-padded REPLACE chain."""
+    from kaylee_spark.operators.text import bpe_train
+
+    return bpe_train(
+        load_table(spark, sf_dir, "documents"), "text", rounds=2, batch_m=3
+    )
 
 
 @query(

@@ -1181,7 +1181,10 @@ def test_bpe_train_learns_greedy_merge_sequence(spark):
         "doc_id long, text string",
     )
     out = bpe_train(docs, "text", rounds=3).collect()
-    got = [(r["round"], r["pair_a"], r["pair_b"], r["merged"], r["n"]) for r in out]
+    got = [
+        (r["round"], r["rank"], r["pair_a"], r["pair_b"], r["merged"], r["n"])
+        for r in out
+    ]
     # round 1: (lo,w) n=5 -> "low" everywhere
     # round 2 corpus: doc1 "low low low", doc2 "low er low er", doc3 "n e w n e w"
     #   pairs: (low,low) 2, (low,er) 2, (er,low) 1, (n,e) 2, (e,w) 2, (w,n) 1
@@ -1190,9 +1193,9 @@ def test_bpe_train_learns_greedy_merge_sequence(spark):
     #   doc1 "low low low": (low,low) 2; doc2: (low,er) 2, (er,low) 1
     #   tie at n=2 -> (low,er) < (low,low) < (n,ew) -> (low,er) wins
     assert got == [
-        (1, "lo", "w", "low", 5),
-        (2, "e", "w", "ew", 2),
-        (3, "low", "er", "lower", 2),
+        (1, 1, "lo", "w", "low", 5),
+        (2, 1, "e", "w", "ew", 2),
+        (3, 1, "low", "er", "lower", 2),
     ]
     # back-to-back merge: "a a a a" -> (a,a) x3 counted, replace yields
     # "aa aa" (left-to-right non-overlapping), round 2 merges (aa,aa)
@@ -1202,6 +1205,69 @@ def test_bpe_train_learns_greedy_merge_sequence(spark):
         (1, "aa", 3),
         (2, "aaaa", 1),
     ]
+
+
+def test_bpe_merge_is_token_anchored(spark):
+    """A merge rule must fire only on whole-token adjacencies, never
+    inside a longer token that happens to END with pair_a (suffix
+    collision: rule (of, the) on tokens ['thereof', 'the'] — the raw
+    two-space replace would corrupt that to 'thereofthe') or START
+    with pair_b (prefix collision: rule (a, b) on ['a', 'bz']). The
+    single-space sentinel padding is what anchors the match."""
+    from kaylee_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "of the of the of the"),  # makes (of, the) the round-1 rule
+            (2, "thereof the"),           # must stay two tokens in round 1
+            (3, "xa bz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bpe_train(docs, "text", rounds=2).collect()
+    got = [(r["round"], r["pair_a"], r["pair_b"], r["n"]) for r in out]
+    # round 1: (of,the) x3 wins; doc2's (thereof,the) and doc3's (xa,bz)
+    # adjacencies survive the merge UNTOUCHED, so round 2 counts them:
+    # doc1 -> "ofthe ofthe ofthe" gives (ofthe,ofthe) x2 — the winner
+    assert got[0] == (1, "of", "the", 3)
+    assert got[1] == (2, "ofthe", "ofthe", 2)
+    # and the corrupted token never exists: retrain on doc2 alone —
+    # its only pair is (thereof, the), NOT anything containing 'ofthe'
+    solo = bpe_train(
+        spark.createDataFrame([(2, "thereof the")], "doc_id long, text string"),
+        "text",
+        rounds=1,
+    ).collect()
+    assert [(r["pair_a"], r["pair_b"], r["merged"]) for r in solo] == [
+        ("thereof", "the", "thereofthe")
+    ]
+
+
+def test_bpe_train_batched_disjoint_selection(spark):
+    """batch_m > 1 picks up to M token-disjoint rules per scan in
+    (n DESC, a, b) order: a candidate sharing a token with an earlier
+    pick this round is SKIPPED, and all picks apply before the next
+    count."""
+    from kaylee_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [
+            # pairs in round 1: (a,b) x3; (b,c) x3 but shares b -> skip;
+            # (x,y) x2 disjoint -> rank 2
+            (1, "a b c a b c a b c"),
+            (2, "x y x y"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bpe_train(docs, "text", rounds=1, batch_m=2).collect()
+    got = [(r["rank"], r["pair_a"], r["pair_b"], r["n"]) for r in out]
+    assert got == [(1, "a", "b", 3), (2, "x", "y", 2)]
+    # batch_m=1 on the same corpus would have taken (a,b) only; the
+    # batched round's application order is rank order and both rules
+    # land: round-2 corpus should pair (ab,c) and (xy,xy)
+    out2 = bpe_train(docs, "text", rounds=2, batch_m=2).collect()
+    r2 = [(r["rank"], r["pair_a"], r["pair_b"], r["n"]) for r in out2 if r["round"] == 2]
+    assert r2 == [(1, "ab", "c", 3), (2, "xy", "xy", 1)]
 
 
 def test_wav_codec_roundtrips_and_rejects():
