@@ -110,33 +110,57 @@ def main() -> None:
     # one summary number: the median over queries of (median-min)/min,
     # i.e. the typical half-spread this host showed during the run.
     def _median(s: list[float]) -> float:
+        # unrounded both branches; callers round ONCE at emission so
+        # even- and odd-count samples get identical treatment
         s = sorted(s)
         m = len(s) // 2
-        return s[m] if len(s) % 2 else round((s[m - 1] + s[m]) / 2, 3)
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
-    medians = {name: _median(s) for name, s in samples.items() if s}
+    medians = {name: round(_median(s), 3) for name, s in samples.items() if s}
     rel_spread = sorted(
         (medians[n] - timings[n]) / timings[n] for n in timings if timings[n] > 0
     )
     spread_pct = round(100 * _median(rel_spread), 1) if rel_spread else 0.0
 
     total = round(sum(timings.values()), 3)
+    top5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    # stdout is ONE JSON line, but its consumer may keep only the LAST
+    # ~2000 characters — so the big per-query dict goes FIRST and every
+    # headline field (total, sf, spread) goes LAST, where a tail
+    # capture can never lose it. Per-query medians and sample counts
+    # live in the detail file only.
     result = {
-        "metric": "total_query_wall_seconds",
-        "value": total,
-        "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "passes": n_passes,
-        "queries_median": medians,
-        "samples_per_query": {name: len(s) for name, s in samples.items() if s},
-        "median_rel_spread_pct": spread_pct,
         "precondition": "solo-JVM: per-query min of the passes; numbers are "
         "only comparable across rounds when no other Spark JVM shares the host",
+        "n_queries": len(timings),
+        "top5": top5,
+        "median_rel_spread_pct": spread_pct,
+        "metric": "total_query_wall_seconds",
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "value": total,
     }
     if errors:
-        result["errors"] = errors
+        result = {"errors": errors, **result}
         _warn(f"{len(errors)} of {len(registry)} queries failed; total covers the rest")
+    # full detail (per-query medians, sample counts) survives in a file
+    # the repo commits per round, immune to any stdout capture window
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+    )
+    detail = {
+        **result,
+        "queries_median": medians,
+        "samples_per_query": {name: len(s) for name, s in samples.items() if s},
+    }
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f)
+    except OSError as exc:
+        _warn(f"could not write bench detail file {detail_path}: {exc}")
     print(json.dumps(result))
 
 

@@ -117,6 +117,58 @@ def hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Da
 DEFAULT_MAX_DF = 1000
 
 
+def _capped_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_df: int | None,
+    pair_budget: int | None,
+) -> tuple[DataFrame, dict | None]:
+    """Shared candidate stage of the exact-pairs family: the hashed
+    (doc, shingle) postings, df-capped either by the explicit
+    ``max_df`` or by the ``pair_budget`` planner. Returns
+    (postings, plan_meta) — plan_meta is None unless a budget was
+    planned.
+
+    Cache discipline: the budget path is already eager (the df
+    histogram is collected to plan the cap), so the capped postings
+    are materialized with an eager localCheckpoint and the raw-postings
+    cache — which served the histogram pass and both reads of the
+    capped build — is RELEASED before returning, instead of leaking
+    one cached dataset per call for the session lifetime. The plain
+    max_df path stays fully lazy (shipped query semantics) and keeps
+    its caches alive for the deferred execution.
+    """
+    plan_meta = None
+    sh = hashed_shingles(df, id_col, text_col, n).withColumnRenamed("sh64", "shingle")
+    if pair_budget is not None:
+        from kaylee_spark.operators.lsh_planner import plan_max_df, shingle_df_histogram
+
+        raw = sh.cache()
+        max_df, bound = plan_max_df(shingle_df_histogram(raw), pair_budget)
+        plan_meta = {
+            "pair_budget": int(pair_budget),
+            "max_df": int(max_df),
+            "predicted_pair_bound": int(bound),
+        }
+        rare = (
+            raw.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+        )
+        capped = raw.join(rare.select("shingle"), "shingle").localCheckpoint(eager=True)
+        raw.unpersist()
+        return capped, plan_meta
+    if max_df is not None:
+        # cache the raw posting frame: the df-count pass and the capped
+        # join both read it — uncached, the shingling scan runs twice
+        sh = sh.cache()
+        rare = sh.groupBy("shingle").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_df)
+        sh = sh.join(rare.select("shingle"), "shingle")
+    return sh.cache(), plan_meta
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -125,7 +177,8 @@ def jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = DEFAULT_MAX_DF,
     pair_budget: int | None = None,
-) -> DataFrame:
+    return_plan: bool = False,
+) -> DataFrame | tuple[DataFrame, dict | None]:
     """Exact n-gram Jaccard over candidate pairs from the inverted index.
 
     plan: shingles -> self-join on shingle (pairs sharing >=1 gram)
@@ -165,31 +218,15 @@ def jaccard_pairs(
     the corpus's df histogram (one droplet-sized aggregate over the
     same cached postings) and picks the LARGEST cap whose Σ C(df,2)
     candidate bound fits the budget — ``max_df`` is then ignored. The
-    planner's decision travels with the result as a ``budget_plan``
-    attribute ({pair_budget, max_df, predicted_pair_bound}) so a
-    pipeline can log exactly what the cap dropped. Users who want
-    bounded OUTPUT rather than bounded join cost should use
+    planner's decision is returned alongside the frame when
+    ``return_plan=True`` — the call returns (DataFrame, plan) with
+    plan = {pair_budget, max_df, predicted_pair_bound} (or None when
+    no budget was planned) — so a pipeline can log exactly what the
+    cap dropped without fishing attributes off the DataFrame. Users
+    who want bounded OUTPUT rather than bounded join cost should use
     jaccard_topk_per_doc below.
     """
-    plan_meta = None
-    sh = hashed_shingles(df, id_col, text_col, n).withColumnRenamed("sh64", "shingle")
-    if pair_budget is not None:
-        from kaylee_spark.operators.lsh_planner import plan_max_df, shingle_df_histogram
-
-        sh = sh.cache()
-        max_df, bound = plan_max_df(shingle_df_histogram(sh), pair_budget)
-        plan_meta = {
-            "pair_budget": int(pair_budget),
-            "max_df": int(max_df),
-            "predicted_pair_bound": int(bound),
-        }
-    if max_df is not None:
-        # cache the raw posting frame: the df-count pass and the capped
-        # join both read it — uncached, the shingling scan runs twice
-        sh = sh.cache()
-        rare = sh.groupBy("shingle").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_df)
-        sh = sh.join(rare.select("shingle"), "shingle")
-    sh = sh.cache()
+    sh, plan_meta = _capped_postings(df, id_col, text_col, n, max_df, pair_budget)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
     a = sh.withColumnRenamed("doc", "doc_a")
     b = sh.withColumnRenamed("doc", "doc_b")
@@ -209,8 +246,8 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    if plan_meta is not None:
-        out.budget_plan = plan_meta
+    if return_plan:
+        return out, plan_meta
     return out
 
 
@@ -222,7 +259,8 @@ def jaccard_topk_per_doc(
     k: int = 3,
     max_df: int | None = DEFAULT_MAX_DF,
     pair_budget: int | None = None,
-) -> DataFrame:
+    return_plan: bool = False,
+) -> DataFrame | tuple[DataFrame, dict | None]:
     """Bounded-OUTPUT rung of the exact-pairs family: each document's
     ``k`` most similar partners by capped n-gram Jaccard, instead of
     every pair above a threshold. On a duplicated corpus the full pair
@@ -243,8 +281,15 @@ def jaccard_topk_per_doc(
     """
     from pyspark.sql import Window
 
-    pairs = jaccard_pairs(
-        df, id_col, text_col, n=n, threshold=0.0, max_df=max_df, pair_budget=pair_budget
+    pairs, plan_meta = jaccard_pairs(
+        df,
+        id_col,
+        text_col,
+        n=n,
+        threshold=0.0,
+        max_df=max_df,
+        pair_budget=pair_budget,
+        return_plan=True,
     )
     sym = pairs.select(
         F.col("doc_a").alias("doc"), F.col("doc_b").alias("neighbor"), "jaccard"
@@ -259,8 +304,8 @@ def jaccard_topk_per_doc(
         .filter(F.col("rnk") <= k)
         .select("doc", "neighbor", "jaccard", "rnk")
     )
-    if getattr(pairs, "budget_plan", None) is not None:
-        out.budget_plan = pairs.budget_plan
+    if return_plan:
+        return out, plan_meta
     return out
 
 
@@ -272,7 +317,8 @@ def containment_pairs(
     threshold: float = 0.8,
     max_df: int | None = DEFAULT_MAX_DF,
     pair_budget: int | None = None,
-) -> DataFrame:
+    return_plan: bool = False,
+) -> DataFrame | tuple[DataFrame, dict | None]:
     """Asymmetric n-gram containment over candidate pairs from the
     inverted index: containment(src -> dst) = |S(src) ∩ S(dst)| /
     |S(src)| — the quote / near-superset detector Jaccard misses. A
@@ -302,25 +348,9 @@ def containment_pairs(
 
     ``pair_budget`` works as in jaccard_pairs: plan_max_df picks the
     cap from the df histogram to fit the candidate-pair budget, and
-    the decision is attached as the result's ``budget_plan``.
+    ``return_plan=True`` returns (DataFrame, plan) with the decision.
     """
-    plan_meta = None
-    sh = hashed_shingles(df, id_col, text_col, n).withColumnRenamed("sh64", "shingle")
-    if pair_budget is not None:
-        from kaylee_spark.operators.lsh_planner import plan_max_df, shingle_df_histogram
-
-        sh = sh.cache()
-        max_df, bound = plan_max_df(shingle_df_histogram(sh), pair_budget)
-        plan_meta = {
-            "pair_budget": int(pair_budget),
-            "max_df": int(max_df),
-            "predicted_pair_bound": int(bound),
-        }
-    if max_df is not None:
-        sh = sh.cache()
-        rare = sh.groupBy("shingle").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_df)
-        sh = sh.join(rare.select("shingle"), "shingle")
-    sh = sh.cache()
+    sh, plan_meta = _capped_postings(df, id_col, text_col, n, max_df, pair_budget)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
     a = sh.withColumnRenamed("doc", "doc_a")
     b = sh.withColumnRenamed("doc", "doc_b")
@@ -348,8 +378,8 @@ def containment_pairs(
         (F.col("n_common") / F.col("size_b")).cast("double").alias("containment"),
     )
     out = fwd.unionByName(rev).filter(F.col("containment") >= threshold)
-    if plan_meta is not None:
-        out.budget_plan = plan_meta
+    if return_plan:
+        return out, plan_meta
     return out
 
 

@@ -89,9 +89,9 @@ def d03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Budget-minded users: the full pair set is inherently quadratic on
     a duplicated corpus (measured 79x output at x10 data — BASELINE).
     ``jaccard_pairs(pair_budget=...)`` bounds the JOIN cost via the
-    planner-picked df cap (the decision rides the result's
-    budget_plan attribute), and jaccard_topk_per_doc (query d21)
-    bounds the OUTPUT to k rows per document."""
+    planner-picked df cap (``return_plan=True`` hands the decision
+    back as a (frame, plan) pair), and jaccard_topk_per_doc (query
+    d21) bounds the OUTPUT to k rows per document."""
     return D.jaccard_pairs(load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.2)
 
 

@@ -745,25 +745,43 @@ def test_bloom_prescreen_planted(spark):
 
 def test_pair_budget_plans_cap_and_reports(spark):
     """pair_budget wires plan_max_df into the call sites: the cap is
-    planner-chosen from the df histogram and the decision travels as
-    the result's budget_plan attribute."""
+    planner-chosen from the df histogram and return_plan=True hands
+    the decision back explicitly as a (frame, plan) pair."""
     base = "the quick brown fox jumps over the lazy dog"
     rows = [(i, f"{base} copy") for i in range(20)] + [(100, "totally unrelated words here")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     # hot shingles have df=20 -> C(20,2)=190 pairs each; a tight budget
     # must drop them (cap < 20), a loose one must keep them
-    tight = D.jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.0, pair_budget=50)
-    assert tight.budget_plan["max_df"] < 20
-    assert tight.budget_plan["predicted_pair_bound"] <= 50
-    assert tight.budget_plan["pair_budget"] == 50
+    tight, tplan = D.jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.0, pair_budget=50, return_plan=True
+    )
+    assert tplan["max_df"] < 20
+    assert tplan["predicted_pair_bound"] <= 50
+    assert tplan["pair_budget"] == 50
     assert tight.count() == 0  # every shared shingle was corpus-hot
-    loose = D.jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9, pair_budget=10_000)
-    assert loose.budget_plan["max_df"] >= 20
+    loose, lplan = D.jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.9, pair_budget=10_000, return_plan=True
+    )
+    assert lplan["max_df"] >= 20
     assert loose.count() == 190  # all copy-pairs survive
     # containment_pairs shares the knob
-    cont = D.containment_pairs(df, "doc_id", "text", n=3, threshold=0.9, pair_budget=10_000)
-    assert cont.budget_plan["max_df"] >= 20
+    cont, cplan = D.containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.9, pair_budget=10_000, return_plan=True
+    )
+    assert cplan["max_df"] >= 20
     assert cont.count() == 380  # both directions
+    # without return_plan the call returns a bare frame (no tuple, no
+    # ad-hoc attributes), and without pair_budget the plan is None
+    bare = D.jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9, pair_budget=10_000)
+    assert not isinstance(bare, tuple)
+    _, noplan = D.jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9, return_plan=True)
+    assert noplan is None
+    # the budget path must not leak cached datasets: it checkpoints the
+    # capped postings (not tracked by the SQL cache manager) and
+    # unpersists the raw-postings cache before returning
+    spark.catalog.clearCache()
+    D.jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9, pair_budget=10_000).count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
 def test_jaccard_topk_per_doc_bounds_output(spark):
