@@ -59,6 +59,90 @@ class _CharNgrams:
             yield (i, text[i : i + n])
 
 
+class _ExplodeTypedRecords:
+    """POLYMORPHIC UDTF (Spark 4 analyze-time schema): explode a JSON
+    object string into ONE typed row whose schema is derived from a
+    constant field-spec argument — ``explode_typed_records('k:bigint,
+    tag:string', payload)`` plans a (k bigint, tag string) output
+    without any registration-time returnType. ``analyze`` runs ONCE at
+    query planning with the constant spec (a non-constant spec is a
+    planning error, surfaced by Spark itself), so every downstream
+    operator — pruning, filters, aggregates — sees real typed columns;
+    ``eval`` then only coerces values at runtime. Missing keys yield
+    typed NULLs, malformed JSON yields no row (the tolerant-reader
+    contract, same as sources.tolerant_json). This is the generic
+    schema-on-read escape hatch a fixed-schema UDTF can't be: one
+    registration serves every payload layout in the lake."""
+
+    _TYPES = {"int", "bigint", "double", "string", "boolean"}
+
+    @staticmethod
+    def _parse_spec(spec: str) -> list[tuple[str, str]]:
+        fields = []
+        for part in spec.split(","):
+            name, _, ty = part.partition(":")
+            name, ty = name.strip(), ty.strip()
+            if not name or ty not in _ExplodeTypedRecords._TYPES:
+                raise ValueError(
+                    f"explode_typed_records spec field {part!r}: want "
+                    f"'name:type' with type in {sorted(_ExplodeTypedRecords._TYPES)}"
+                )
+            fields.append((name, ty))
+        return fields
+
+    @staticmethod
+    def analyze(spec, payload):  # noqa: ANN001 — AnalyzeArgument at runtime
+        from pyspark.sql.types import (
+            BooleanType,
+            DoubleType,
+            IntegerType,
+            LongType,
+            StringType,
+            StructType,
+        )
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if not isinstance(spec.value, str):
+            raise ValueError("explode_typed_records: spec must be a constant string")
+        mk = {
+            "int": IntegerType,
+            "bigint": LongType,
+            "double": DoubleType,
+            "string": StringType,
+            "boolean": BooleanType,
+        }
+        st = StructType()
+        for name, ty in _ExplodeTypedRecords._parse_spec(spec.value):
+            st = st.add(name, mk[ty]())
+        return AnalyzeResult(schema=st)
+
+    def eval(self, spec: str, payload: str):
+        import json
+
+        if payload is None:
+            return
+        try:
+            rec = json.loads(payload)
+        except ValueError:
+            return
+        if not isinstance(rec, dict):
+            return
+        out = []
+        for name, ty in self._parse_spec(spec):
+            v = rec.get(name)
+            if v is None:
+                out.append(None)
+            elif ty in ("int", "bigint"):
+                out.append(int(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else None)
+            elif ty == "double":
+                out.append(float(v) if isinstance(v, (int, float)) and not isinstance(v, bool) else None)
+            elif ty == "boolean":
+                out.append(v if isinstance(v, bool) else None)
+            else:
+                out.append(v if isinstance(v, str) else json.dumps(v))
+        yield tuple(out)
+
+
 _TOKENIZE_SCHEMA = "pos: int, token: string, n_chars: int"
 _NGRAM_SCHEMA = "pos: int, gram: string"
 
@@ -76,6 +160,18 @@ TokenizePos = _make(_TokenizePos, _TOKENIZE_SCHEMA)
 CharNgrams = _make(_CharNgrams, _NGRAM_SCHEMA)
 
 
+def _make_polymorphic(cls):
+    """No returnType — the class's ``analyze`` supplies the schema at
+    planning time. Arrow-optimized when the runtime supports it."""
+    try:
+        return udtf(cls, useArrow=True)
+    except TypeError:  # older signature without useArrow
+        return udtf(cls)
+
+
+ExplodeTypedRecords = _make_polymorphic(_ExplodeTypedRecords)
+
+
 def register_udtfs(spark: SparkSession) -> None:
     """Register the UDTF library for SQL use (idempotent).
 
@@ -86,3 +182,4 @@ def register_udtfs(spark: SparkSession) -> None:
     """
     spark.udtf.register("tokenize_pos", TokenizePos)
     spark.udtf.register("char_ngrams", CharNgrams)
+    spark.udtf.register("explode_typed_records", ExplodeTypedRecords)

@@ -498,6 +498,50 @@ def a15_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a34_polymorphic_udtf",
+    oracle="""
+    WITH rec AS (
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               json_extract_string(props, '$.tag') AS tag
+        FROM events
+        WHERE props IS NOT NULL AND json_valid(props)
+    )
+    SELECT k % 10 AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           CAST(COUNT(tag) AS BIGINT) AS n_tagged
+    FROM rec
+    GROUP BY k % 10
+    """,
+    extra=True,
+)
+def a34_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 analyze-time schema, VERDICT
+    r10 item 7): ``explode_typed_records('k:bigint,tag:string', props)``
+    derives its output schema from the constant field-spec DURING
+    PLANNING — ``analyze`` runs once on the driver, so the aggregate
+    below operates on real typed columns (k bigint, tag string) with
+    no registration-time returnType anywhere; one registration serves
+    every payload layout in the lake (a15's tokenize_pos, by contrast,
+    is fixed-schema). The requested ``tag`` key is absent from the
+    fixture's props, proving the typed-NULL path end-to-end
+    (n_tagged = 0 in every bucket — counted, not assumed). The oracle
+    replays the extraction with json_extract on the same constants."""
+    from kaylee_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("a34_events")
+    return spark.sql(
+        "SELECT t.k % 10 AS k_bucket, COUNT(*) AS n_events, "
+        "MIN(t.k) AS min_k, MAX(t.k) AS max_k, COUNT(t.tag) AS n_tagged "
+        "FROM a34_events e, "
+        "LATERAL explode_typed_records('k:bigint,tag:string', e.props) t "
+        "GROUP BY t.k % 10"
+    )
+
+
+@query(
     "a16_fuzzy_join",
     oracle="""
     WITH corrupted AS (

@@ -1097,3 +1097,101 @@ def q31_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q32_sole_fault_suppliers",
+    oracle="""
+    WITH l1 AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_returnflag = 'R' AND o.o_orderstatus = 'F'
+    ),
+    faulted AS (
+        SELECT * FROM l1
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM faulted f
+    JOIN supplier s ON s.s_suppkey = f.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_nationkey < 13
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    extra=True,
+)
+def q32_sole_fault_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting) — the
+    hardest classic: the fact table self-joined TWICE with EXISTS +
+    NOT EXISTS semantics. Per returned ('R') line item on a finished
+    ('F') order: EXISTS another supplier's item on the SAME order
+    (multi-supplier order), NOT EXISTS another supplier's RETURNED
+    item on it (this supplier is the sole fault) — count per supplier,
+    top 100. The fault predicate is l_returnflag = 'R' instead of
+    Q21's receiptdate > commitdate because the fixture carries no
+    receipt/commit dates; it is row-local exactly like the original,
+    so the sub-query structure (the thing this query exercises) is
+    unchanged. The same shape runs constantly in funnel/attribution
+    work ("the only vendor that missed SLA on an otherwise-clean
+    shipment").
+
+    Plan shape at 100 TB: both EXISTS branches become one SortMergeJoin
+    LeftSemi and one LeftAnti on l_orderkey with the l_suppkey <>
+    residual — three co-partitioned passes over the SAME shuffle key,
+    never a cartesian; the order-status probe is a semi-join against
+    the date-free orders projection; supplier⋈nation is a broadcast;
+    the top-100 is TakeOrderedAndProject (per-partition heaps), not a
+    global sort. Ties at the cut are impossible to mis-pick: the order
+    (numwait DESC, s_name) is total because s_name is unique."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 13)
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    faulted = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        faulted.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )

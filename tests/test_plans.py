@@ -66,9 +66,10 @@ def test_s01_broadcasts_queries(spark, sf_dir, registry):
     assert "Broadcast" in p, p
 
 
-# every LAZY main-registry query (plan can be built without executing
-# the query; the eager ones — iterative CC, KMeans fit, streaming
-# drain, mapreduce collect — are excluded)
+# a fast smoke subset of the full-registry guard below: pure-lazy
+# main-tier queries whose plans build in milliseconds — kept so a
+# cartesian regression in the relational core fails in seconds even
+# when someone runs only this file's fast tests
 _LAZY = [
     "q01_pricing_summary", "q02_min_cost_supplier", "q03_top_orders",
     "q04_order_priority", "q05_region_revenue", "q07_distinct",
@@ -76,7 +77,9 @@ _LAZY = [
     "q13_order_count_distribution", "q15_string_funcs",
     "q16_customers_no_orders", "q17_above_avg_parts", "q20_set_intersect",
     "q23_date_trunc", "q25_salted_join", "q26_volume_shipping",
-    "q27_market_share", "w01_rank_orders", "w02_running_total",
+    "q27_market_share", "q30_large_volume_orders",
+    "q31_dormant_rich_customers", "q32_sole_fault_suppliers",
+    "w01_rank_orders", "w02_running_total",
     "w05_range_frame", "e01_tumbling_window", "e02_sliding_window",
     "e03_session_window", "e04_json_extract", "e05_event_dedup",
     "d01_exact_dedup", "d03_jaccard_pairs", "d07_decontamination",
@@ -86,15 +89,43 @@ _LAZY = [
 
 
 def test_no_cartesian_products(spark, sf_dir, registry):
-    """No lazy query may plan a CartesianProduct — the one sanctioned
-    near-cartesian in the engine is the IVF probe crossJoin against
-    BROADCAST centroids (BroadcastNestedLoopJoin, bounded small side),
-    which lives in the eager s04 path."""
+    """Fast subset: no relational-core query may plan a
+    CartesianProduct. The REGISTRY-WIDE version of this guard is
+    test_no_cartesian_products_full_registry below."""
     offenders = []
     for name in _LAZY:
         p = plan_of(registry[name].fn(spark, sf_dir))
         if "CartesianProduct" in p:
             offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_no_cartesian_products_full_registry(spark, sf_dir, registry):
+    """EVERY registry entry — main tier and extra tier — must plan
+    without a CartesianProduct. Eager queries (iterative loops,
+    k-means fits, streaming drains, collect-folded scalars) simply
+    execute their small jobs at the smoke scale while the final frame
+    is built; their FINAL plan is then inspected like any other, so
+    nothing is exempt. The sanctioned near-cartesians in the engine
+    are all BroadcastNestedLoopJoins against provably tiny sides
+    (1-row stats frames, broadcast query/anchor sets, the IVF
+    centroid probe) — BNLJ is not CartesianProduct and does not trip
+    this guard; an actual CartesianProduct anywhere means both sides
+    went unkeyed AND unbroadcast, which no operator here should ever
+    plan. Cost: ~2 min (measured 129 s for 184 entries at sf0.001) —
+    the price of making 'no cartesian anywhere' a test instead of a
+    tool run."""
+    offenders = []
+    errors = []
+    for name in sorted(registry):
+        try:
+            p = plan_of(registry[name].fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 — collect, don't mask
+            errors.append(f"{name}: {type(exc).__name__}: {exc}")
+            continue
+        if "CartesianProduct" in p:
+            offenders.append(name)
+    assert not errors, errors
     assert not offenders, offenders
 
 

@@ -57,3 +57,42 @@ def test_char_ngrams(spark):
     # n larger than the text -> single truncated gram at pos 0
     short = CharNgrams(F.lit("ab"), F.lit(5)).collect()
     assert [(r.pos, r.gram) for r in short] == [(0, "ab")]
+
+
+def test_explode_typed_records_polymorphic_schema(spark):
+    """The SAME registration plans different output schemas from the
+    constant spec argument (analyze-time polymorphism): column names,
+    types, missing-key NULLs, and the tolerant malformed-JSON drop."""
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [
+            (1, '{"a": 7, "b": "x", "c": 1.5, "d": true}'),
+            (2, '{"a": 8}'),
+            (3, "not json at all"),
+            (4, None),
+            (5, "[1, 2, 3]"),  # valid JSON but not an object -> dropped
+        ],
+        "id long, js string",
+    ).createOrReplaceTempView("poly_t")
+    out = spark.sql(
+        "SELECT v.id, t.* FROM poly_t v, "
+        "LATERAL explode_typed_records('a:bigint,b:string,c:double,d:boolean', v.js) t"
+    )
+    assert out.schema.simpleString() == (
+        "struct<id:bigint,a:bigint,b:string,c:double,d:boolean>"
+    )
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [(1, 7, "x", 1.5, True), (2, 8, None, None, None)]
+    # a different spec from the SAME registration -> different schema
+    out2 = spark.sql(
+        "SELECT t.* FROM poly_t v, LATERAL explode_typed_records('b:string', v.js) t"
+    )
+    assert out2.schema.simpleString() == "struct<b:string>"
+    # a bad spec fails at PLANNING (analyze), not mid-job
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException, match="name:type"):
+        spark.sql(
+            "SELECT t.* FROM poly_t v, LATERAL explode_typed_records('a:blob', v.js) t"
+        ).collect()

@@ -76,6 +76,7 @@ SHOWCASE = [
     ("q30_large_volume_orders", "Q18 shape: HAVING-pruned quantity agg feeds the joins; top-100 is TakeOrderedAndProject"),
     ("q31_dormant_rich_customers", "Q22 shape: global average folded to a literal (no BNLJ); anti-join on a payload-free projection"),
     ("s14_pq_adc_topk", "ADC search: melted 3-int code rows join the broadcast query lookup table; one map-side sum + rank"),
+    ("q32_sole_fault_suppliers", "Q21 shape: fact self-joined twice as LeftSemi + LeftAnti on one order key, top-100 via TakeOrdered"),
     ("d20_bloom_prescreen", "bloom pre-screen: int-position semi-joins; text never shuffles"),
     # the per-round count+rank lives BEHIND the per-round
     # localCheckpoints (lineage deliberately truncated) — the final
@@ -159,6 +160,7 @@ MUST_CONTAIN = {
     "q30_large_volume_orders": ("TakeOrderedAndProject",),
     "q31_dormant_rich_customers": ("BroadcastHashJoin",),
     "s14_pq_adc_topk": ("BroadcastHashJoin", "Window"),
+    "q32_sole_fault_suppliers": ("LeftSemi", "LeftAnti", "TakeOrderedAndProject"),
     "d20_bloom_prescreen": ("HashAggregate",),
     "g07_label_propagation": ("localCheckpoint",),
     "w07_gini_concentration": ("Window",),
