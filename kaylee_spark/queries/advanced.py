@@ -307,6 +307,7 @@ def a08_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
     GROUP BY b.bucket_name
     """,
+    extra=True,
 )
 def a09_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join through the bucketed equi-join rewrite
@@ -554,7 +555,6 @@ def a34_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM corrupted, customer
     WHERE levenshtein(probe_name, c_name) <= 1
     """,
-    extra=True,
 )
 def a16_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance join (entity resolution): every customer name is
@@ -879,7 +879,6 @@ def a23_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(v) AS INT) AS max_v
     FROM px GROUP BY media_id, channel
     """,
-    extra=True,
 )
 def a32_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIXEL-LEVEL image decode, end-to-end and hash-gated (closes the
@@ -922,7 +921,6 @@ def a32_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(v) AS INT) AS max_v
     FROM s GROUP BY media_id
     """,
-    extra=True,
 )
 def a33_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAMPLE-LEVEL audio decode, end-to-end and hash-gated — the

@@ -75,6 +75,7 @@ def d02_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.doc = doc_b
     WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.2
     """,
+    extra=True,
 )
 def d03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs through the inverted index
@@ -139,7 +140,6 @@ def d03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc, neighbor, jaccard, rnk FROM ranked WHERE rnk <= 3
     """,
-    extra=True,
 )
 def d21_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-output rung of the exact-pairs family (VERDICT r9 item
@@ -768,7 +768,6 @@ def d14_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored
     ) WHERE containment >= 0.7
     """,
-    extra=True,
 )
 def d16_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric 3-gram containment pairs (operators/dedup.py

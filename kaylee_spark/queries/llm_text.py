@@ -130,6 +130,7 @@ def t03_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS lang_pred
     FROM documents
     """,
+    extra=True,
 )
 def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document profile: order-sensitive rolling-hash fingerprint
@@ -1033,7 +1034,7 @@ def _bpe_oracle(rounds: int = 5, batch_m: int = 1) -> str:
     return "WITH " + ",\n    ".join(parts) + "\n    " + union
 
 
-@query("t28_bpe_train", oracle=_bpe_oracle(5), extra=True)
+@query("t28_bpe_train", oracle=_bpe_oracle(5))
 def t28_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five rounds of corpus-wide BPE tokenizer training
     (operators/text.bpe_train): the iterative completion of t19's

@@ -110,7 +110,7 @@ def _m04_oracle(
     """
 
 
-@query("m04_pydatasource_wordcount", oracle=_m04_oracle())
+@query("m04_pydatasource_wordcount", oracle=_m04_oracle(), extra=True)
 def m04_pydatasource_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's datafn contract as a REGISTERED SPARK SOURCE:
     sdiehl/kaylee's input is a driver-side Python generator

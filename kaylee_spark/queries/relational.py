@@ -329,6 +329,7 @@ def q19_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
     GROUP BY p_brand
     """,
+    extra=True,
 )
 def q17_above_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery via cross-joined 1-row aggregate (broadcast).
@@ -684,6 +685,7 @@ def q24_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 JOIN nation ON s_nationkey = n_nationkey
     WHERE p_size <= 20
     """,
+    extra=True,
 )
 def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: per-part minimum-cost supplier (correlated
@@ -733,6 +735,7 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p_name LIKE '%a%'
     GROUP BY n_name, CAST(EXTRACT(year FROM o_orderdate) AS INT)
     """,
+    extra=True,
 )
 def q09_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit by supplier nation and order year.

@@ -441,7 +441,7 @@ def _kmeans_oracle(dim: int = 64, k: int = 5, iterations: int = 3) -> str:
     )
 
 
-@query("s09_kmeans", oracle=_kmeans_oracle(64, 5, 3), extra=True)
+@query("s09_kmeans", oracle=_kmeans_oracle(64, 5, 3))
 def s09_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration Lloyd's k-means (k=5) over the 64-dim embeddings,
     exact on the 1e-6 integer lattice: deterministic smallest-id
@@ -567,7 +567,7 @@ def _pq_neardup_oracle(dim: int = 64, m: int = 4, k: int = 4, iterations: int = 
     )
 
 
-@query("d15_pq_neardup", oracle=_pq_neardup_oracle(64, 4, 4, 2))
+@query("d15_pq_neardup", oracle=_pq_neardup_oracle(64, 4, 4, 2), extra=True)
 def d15_pq_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-duplicate candidates from learned quantization:
     embedding pairs landing in the SAME cell of all 4 PQ subspace
@@ -736,7 +736,7 @@ def _pq_adc_oracle(dim: int = 64, m: int = 4, k: int = 4, iterations: int = 2, t
     )
 
 
-@query("s14_pq_adc_topk", oracle=_pq_adc_oracle(64, 4, 4, 2, 10), extra=True)
+@query("s14_pq_adc_topk", oracle=_pq_adc_oracle(64, 4, 4, 2, 10))
 def s14_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric-distance PQ search for 5 query vectors: per-query
     m x k exact-lattice lookup tables broadcast against the melted

@@ -198,6 +198,7 @@ def e03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY CAST(json_extract_string(props, '$.k') AS INT) % 10
     """,
+    extra=True,
 )
 def e04_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: JSON props -> typed key -> agg."""
@@ -222,7 +223,6 @@ def e04_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY CAST(json_extract_string(props, '$.k') AS INT) % 10
     """,
-    extra=True,
 )
 def e33_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """e04's semi-structured path on Spark 4 VariantType (VERDICT r9
@@ -1146,7 +1146,6 @@ def e29_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND (f.ts < v.valid_to OR v.valid_to IS NULL)
     WHERE f.event_type = 'purchase'
     """,
-    extra=True,
 )
 def e30_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time-correct feature join — the feature-store primitive

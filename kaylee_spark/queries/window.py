@@ -154,6 +154,7 @@ def w04_ntile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                       RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS max_neighbor_price
     FROM lineitem
     """,
+    extra=True,
 )
 def w05_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame over a numeric ordering column."""

@@ -77,6 +77,7 @@ SHOWCASE = [
     ("q31_dormant_rich_customers", "Q22 shape: global average folded to a literal (no BNLJ); anti-join on a payload-free projection"),
     ("s14_pq_adc_topk", "ADC search: melted 3-int code rows join the broadcast query lookup table; one map-side sum + rank"),
     ("q32_sole_fault_suppliers", "Q21 shape: fact self-joined twice as LeftSemi + LeftAnti on one order key, top-100 via TakeOrdered"),
+    ("a34_polymorphic_udtf", "polymorphic UDTF: analyze-time schema plans typed columns; one Python eval feeds a JVM hash agg"),
     ("d20_bloom_prescreen", "bloom pre-screen: int-position semi-joins; text never shuffles"),
     # the per-round count+rank lives BEHIND the per-round
     # localCheckpoints (lineage deliberately truncated) — the final
@@ -161,6 +162,7 @@ MUST_CONTAIN = {
     "q31_dormant_rich_customers": ("BroadcastHashJoin",),
     "s14_pq_adc_topk": ("BroadcastHashJoin", "Window"),
     "q32_sole_fault_suppliers": ("LeftSemi", "LeftAnti", "TakeOrderedAndProject"),
+    "a34_polymorphic_udtf": ("HashAggregate",),
     "d20_bloom_prescreen": ("HashAggregate",),
     "g07_label_propagation": ("localCheckpoint",),
     "w07_gini_concentration": ("Window",),

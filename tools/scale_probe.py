@@ -182,6 +182,15 @@ PROBE_QUERIES = (
     # the quantized-ln boundary behavior at a selection pressure no
     # shipped fixture reaches
     "t29_weighted_sample",
+    # round-11 additions. t30: the batched disjoint selection must
+    # pick the same 6 rules at x10 (counts scale, ties invariant);
+    # q32: x10 fan-out changes WHICH orders are multi-supplier — the
+    # semi/anti pair must agree with the oracle's EXISTS algebra on
+    # real new data; a34: the analyze-time schema is scale-blind but
+    # the typed-NULL path sees 10x the payloads
+    "t30_bpe_train_batched",
+    "q32_sole_fault_suppliers",
+    "a34_polymorphic_udtf",
 )
 
 
