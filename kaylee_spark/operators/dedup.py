@@ -383,6 +383,58 @@ def containment_pairs(
     return out
 
 
+def containment_topk_per_src(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 3,
+    max_df: int | None = DEFAULT_MAX_DF,
+    pair_budget: int | None = None,
+    return_plan: bool = False,
+) -> DataFrame | tuple[DataFrame, dict | None]:
+    """Bounded-OUTPUT rung of the containment family — the directional
+    twin of jaccard_topk_per_doc: each document's ``k`` strongest
+    hosts/quotes by capped n-gram containment(src -> dst), instead of
+    every ordered pair above a threshold. On a duplicated corpus the
+    full containment pair set grows with the square of the duplication
+    factor in BOTH directions (d16 measured 979x output at x10 — an
+    output-cardinality fact no exact semantics can beat); the
+    production question is usually "what is this doc quoted from /
+    what quotes it", whose answer is <= k rows per src at ANY scale.
+
+    Plan: containment_pairs' one symmetric candidate aggregate
+    (optionally budget-planned via ``pair_budget``), then a per-src
+    rank window over the ALREADY-CAPPED ordered pair set — the window
+    shuffles candidate pairs, never the corpus. Ties broken
+    (containment DESC, dst ASC) on exact int/int doubles so any engine
+    ranks identically.
+
+    Output: (src, dst, containment, rnk) with rnk in 1..k.
+    """
+    from pyspark.sql import Window
+
+    pairs, plan_meta = containment_pairs(
+        df,
+        id_col,
+        text_col,
+        n=n,
+        threshold=0.0,
+        max_df=max_df,
+        pair_budget=pair_budget,
+        return_plan=True,
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("containment"), F.asc("dst"))
+    out = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("src", "dst", "containment", "rnk")
+    )
+    if return_plan:
+        return out, plan_meta
+    return out
+
+
 def incremental_exact_dedup(
     increment: DataFrame,
     text_col: str,

@@ -783,6 +783,69 @@ def d16_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "d22_containment_topk",
+    oracle=f"""
+    WITH sh0 AS (
+        SELECT DISTINCT doc_id AS doc, gram AS shingle FROM (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                       i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS gram
+            FROM documents
+        )
+    ),
+    kept AS (
+        SELECT shingle FROM sh0 GROUP BY shingle
+        HAVING COUNT(*) <= {D.DEFAULT_MAX_DF}
+    ),
+    sh AS (SELECT sh0.doc, sh0.shingle FROM sh0 JOIN kept USING (shingle)),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    common AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    ),
+    scored AS (
+        SELECT doc_a, doc_b, n_common, sa.n AS size_a, sb.n AS size_b
+        FROM common
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+    ),
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst,
+               CAST(n_common AS DOUBLE) / size_a AS containment
+        FROM scored
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst,
+               CAST(n_common AS DOUBLE) / size_b AS containment
+        FROM scored
+    ),
+    ranked AS (
+        SELECT src, dst, containment,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY src ORDER BY containment DESC, dst ASC
+               ) AS INT) AS rnk
+        FROM sym
+    )
+    SELECT src, dst, containment, rnk FROM ranked WHERE rnk <= 3
+    """,
+    extra=True,
+)
+def d22_containment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-output rung of the containment family
+    (operators/dedup.containment_topk_per_src): each document's 3
+    strongest quote/host partners by capped 3-gram containment —
+    <= k rows per src at any corpus scale, where d16's thresholded
+    ordered-pair set measured 979x output growth at x10 on the
+    duplicated corpus. Completes the bounded-rung pair started by d21
+    (jaccard top-k): both exact-pairs families now ship a
+    constant-output production variant beside the full enumeration."""
+    return D.containment_topk_per_src(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, k=3
+    )
+
+
+@query(
     "d17_corpus_similarity",
     oracle="""
     WITH sh AS (

@@ -833,3 +833,28 @@ def pytest_approx(x):
     import pytest
 
     return pytest.approx(x, abs=1e-12)
+
+
+def test_containment_topk_per_src_bounds_and_direction(spark):
+    """Directional top-k: <= k rows per src, scored containment
+    (src -> dst) = |S(src) ∩ S(dst)| / |S(src)| — a short doc embedded
+    in a long one must rank the HOST at containment 1.0 from the
+    quote's side while the host's own view of the quote stays low."""
+    host = "a b c d e f g h i j k l"
+    quote = "c d e f g"                # its 3 shingles all inside host
+    other = "x y z w v u"
+    df = spark.createDataFrame(
+        [(1, host), (2, quote), (3, other)], "doc_id long, text string"
+    )
+    out = D.containment_topk_per_src(df, "doc_id", "text", n=3, k=2).collect()
+    rows = {(r["src"], r["dst"]): (r["containment"], r["rnk"]) for r in out}
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r["src"], []).append(r)
+    assert all(len(v) <= 2 for v in per_src.values())
+    assert 3 not in per_src  # no shared shingles -> no partners
+    # quote -> host: all 3 of quote's shingles are host shingles
+    assert rows[(2, 1)] == (1.0, 1)
+    # host -> quote: only 3 of host's 10 shingles shared
+    c, rnk = rows[(1, 2)]
+    assert abs(c - 0.3) < 1e-12 and rnk == 1

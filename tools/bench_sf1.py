@@ -92,6 +92,9 @@ def main() -> None:
         os.environ,
         SPARK_GRAFT_SF_DIR=FIXTURE,
         SPARK_GRAFT_BENCH_PASSES=str(args.passes),
+        # keep the committed sf0.1 detail file intact: this tier's
+        # per-query detail belongs next to BENCH_SF1.json instead
+        SPARK_GRAFT_BENCH_DETAIL=os.path.join(REPO, "BENCH_SF1_LOCAL.json"),
     )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

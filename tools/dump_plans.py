@@ -86,6 +86,7 @@ SHOWCASE = [
     ("w07_gini_concentration", "gini: rank window and 3-scalar close share ONE nation-keyed exchange"),
     ("t27_heavy_phrases", "heavy hitters: MG candidate sketch in mapInPandas, broadcast semi-join, exact count — the one exchange carries candidates only"),
     ("d21_topk_neighbors", "top-k neighbors: d03's capped inverted index feeds a doc-keyed rank window — output bounded at k rows/doc"),
+    ("d22_containment_topk", "containment top-k: d16's symmetric candidate agg feeds a src-keyed rank window — bounded directional output"),
     ("a32_png_pixel_stats", "PNG pixel stats: generate + decode stay inside ONE mapInPandas pair; 3 integer rows per image leave the executor"),
     ("a33_wav_sample_stats", "WAV sample stats: RIFF decode inside mapInPandas; one integer row per clip leaves the executor"),
     ("t29_weighted_sample", "weighted sample: codegen score, TakeOrderedAndProject top-k — no shuffle of the data"),
@@ -164,6 +165,7 @@ MUST_CONTAIN = {
     "q32_sole_fault_suppliers": ("LeftSemi", "LeftAnti", "TakeOrderedAndProject"),
     "a34_polymorphic_udtf": ("HashAggregate",),
     "d20_bloom_prescreen": ("HashAggregate",),
+    "d22_containment_topk": ("Window", "HashAggregate"),
     "g07_label_propagation": ("localCheckpoint",),
     "w07_gini_concentration": ("Window",),
 }

@@ -191,6 +191,10 @@ PROBE_QUERIES = (
     "t30_bpe_train_batched",
     "q32_sole_fault_suppliers",
     "a34_polymorphic_udtf",
+    # d22: x10 text copies multiply candidate pairs ~100x but the
+    # output stays <= k rows per src — the bounded-rung property at
+    # the scale where d16's full enumeration measured 979x output
+    "d22_containment_topk",
 )
 
 
