@@ -543,6 +543,32 @@ def a34_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a35_arrow_batch_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_segments
+    FROM documents
+    """,
+    extra=True,
+)
+def a35_arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow per-document profile (functions/pandas_udfs.
+    arrow_doc_stats): the batch crosses into Python as a pyarrow
+    RecordBatch and every transform is a vectorized Arrow C++ kernel —
+    no pandas materialization anywhere, the lowest-overhead Python
+    hook Spark offers and the last rung of the UDF ladder this engine
+    ships (UDTF lateral a15/a34, scalar/grouped pandas t06/t07,
+    applyInPandas, applyInPandasWithState e20, mapInPandas a32/a33,
+    DataSource m04-m06 + results writer). The oracle replays the
+    kernels exactly: binary_length = strlen (DuckDB's byte length), split_pattern(' ')
+    segment count = len(string_split))."""
+    from kaylee_spark.functions.pandas_udfs import arrow_doc_stats
+
+    return arrow_doc_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "a16_fuzzy_join",
     oracle="""
     WITH corrupted AS (

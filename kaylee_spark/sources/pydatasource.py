@@ -20,12 +20,17 @@ oracle-verifiable, not just the query over it.
 
 from __future__ import annotations
 
+import os
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 #: LCG parameters (minstd) and the fixed vocabulary — shared verbatim
@@ -178,6 +183,106 @@ class DatafnSource(DataSource):
         return DatafnStreamReader(self.options)
 
 
+@dataclass
+class _PartCommit(WriterCommitMessage):
+    """One task's committed output: the part file it wrote and the row
+    count inside. Only parts named in a commit message reach the
+    manifest — an aborted or speculative duplicate task's file exists
+    on disk but is invisible to readers."""
+
+    name: str
+    count: int
+
+
+class JsonlResultsWriter(DataSourceWriter):
+    """Distributed JSONL sink with an explicit task-commit protocol —
+    the reference's collect sink (``results() -> dict``,
+    `/root/reference/kaylee/server.py:174-178,300`) re-expressed as
+    durable, parallel output instead of a driver dict. Each task
+    writes one uniquely-named part file and returns it in its commit
+    message; the DRIVER's ``commit`` then writes ``_MANIFEST.json``
+    naming exactly the committed parts. That manifest IS the
+    straggler/duplicate guard (SURVEY §2.1 #8): a speculative twin of
+    a task leaves an orphan part file that no manifest entry points
+    to, so ``read_results`` never sees duplicated rows — the same
+    task-commit idea Spark's own FileOutputCommitter implements,
+    demonstrated here at the Python DataSource API level.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kaylee_results writer requires option 'path'")
+        if overwrite and os.path.isdir(self.path):
+            # driver-side, before any task runs: drop prior committed
+            # state so a re-run can't mix generations
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl") or f == "_MANIFEST.json":
+                    os.remove(os.path.join(self.path, f))
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator):
+        import json
+        import uuid
+
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartCommit(name=name, count=n)
+
+    def commit(self, messages):
+        import json
+
+        manifest = {
+            "parts": sorted(m.name for m in messages),
+            "total_rows": int(sum(m.count for m in messages)),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        # leave orphan part files in place: the missing manifest (or a
+        # manifest that doesn't name them) makes them unreadable, which
+        # is the whole point of the protocol — cleanup is a janitor
+        # concern, correctness is the manifest's
+        pass
+
+
+class JsonlResultsSource(DataSource):
+    """``df.write.format("kaylee_results").option("path", p).save()``"""
+
+    @classmethod
+    def name(cls):
+        return "kaylee_results"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlResultsWriter(self.options, overwrite)
+
+
+def read_results(spark, path: str, schema: str):
+    """Read back ONLY the committed parts of a kaylee_results sink —
+    the manifest is the source of truth; orphan files from aborted or
+    speculative tasks are ignored. An explicit schema keeps the read
+    deterministic (no sampling-based inference)."""
+    import json
+
+    manifest_path = os.path.join(path, "_MANIFEST.json")
+    if not os.path.exists(manifest_path):
+        raise FileNotFoundError(
+            f"no _MANIFEST.json under {path}: the write never committed"
+        )
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    parts = [os.path.join(path, name) for name in manifest["parts"]]
+    if not parts:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(parts)
+
+
 def register(spark) -> None:
-    """Idempotently register the source on a session."""
+    """Idempotently register the sources on a session."""
     spark.dataSource.register(DatafnSource)
+    spark.dataSource.register(JsonlResultsSource)

@@ -277,3 +277,69 @@ def test_pydatasource_stream_restart_exactly_once(spark, tmp_path):
         q3.stop()
     q3.awaitTermination()
     assert spark.read.parquet(out).count() == 2000
+
+
+def test_results_sink_writes_commits_and_reads_back(spark, tmp_path):
+    """The kaylee_results Python DataSource writer: JSONL parts + a
+    driver-written manifest naming exactly the committed parts; the
+    roundtrip must equal the source rows."""
+    from kaylee_spark.sources.pydatasource import read_results, register
+
+    register(spark)
+    out = str(tmp_path / "wc_out")
+    counts = (
+        spark.read.format("kaylee_datafn")
+        .option("rows", 200)
+        .option("splits", 4)
+        .load()
+        .selectExpr("explode(split(line, ' ')) AS word")
+        .groupBy("word")
+        .count()
+    )
+    expected = sorted(map(tuple, counts.collect()))
+    counts.write.format("kaylee_results").option("path", out).mode("append").save()
+    back = read_results(spark, out, "word string, count bigint")
+    assert sorted(map(tuple, back.collect())) == expected
+    # manifest totals agree with what the tasks committed
+    import json
+    import os
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == len(expected)
+    assert all(name.endswith(".jsonl") for name in manifest["parts"])
+
+
+def test_results_sink_manifest_ignores_orphan_parts(spark, tmp_path):
+    """The straggler/duplicate guard (SURVEY §2.1 #8): a part file NOT
+    named in the manifest — a speculative twin's output, or an aborted
+    attempt — must be invisible to read_results."""
+    from kaylee_spark.sources.pydatasource import read_results, register
+
+    register(spark)
+    out = str(tmp_path / "guarded")
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v bigint")
+    df.write.format("kaylee_results").option("path", out).mode("append").save()
+    # plant an orphan: a duplicate task's output that never committed
+    with open(f"{out}/part-orphan-duplicate.jsonl", "w") as f:
+        f.write('{"k": "a", "v": 1}\n')  # would DOUBLE-COUNT row a
+    back = read_results(spark, out, "k string, v bigint")
+    assert sorted(map(tuple, back.collect())) == [("a", 1), ("b", 2)]
+
+
+def test_results_sink_overwrite_replaces_generation(spark, tmp_path):
+    """mode('overwrite') drops the previous committed generation before
+    any task writes; a missing manifest (write never ran) raises."""
+    import pytest
+
+    from kaylee_spark.sources.pydatasource import read_results, register
+
+    register(spark)
+    out = str(tmp_path / "gen")
+    one = spark.createDataFrame([("x", 1)], "k string, v bigint")
+    two = spark.createDataFrame([("y", 2), ("z", 3)], "k string, v bigint")
+    one.write.format("kaylee_results").option("path", out).mode("append").save()
+    two.write.format("kaylee_results").option("path", out).mode("overwrite").save()
+    back = read_results(spark, out, "k string, v bigint")
+    assert sorted(map(tuple, back.collect())) == [("y", 2), ("z", 3)]
+    with pytest.raises(FileNotFoundError, match="never committed"):
+        read_results(spark, str(tmp_path / "nowhere"), "k string, v bigint")

@@ -78,6 +78,7 @@ SHOWCASE = [
     ("s14_pq_adc_topk", "ADC search: melted 3-int code rows join the broadcast query lookup table; one map-side sum + rank"),
     ("q32_sole_fault_suppliers", "Q21 shape: fact self-joined twice as LeftSemi + LeftAnti on one order key, top-100 via TakeOrdered"),
     ("a34_polymorphic_udtf", "polymorphic UDTF: analyze-time schema plans typed columns; one Python eval feeds a JVM hash agg"),
+    ("a35_arrow_batch_stats", "mapInArrow: 2-column pruned scan into one Arrow-kernel batch op — no pandas, no shuffle"),
     ("d20_bloom_prescreen", "bloom pre-screen: int-position semi-joins; text never shuffles"),
     # the per-round count+rank lives BEHIND the per-round
     # localCheckpoints (lineage deliberately truncated) — the final
@@ -164,6 +165,7 @@ MUST_CONTAIN = {
     "s14_pq_adc_topk": ("BroadcastHashJoin", "Window"),
     "q32_sole_fault_suppliers": ("LeftSemi", "LeftAnti", "TakeOrderedAndProject"),
     "a34_polymorphic_udtf": ("HashAggregate",),
+    "a35_arrow_batch_stats": ("MapInArrow", "ReadSchema: struct<doc_id:bigint,text:string>"),
     "d20_bloom_prescreen": ("HashAggregate",),
     "d22_containment_topk": ("Window", "HashAggregate"),
     "g07_label_propagation": ("localCheckpoint",),

@@ -195,6 +195,9 @@ PROBE_QUERIES = (
     # output stays <= k rows per src — the bounded-rung property at
     # the scale where d16's full enumeration measured 979x output
     "d22_containment_topk",
+    # a35: the Arrow-kernel profile recurs per doc copy (offset ids
+    # give 10x real rows through the RecordBatch path)
+    "a35_arrow_batch_stats",
 )
 
 
