@@ -1115,3 +1115,45 @@ def bpe_train(
         merges,
         "round int, rank int, pair_a string, pair_b string, merged string, n bigint",
     )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a LEARNED merge table to a corpus — the inference half of
+    the tokenizer lifecycle bpe_train is the training half of. Rules
+    apply in learned order ((round, rank) ascending), each as the same
+    sentinel-anchored literal replace the trainer used, so
+    ``bpe_apply(corpus, bpe_train(corpus))`` reproduces the trainer's
+    final corpus state exactly (property-tested).
+
+    ``merges`` is the bpe_train result DataFrame (or any frame with
+    round/rank/pair_a/pair_b/merged) — it is model state, a few
+    hundred rows, so it folds into DRIVER LITERALS: the whole apply is
+    ONE narrow per-row projection, no shuffle, no join, no Python. At
+    100 TB this is the scale story: tokenizing with M learned merges
+    is a scan-speed chained-replace (or, for production vocabularies
+    of 32k+ rules, the same table fed to an Arrow-batched trie
+    tokenizer — the plumbing is identical, the per-row kernel swaps).
+
+    Adds ``bpe_tokens`` (the merged token array) and ``n_bpe_tokens``
+    to ``df``; documents with no tokens get an empty array / 0.
+    """
+    rules = [
+        (r["pair_a"], r["pair_b"], r["merged"])
+        for r in merges.orderBy("round", "rank").collect()
+    ]
+    SEP = "  "
+    joined = F.array_join(tokens(text_col), SEP)
+    padded = F.concat(F.lit(" "), joined, F.lit(" "))
+    for a, b, m in rules:
+        padded = F.replace(padded, F.lit(f" {a}{SEP}{b} "), F.lit(f" {m} "))
+    merged_str = F.trim(padded)
+    toks = F.when(merged_str == "", F.array().cast("array<string>")).otherwise(
+        F.split(merged_str, SEP)
+    )
+    return df.withColumn("bpe_tokens", toks).withColumn(
+        "n_bpe_tokens", F.size("bpe_tokens").cast("bigint")
+    )

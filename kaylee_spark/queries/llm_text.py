@@ -1053,6 +1053,59 @@ def t28_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(load_table(spark, sf_dir, "documents"), "text", rounds=5)
 
 
+def _bpe_apply_oracle(rounds: int = 5) -> str:
+    """t31's oracle: the t28 training chain (same MATERIALIZED CTEs)
+    plus a parallel APPLY chain that carries doc_id — a0 keeps EVERY
+    document (empty ones included; they contribute no pairs and no
+    replace can match inside their padded '  '), and each a{r} applies
+    round r's rule with the identical sentinel-anchored REPLACE. The
+    final row is per-doc raw vs post-merge token counts."""
+    train = _bpe_oracle(rounds)  # "WITH r0 AS ..., ...\n    SELECT..."
+    ctes = train[len("WITH ") : train.index("SELECT CAST(round")].rstrip()
+    ctes = ctes.rstrip().rstrip(",")
+    # drop the trailing UNION ALL select block remnants if any
+    parts = [ctes]
+    parts.append("""a0 AS MATERIALIZED (
+        SELECT doc_id,
+               array_to_string(list_filter(string_split(text, ' '), x -> x <> ''), '  ') AS s
+        FROM documents
+    )""")
+    for r in range(1, rounds + 1):
+        parts.append(f"""a{r} AS MATERIALIZED (
+        SELECT doc_id, trim(REPLACE(' ' || s || ' ',
+            COALESCE((SELECT ' ' || a || '  ' || b || ' ' FROM m{r}_1), '   '),
+            COALESCE((SELECT ' ' || merged || ' ' FROM m{r}_1), ' '))) AS s
+        FROM a{r-1}
+    )""")
+    final = f"""SELECT a0.doc_id,
+           CAST(CASE WHEN a0.s = '' THEN 0 ELSE len(string_split(a0.s, '  ')) END AS BIGINT) AS n_raw_tokens,
+           CAST(CASE WHEN af.s = '' THEN 0 ELSE len(string_split(af.s, '  ')) END AS BIGINT) AS n_bpe_tokens
+    FROM a0 JOIN a{rounds} af USING (doc_id)"""
+    return "WITH " + ",\n    ".join(parts) + "\n    " + final
+
+
+@query("t31_bpe_apply", oracle=_bpe_apply_oracle(5), extra=True)
+def t31_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INFERENCE half of the tokenizer lifecycle: train five merge
+    rules (t28's exact loop), then apply the learned table to the full
+    corpus with operators/text.bpe_apply — the merge table folds into
+    driver literals, so tokenization is ONE narrow chained-replace
+    projection: no shuffle, no join, no Python in the hot path. Output
+    is per-document raw vs post-merge token counts; the oracle replays
+    training (shared CTEs with t28) plus a doc_id-carrying apply chain
+    using the identical sentinel-anchored REPLACEs."""
+    from kaylee_spark.operators.text import bpe_apply, bpe_train, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", rounds=5)
+    out = bpe_apply(docs, merges, "text")
+    return out.select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_raw_tokens"),
+        "n_bpe_tokens",
+    )
+
+
 @query("t30_bpe_train_batched", oracle=_bpe_oracle(2, batch_m=3), extra=True)
 def t30_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batched production rung of t28: two rounds learning up to

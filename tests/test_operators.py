@@ -1314,3 +1314,29 @@ def test_decode_audio_stats_matches_formula(spark, sf_dir):
         assert r["sum_v"] == int(v.sum())
         assert r["sum_sq"] == int((v * v).sum())
         assert r["min_v"] == int(v.min()) and r["max_v"] == int(v.max())
+
+
+def test_bpe_apply_reproduces_training_merges(spark):
+    """The inference half: applying the learned table in (round, rank)
+    order reproduces exactly the trainer's final corpus state — same
+    sentinel-anchored replace, same order; docs the rules don't touch
+    and empty docs pass through."""
+    from kaylee_spark.operators.text import bpe_apply, bpe_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "lo w lo w lo w"),
+            (2, "lo w er lo w er"),
+            (3, "n e w n e w"),
+            (4, "   "),  # tokenizes to nothing
+        ],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, "text", rounds=3)
+    out = {r["doc_id"]: (r["n_bpe_tokens"], r["bpe_tokens"])
+           for r in bpe_apply(docs, merges, "text").collect()}
+    # rules learned: (lo,w)->low, (e,w)->ew, (low,er)->lower
+    assert out[1] == (3, ["low", "low", "low"])
+    assert out[2] == (2, ["lower", "lower"])
+    assert out[3] == (4, ["n", "ew", "n", "ew"])
+    assert out[4] == (0, [])

@@ -96,6 +96,7 @@ SHOWCASE = [
     # localCheckpoints (the g07 pattern) — the final plan is the
     # driver-built merge table
     ("t28_bpe_train", "BPE train: per-round pair count + TakeOrdered(1) behind checkpoints; output is the learned merge table"),
+    ("t31_bpe_apply", "BPE apply: learned rules folded to literals — tokenization is one narrow chained-replace projection, zero exchange"),
 ]
 
 

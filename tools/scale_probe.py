@@ -198,6 +198,10 @@ PROBE_QUERIES = (
     # a35: the Arrow-kernel profile recurs per doc copy (offset ids
     # give 10x real rows through the RecordBatch path)
     "a35_arrow_batch_stats",
+    # t31: training invariance (t28's argument) plus the apply chain
+    # over 10x real docs — per-doc counts are new arithmetic, not
+    # repeats, because the offset ids join nothing
+    "t31_bpe_apply",
 )
 
 
