@@ -1,0 +1,50 @@
+"""The bench CLI's output contract (VERDICT r10 item 2): EXACTLY one
+JSON line on stdout, and every headline field must sit in the LAST
+2000 characters — the driver's capture window keeps only the tail, and
+round 10's record lost its total plus 32 of 50 per-query timings when
+the noise fields grew the line beyond it. This test is what turns a
+future key-reordering or field addition back into a red test instead
+of a silently headless bench artifact."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_stdout_contract(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_WARM_DIR="/root/testdata/sf0.001",  # skip warm pass
+        SPARK_GRAFT_BENCH_PASSES="1",
+        SPARK_GRAFT_BENCH_DETAIL=str(tmp_path / "detail.json"),
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"stdout must be ONE JSON line, got {len(lines)}"
+    line = lines[0]
+    result = json.loads(line)
+    # required driver fields present and sane
+    assert result["metric"] == "total_query_wall_seconds"
+    assert result["unit"] == "sec"
+    assert result["value"] > 0
+    assert len(result["queries"]) == result["n_queries"] > 0
+    # the headline survives a tail-only capture window
+    tail = line[-2000:]
+    for needle in ('"metric":', '"value":', '"sf":', '"median_rel_spread_pct":', '"top5":'):
+        assert needle in tail, f"{needle} fell out of the 2000-char tail"
+    # full per-query detail lives in the side file, not on stdout
+    detail = json.load(open(tmp_path / "detail.json"))
+    assert set(detail["queries_median"]) == set(result["queries"])
+    assert "queries_median" not in result
