@@ -1078,3 +1078,139 @@ def heavy_hitters(
         )
         .select("item", "cnt")
     )
+
+
+def sliding_distinct_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing ``window_days``-day DISTINCT-user count for every
+    calendar day in the data (the WAU curve when window_days=7).
+
+    The naive formulation is a range join — every event against every
+    window that covers it — followed by COUNT(DISTINCT), i.e. a
+    ``window_days``-fold blow-up of the fact table and then a holistic
+    distinct per window: both unshippable at 100 TB. This operator uses
+    the lag-bounded contribution trick instead, which needs NO range
+    join and NO distinct aggregate:
+
+    1. dedup events to (user, day) pairs — one map-side-combinable
+       exchange keyed on the natural high-cardinality pair;
+    2. per user, ``lag(day)`` over the day-ordered window gives the
+       previous active day — co-partitioned with step 1's shuffle key
+       prefix (one exchange on user);
+    3. a user active on ``d`` with previous activity ``prev`` is the
+       FIRST in-window activity exactly for windows ending in
+       ``e ∈ [max(d, prev + window_days), min(d + window_days - 1,
+       max_day)]`` — at most ``window_days`` rows, usually far fewer;
+       ``sequence()`` + ``explode`` materializes just those;
+    4. a plain SUM of contributions per window end IS the distinct
+       count — each user contributes at most once per covering window
+       by construction.
+
+    The day grid [min_day, max_day] is densified so quiet days appear
+    with 0 (calendar scalars folded to literals via one 2-value agg).
+    Cost: two narrow exchanges + one tiny grid join; contribution rows
+    ≤ distinct (user, day) pairs × window_days but collapse map-side.
+    Output: (window_end DATE, users BIGINT), complete calendar.
+    """
+    d = F.to_date(F.col(ts_col))
+    days = events.select(F.col(user_col).alias("u"), d.alias("d")).distinct()
+    bounds = events.select(
+        F.min(d).alias("lo"), F.max(d).alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    w = Window.partitionBy("u").orderBy("d")
+    # materialize lag first: window expressions cannot nest inside the
+    # explode generator's expression tree
+    days = days.withColumn("prev", F.lag("d").over(w))
+    start = F.greatest(F.col("d"), F.date_add(F.col("prev"), int(window_days)))
+    # lag is NULL on the user's first day: greatest(d, NULL) = d in
+    # Spark (null-skipping), matching "no previous activity"
+    end = F.least(F.date_add(F.col("d"), int(window_days) - 1), F.lit(hi))
+    # start > end happens when prev + window_days > max_day (every
+    # remaining calendar window already contains prev): the interval is
+    # EMPTY. sequence(start, end) would silently emit a DESCENDING
+    # range there, double-counting the user — guard with an empty array.
+    span = F.when(start <= end, F.sequence(start, end)).otherwise(
+        F.array().cast("array<date>")
+    )
+    contrib = (
+        days.withColumn("e", F.explode(span))
+        .groupBy("e")
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
+    grid = events.sparkSession.range(1).select(
+        F.explode(F.sequence(F.lit(lo), F.lit(hi))).alias("window_end")
+    )
+    return grid.join(
+        contrib, grid.window_end == contrib.e, "left"
+    ).select(
+        # DATE -> NTZ timestamp: date columns arrive in pandas as
+        # python objects and can't hash-compare against the oracle
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        F.coalesce(F.col("users"), F.lit(0).cast("bigint")).alias("users"),
+    )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = ("click", "view"),
+    conversion_type: str = "purchase",
+    value_col: str = "value",
+    lookback_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch marketing attribution: each conversion's value is
+    credited to the user's most recent touch event strictly before it
+    (within ``lookback_days``), or to 'direct' when none qualifies.
+
+    One user-keyed sort carries everything: the last preceding touch's
+    timestamp and channel are IGNORE-NULLS ``last()`` window carries
+    over (user, ts, tiebreak)-ordered rows with a 1-PRECEDING frame —
+    both carries pick the SAME row because their null masks are
+    identical. No self-join of conversions against touches (the naive
+    as-of formulation shuffles the fact table twice and explodes on
+    high-touch users); the lookback cutoff is a row-local predicate
+    after the carry. Strictly-before semantics via the 1-PRECEDING
+    frame keeps same-timestamp touch/conversion pairs deterministic
+    under the unique tiebreak.
+
+    Output: (channel, conversions BIGINT, revenue DOUBLE) — revenue
+    through exact decimal accumulation (functions.dec_sum).
+
+    100 TB: one exchange on user_id; per-user window state is O(1)
+    (two carried scalars), not a buffered partition.
+    """
+    from kaylee_spark.functions import dec_sum
+
+    is_touch = F.col("event_type").isin(list(touch_types))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = events.select(
+        user_col, ts_col, tiebreak_col, "event_type", F.col(value_col).alias("v")
+    ).withColumns(
+        {
+            "t_ts": F.last(F.when(is_touch, F.col(ts_col)), ignorenulls=True).over(w),
+            "t_ch": F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w),
+        }
+    )
+    in_window = F.col("t_ts").isNotNull() & (
+        F.col("t_ts") >= F.col(ts_col) - F.expr(f"INTERVAL {int(lookback_days)} DAYS")
+    )
+    return (
+        tagged.filter(F.col("event_type") == conversion_type)
+        .select(F.when(in_window, F.col("t_ch")).otherwise(F.lit("direct")).alias("channel"), "v")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            dec_sum("v").alias("revenue"),
+        )
+    )

@@ -1198,3 +1198,155 @@ def q32_sole_fault_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(100)
     )
+
+
+@query(
+    "q33_front_loaded_supply",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    qualifying AS (
+        SELECT p2.l_partkey, p2.l_suppkey
+        FROM pairs p2
+        WHERE p2.l_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_name LIKE 'small %')
+          AND 2 * (SELECT SUM(CAST(l.l_quantity AS DECIMAL(24,6)))
+                   FROM lineitem l
+                   WHERE l.l_partkey = p2.l_partkey
+                     AND l.l_suppkey = p2.l_suppkey
+                     AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+              > (SELECT SUM(CAST(l.l_quantity AS DECIMAL(24,6)))
+                 FROM lineitem l
+                 WHERE l.l_partkey = p2.l_partkey
+                   AND l.l_suppkey = p2.l_suppkey)
+    )
+    SELECT s.s_name, n.n_name, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM qualifying q
+    JOIN supplier s ON s.s_suppkey = q.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY s.s_name, n.n_name
+    """,
+    extra=True,
+)
+def q33_front_loaded_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess/front-loaded stock): for each
+    (part, supplier) pair on 'small %' parts, a CORRELATED SCALAR
+    SUBQUERY sums the pair's early shipments (before 1998) and the
+    outer predicate compares it against the pair's all-time volume —
+    suppliers that front-loaded more than half a part's lifetime
+    supply, counted per supplier. The fixture has no partsupp table,
+    so availqty is replaced by the pair's all-time shipped quantity;
+    the nesting structure (correlated aggregate under an inequality,
+    under an IN filter, under a supplier semi-join) is Q20's exactly.
+
+    The oracle states it the classic way: two correlated scalar
+    subqueries over lineitem per candidate pair. The Spark plan
+    DECORRELATES both into ONE conditional aggregate — a single
+    map-side-combined groupBy (l_partkey, l_suppkey) computing
+    SUM(qty) FILTER (early) and SUM(qty) side by side, then a plain
+    decimal comparison — one fact-table scan and one shuffle where the
+    literal nested form would scan lineitem three times. The part-name
+    filter is a broadcast semi-join (2k rows), supplier⋈nation a
+    broadcast, and the final per-supplier count reuses tiny group
+    cardinality. Both quantity sums stay exact DECIMAL(24,6) end to
+    end, so the > comparison is bit-identical across engines; the
+    NULL case (no early shipments) drops the pair in both (NULL
+    comparison is false in WHERE, conditional-sum NULL fails the
+    filter).
+
+    100 TB: the only wide shuffle is keyed on (partkey, suppkey) —
+    the natural high-cardinality key, skew-free by construction; AQE
+    coalesces the post-agg side. Nothing correlated survives into the
+    physical plan.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    small_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small %"))
+        .select("p_partkey")
+    )
+    early = F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    pair_agg = (
+        li.join(F.broadcast(small_parts), li.l_partkey == small_parts.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(early, dec("l_quantity"))).alias("qty_early"),
+            F.sum(dec("l_quantity")).alias("qty_total"),
+        )
+        .filter(F.col("qty_early") * 2 > F.col("qty_total"))
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        pair_agg.join(F.broadcast(sup), pair_agg.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+@query(
+    "q34_bucketed_colocated_join",
+    oracle=f"""
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {oracle_dec_sum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    extra=True,
+)
+def q34_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join with the shuffle PRE-PAID at write time: both
+    sides land as bucketed tables (sinks.write_bucketed_table — 8
+    buckets on the join key, sortBy the same key), and the join then
+    plans as a SortMergeJoin with NO Exchange on either side — bucket i
+    of lineitem zips locally against bucket i of orders
+    (plan-asserted in tests/test_sinks.py). The oracle is the plain
+    join/agg on the raw parquet, so the result also proves the
+    bucketed write+read roundtrip is lossless.
+
+    This is THE 100 TB pattern for a recurring fact⋈fact join (the
+    nightly lineitem⋈orders reconciliation): the shuffle happens once
+    at ingest instead of on every query; later joins AND groupBys
+    keyed on orderkey reuse the co-location for free. The merge hint
+    pins the join strategy so the demonstration doesn't silently
+    degrade to a broadcast at fixture scale (at 100 TB neither side
+    broadcasts, SMJ is what AQE would pick anyway).
+
+    Revenue goes through exact decimal accumulation; group count is 3,
+    so the final agg is map-side dominated.
+    """
+    import os
+    import tempfile
+
+    from kaylee_spark.sources.sinks import write_bucketed_table
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"kaylee_bucketed_{tag}")
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"kaylee_b_{tbl}_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_bucketed_table(
+            _t(spark, sf_dir, tbl),
+            name,
+            [key],
+            n_buckets=8,
+            sort_cols=[key],
+            path=os.path.join(base, tbl),
+        )
+    o = spark.table(f"kaylee_b_orders_{tag}").select("o_orderkey", "o_orderstatus")
+    li = spark.table(f"kaylee_b_lineitem_{tag}").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )

@@ -1273,3 +1273,44 @@ def e32_streamed_psi_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sink view Spark 4 fails to disambiguate the shared lineage —
     # localCheckpoint the (days x types)-row store first (it is tiny)
     return psi_score_pivot(pivot.localCheckpoint(), "2024-01-01", n_bins)
+
+
+@query(
+    "e34_last_touch_attribution",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT user_id, ts, event_type, value,
+               LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                               THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS t_ts,
+               LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS t_ch
+        FROM events
+    )
+    SELECT CASE WHEN t_ts IS NOT NULL AND t_ts >= ts - INTERVAL 7 DAY
+                THEN t_ch ELSE 'direct' END AS channel,
+           CAST(COUNT(*) AS BIGINT) AS conversions,
+           {oracle_dec_sum('value')} AS revenue
+    FROM tagged
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    extra=True,
+)
+def e34_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: every purchase credited to the
+    user's most recent click/view strictly before it within 7 days,
+    'direct' otherwise — the workhorse of marketing analytics. One
+    user-keyed window sort carries the preceding touch's (ts, channel)
+    as IGNORE-NULLS last() over a 1-PRECEDING frame; no
+    conversions⋈touches self-join anywhere
+    (operators/analytics.py last_touch_attribution)."""
+    from kaylee_spark.operators.analytics import last_touch_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return last_touch_attribution(ev)

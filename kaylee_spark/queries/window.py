@@ -302,3 +302,45 @@ def w07_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").alias("v"))
     )
     return gini_by_group(rev, "c_nationkey", "v", "c_custkey")
+
+
+@query(
+    "w08_sliding_distinct_users",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS window_end
+        FROM bounds
+    ),
+    du AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT CAST(g.window_end AS TIMESTAMP) AS window_end,
+           CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS users
+    FROM grid g
+    LEFT JOIN du ON du.d BETWEEN g.window_end - 6 AND g.window_end
+    GROUP BY g.window_end
+    """,
+    extra=True,
+)
+def w08_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per calendar day (the WAU
+    curve). The oracle states the naive semantics — a range join of
+    the day grid against distinct (user, day) pairs plus a holistic
+    COUNT(DISTINCT) per window, a 7x fact blow-up that cannot ship at
+    100 TB. The engine computes the identical numbers with NO range
+    join and NO distinct aggregate via the lag-bounded contribution
+    trick (operators/analytics.py sliding_distinct_users): per user,
+    each active day contributes +1 exactly to the windows where it is
+    that user's first in-window activity — an interval derivable from
+    lag(day) alone — so a plain SUM per window end IS the distinct
+    count. Two narrow exchanges (user-day dedup, user-ordered lag),
+    ≤7 exploded rows per first-activity run, map-side combined."""
+    from kaylee_spark.operators.analytics import sliding_distinct_users
+
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_distinct_users(ev, "user_id", "ts", 7)

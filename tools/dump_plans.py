@@ -97,6 +97,10 @@ SHOWCASE = [
     # driver-built merge table
     ("t28_bpe_train", "BPE train: per-round pair count + TakeOrdered(1) behind checkpoints; output is the learned merge table"),
     ("t31_bpe_apply", "BPE apply: learned rules folded to literals — tokenization is one narrow chained-replace projection, zero exchange"),
+    ("q33_front_loaded_supply", "Q20 shape: both correlated scalar sums DECORRELATED into one conditional aggregate — one fact scan, one (part,supp) exchange"),
+    ("q34_bucketed_colocated_join", "bucketed co-located join: both scans Bucketed: true — SortMergeJoin with zero Exchange before it"),
+    ("w08_sliding_distinct_users", "sliding distinct users: lag-bounded contribution explode (<=7 rows per first-activity run), plain SUM per window end — no range join, no distinct agg"),
+    ("e34_last_touch_attribution", "last-touch attribution: one user-keyed IGNORE-NULLS window carry; the lookback cutoff is a row-local predicate"),
 ]
 
 
@@ -171,6 +175,10 @@ MUST_CONTAIN = {
     "d22_containment_topk": ("Window", "HashAggregate"),
     "g07_label_propagation": ("localCheckpoint",),
     "w07_gini_concentration": ("Window",),
+    "q33_front_loaded_supply": ("LeftSemi", "HashAggregate"),
+    "q34_bucketed_colocated_join": ("SortMergeJoin", "Bucketed: true"),
+    "w08_sliding_distinct_users": ("Window", "Generate"),
+    "e34_last_touch_attribution": ("Window",),
 }
 
 
