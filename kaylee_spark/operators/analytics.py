@@ -1214,3 +1214,98 @@ def last_touch_attribution(
             dec_sum("v").alias("revenue"),
         )
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    control: str = "view",
+) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) test of every
+    non-control group's value distribution against the control arm —
+    the median-shift companion to ks_two_sample (shape) and
+    welch_ttest (mean): rank-based, so one corrupt 1e9 reading cannot
+    drag the statistic the way it drags Welch's.
+
+    RANK-FREE formulation: the textbook route ranks the pooled sample
+    (a global sort of the fact table — unshippable at 100 TB).
+    Instead U1 counts pair wins directly from per-distinct-value
+    counts: with c1/c2 the per-value counts of arm and control,
+    2·U1 = Σ_v c1_v · (2·|{control below v}| + c2_v) — wins counted
+    twice plus ties counted once. One map-side-combined (group, value)
+    aggregate collapses the fact table to |distinct values| rows; the
+    only ordered pass is a cumulative window over THOSE (thousands of
+    rows, co-partitioned per arm), never the raw events.
+
+    DETERMINISM (the a30/KS recipe): values go through exact
+    DECIMAL(18,2); 2·U1, the tie term Σ(t³−t), and the 5% two-sided
+    normal-approximation screen are all integer arithmetic — the
+    significance test compares
+      (2U1 − n1·n2)² · 3 · N(N−1) · 10⁴
+        >  38416 · n1·n2 · ((N+1)·N·(N−1) − Σ(t³−t))
+    (z² = 1.96² = 38416/10⁴ with the tie-corrected variance, both
+    sides cleared of denominators), so no sqrt and no division can
+    ulp-flip the verdict. Products ride DECIMAL(38,0): headroom to
+    ~10³⁸ covers N up to ~4·10⁵ per arm; u1 itself is exact in a
+    double up to 2⁵³ (beyond that, report the decision booleans and
+    counts — they stay exact).
+
+    Output: one row per non-control group —
+    (grp, n1 BIGINT, n2 BIGINT, u1 DOUBLE, significant BOOLEAN).
+    """
+    d38 = "decimal(38,0)"
+    v = F.col(value_col).cast("decimal(18,2)")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("grp"), v.alias("v")
+    )
+    ctrl = (
+        base.filter(F.col("grp") == F.lit(control))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    arms = (
+        base.filter(F.col("grp") != F.lit(control))
+        .groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    grps = arms.select("grp").distinct()
+    # control fan-out: |arms| copies of the control histogram — the
+    # broadcast side is the handful of group NAMES, the histogram
+    # itself stays partitioned
+    fan = ctrl.crossJoin(F.broadcast(grps)).select(
+        "grp", "v", F.lit(0).cast("bigint").alias("c1"), F.col("c2")
+    )
+    pooled = (
+        arms.select("grp", "v", "c1", F.lit(0).cast("bigint").alias("c2"))
+        .unionByName(fan)
+        .groupBy("grp", "v")
+        .agg(F.sum("c1").alias("c1"), F.sum("c2").alias("c2"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = pooled.withColumn("cum2", F.coalesce(F.sum("c2").over(w), F.lit(0)))
+    t = F.col("c1") + F.col("c2")
+    agg = scored.groupBy("grp").agg(
+        F.sum("c1").cast(d38).alias("n1"),
+        F.sum("c2").cast(d38).alias("n2"),
+        # per-row product fits int64 (c1 <= n1, factor <= 2N); the SUM
+        # does not — cast to decimal BEFORE summing
+        F.sum((F.col("c1") * (2 * F.col("cum2") + F.col("c2"))).cast(d38)).alias("u2x"),
+        F.sum((t * t * t - t).cast(d38)).alias("tcorr"),
+    )
+    n1, n2, u2x, tc = F.col("n1"), F.col("n2"), F.col("u2x"), F.col("tcorr")
+    N = n1 + n2
+    a = u2x - n1 * n2
+    lhs = a * a * F.lit(3).cast(d38) * N * (N - 1) * F.lit(10000).cast(d38)
+    rhs = F.lit(38416).cast(d38) * n1 * n2 * ((N + 1) * N * (N - 1) - tc)
+    return agg.select(
+        "grp",
+        n1.cast("bigint").alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        (u2x / 2).cast("double").alias("u1"),
+        (lhs > rhs).alias("significant"),
+    )

@@ -1385,3 +1385,67 @@ def a31_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_a", F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
     )
     return psi_drift(ev, "value", "event_type", "is_a")
+
+
+@query(
+    "a36_mann_whitney",
+    oracle="""
+    WITH base AS (
+        SELECT event_type AS grp, CAST(value AS DECIMAL(18,2)) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    ctrl AS (SELECT v, COUNT(*) AS c2 FROM base WHERE grp = 'view' GROUP BY v),
+    arms AS (SELECT grp, v, COUNT(*) AS c1 FROM base WHERE grp <> 'view'
+             GROUP BY grp, v),
+    grps AS (SELECT DISTINCT grp FROM arms),
+    pooled AS (
+        SELECT grp, v, SUM(c1) AS c1, SUM(c2) AS c2 FROM (
+            SELECT grp, v, c1, 0 AS c2 FROM arms
+            UNION ALL
+            SELECT g.grp, c.v, 0, c.c2 FROM grps g CROSS JOIN ctrl c
+        ) GROUP BY grp, v
+    ),
+    scored AS (
+        SELECT grp, c1, c2,
+               COALESCE(SUM(c2) OVER (PARTITION BY grp ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum2
+        FROM pooled
+    ),
+    agg AS (
+        SELECT grp,
+               CAST(SUM(c1) AS HUGEINT) AS n1,
+               CAST(SUM(c2) AS HUGEINT) AS n2,
+               CAST(SUM(c1 * (2 * cum2 + c2)) AS HUGEINT) AS u2x,
+               CAST(SUM((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2))
+                    AS HUGEINT) AS tcorr
+        FROM scored GROUP BY grp
+    )
+    SELECT grp,
+           CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           CAST(u2x AS DOUBLE) / 2 AS u1,
+           ((u2x - n1 * n2) * (u2x - n1 * n2) * 3 * (n1 + n2)
+                * (n1 + n2 - 1) * 10000
+            > 38416 * n1 * n2
+                * ((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1) - tcorr))
+               AS significant
+    FROM agg
+    """,
+    extra=True,
+)
+def a36_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test of every event type's value
+    distribution against the 'view' control arm — the rank-based
+    median-shift screen completing the nonparametric shelf beside
+    a30's KS (shape) and a26's Welch (means). RANK-FREE: no global
+    sort of the fact table — 2·U1 is counted from per-distinct-value
+    histograms (one map-side-combined aggregate) plus one cumulative
+    window over the distinct VALUES only; the 5% verdict is the
+    integer comparison of denominator-cleared tie-corrected variance
+    terms, sqrt-free and division-free exactly like the KS screen
+    (operators/analytics.py mann_whitney_u)."""
+    from kaylee_spark.operators.analytics import mann_whitney_u
+
+    ev = load_table(spark, sf_dir, "events")
+    return mann_whitney_u(ev, "value", "event_type", control="view")

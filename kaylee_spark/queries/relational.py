@@ -1350,3 +1350,78 @@ def q34_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
+
+
+@query(
+    "q35_dynamic_partition_pruning",
+    oracle=f"""
+    WITH fact AS (
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+               l_extendedprice, l_discount
+        FROM lineitem
+    ),
+    dim AS (
+        SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS ship_month,
+               year(l_shipdate) AS ship_year
+        FROM lineitem
+    )
+    SELECT f.ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {oracle_dec_sum('f.l_extendedprice * (1 - f.l_discount)')} AS revenue
+    FROM fact f
+    JOIN dim d ON d.ship_month = f.ship_month
+    WHERE d.ship_year = 1996
+    GROUP BY f.ship_month
+    """,
+    extra=True,
+)
+def q35_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the optimization that makes
+    dimensional filters cheap on a partitioned 100 TB fact table. The
+    fact (lineitem) lands partitioned by ship month and the month
+    dimension carries the year attribute; the query filters the DIM
+    (ship_year = 1996) and joins on the partition column. Static
+    pruning can't help — no literal predicate touches ship_month —
+    but Spark inserts a runtime dynamicpruningexpression(ship_month
+    IN dynamicpruning#N) partition filter fed by the dim's broadcast,
+    so only the 12 matching partitions of the fact are ever read
+    (plan-asserted in tests/test_plans.py; the broadcast is REUSED for
+    the join itself, so the pruning subquery costs nothing extra).
+
+    At 100 TB this is the date-dim pattern: facts partitioned by
+    day/month key, every dashboard filter expressed on the dimension,
+    scan cost proportional to the selected window instead of the full
+    table. The write side is sinks-style partitionBy; revenue rides
+    exact decimal accumulation.
+
+    The oracle replays the identical semantics on the raw parquet
+    (derive month/year, join, filter), proving the partitioned
+    write+read roundtrip is lossless too.
+    """
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"kaylee_dpp_{tag}")
+    li = _t(spark, sf_dir, "lineitem")
+    fact = li.withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM")).select(
+        "ship_month", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    fact.write.mode("overwrite").partitionBy("ship_month").parquet(
+        os.path.join(base, "fact")
+    )
+    fact.select(
+        "ship_month", F.year("l_shipdate").alias("ship_year")
+    ).distinct().write.mode("overwrite").parquet(os.path.join(base, "dim"))
+    f = spark.read.parquet(os.path.join(base, "fact"))
+    d = spark.read.parquet(os.path.join(base, "dim")).filter(
+        F.col("ship_year") == 1996
+    )
+    return (
+        f.join(d, "ship_month")
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )

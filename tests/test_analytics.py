@@ -621,3 +621,66 @@ def test_bootstrap_ci_degenerate_replicate_falls_back_to_point_mean(spark):
     # fallback — which are the same number here, so the CI is a point
     assert out["point_mean"] == 42.5
     assert out["ci_lo"] == 42.5 and out["ci_hi"] == 42.5
+
+
+def _mwu_reference(a, c):
+    """Brute-force pair-count U1 + the tie-corrected integer screen."""
+    from collections import Counter
+
+    n1, n2 = len(a), len(c)
+    u1 = 0.0
+    for x in a:
+        for y in c:
+            if x > y:
+                u1 += 1
+            elif x == y:
+                u1 += 0.5
+    t = Counter(a + c)
+    tcorr = sum(k**3 - k for k in t.values())
+    n = n1 + n2
+    lhs = (2 * u1 - n1 * n2) ** 2 * 3 * n * (n - 1) * 10000
+    rhs = 38416 * n1 * n2 * ((n + 1) * n * (n - 1) - tcorr)
+    return u1, lhs > rhs
+
+
+def test_mann_whitney_hand_values(spark):
+    from kaylee_spark.operators.analytics import mann_whitney_u
+
+    rows = [("a", v) for v in [1.0, 2.0, 3.0]] + [("ctl", v) for v in [1.5, 2.5, 3.5]]
+    df = spark.createDataFrame(rows, ["grp", "value"])
+    r = mann_whitney_u(df, "value", "grp", control="ctl").collect()[0]
+    # wins: 2>1.5, 3>1.5, 3>2.5 -> U1 = 3
+    assert (r["n1"], r["n2"], r["u1"]) == (3, 3, 3.0)
+    assert r["significant"] is False
+
+
+def test_mann_whitney_ties_count_half(spark):
+    from kaylee_spark.operators.analytics import mann_whitney_u
+
+    rows = [("a", v) for v in [1.0, 1.0, 2.0]] + [("ctl", v) for v in [1.0, 3.0, 3.0]]
+    df = spark.createDataFrame(rows, ["grp", "value"])
+    r = mann_whitney_u(df, "value", "grp", control="ctl").collect()[0]
+    # ties 1=1 (x2 half-wins) + win 2>1 -> U1 = 2.0
+    assert r["u1"] == 2.0
+
+
+def test_mann_whitney_matches_python_reference(spark):
+    from kaylee_spark.operators.analytics import mann_whitney_u
+
+    # LCG half-integer samples (exact in double AND decimal(18,2)):
+    # arm a ~ control's distribution, arm b shifted up by +30
+    seq, x = [], 7
+    for _ in range(200):
+        x = (x * 48271) % 2147483647
+        seq.append((x % 200) / 2.0)
+    a, c = seq[0:60], seq[140:200]
+    b = [v + 30.0 for v in seq[60:140]]
+    rows = [("a", v) for v in a] + [("b", v) for v in b] + [("ctl", v) for v in c]
+    df = spark.createDataFrame(rows, ["grp", "value"])
+    got = {r["grp"]: r for r in mann_whitney_u(df, "value", "grp", control="ctl").collect()}
+    for grp, sample in (("a", a), ("b", b)):
+        u1, sig = _mwu_reference(sample, c)
+        assert got[grp]["u1"] == u1, grp
+        assert got[grp]["significant"] is sig, grp
+    # the planted +30 shift must actually trip the 5% screen
+    assert got["b"]["significant"] is True

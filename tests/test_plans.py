@@ -207,3 +207,27 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir, registry):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q35_dynamic_partition_pruning_in_plan(spark, sf_dir, registry):
+    """The fact scan must carry a runtime dynamicpruningexpression
+    partition filter (fed by the dim broadcast) — static pruning is
+    impossible here because no literal predicate touches ship_month."""
+    p = plan_of(registry["q35_dynamic_partition_pruning"].fn(spark, sf_dir))
+    assert "dynamicpruningexpression" in p, p
+    assert "PartitionFilters" in p
+
+
+def test_q34_bucketed_join_plans_without_exchange(spark, sf_dir, registry):
+    """Both bucketed scans must feed the SortMergeJoin directly: the
+    shuffle was paid at write time, so no Exchange may appear below
+    the join (the only sanctioned Exchange is the final 3-group agg)."""
+    p = plan_of(registry["q34_bucketed_colocated_join"].fn(spark, sf_dir))
+    assert "SortMergeJoin" in p, p
+    assert p.count("Bucketed: true") == 2, p
+    # formatted mode lists the tree first: nothing upstream of the SMJ
+    # node in the tree section may be an Exchange
+    tree = p.split("(1) ")[0]
+    smj_line = next(i for i, l in enumerate(tree.splitlines()) if "SortMergeJoin" in l)
+    below = "\n".join(tree.splitlines()[smj_line:])
+    assert "Exchange" not in below, below

@@ -101,6 +101,8 @@ SHOWCASE = [
     ("q34_bucketed_colocated_join", "bucketed co-located join: both scans Bucketed: true — SortMergeJoin with zero Exchange before it"),
     ("w08_sliding_distinct_users", "sliding distinct users: lag-bounded contribution explode (<=7 rows per first-activity run), plain SUM per window end — no range join, no distinct agg"),
     ("e34_last_touch_attribution", "last-touch attribution: one user-keyed IGNORE-NULLS window carry; the lookback cutoff is a row-local predicate"),
+    ("a36_mann_whitney", "Mann-Whitney: rank-free U from per-value histograms — the cumulative window runs over distinct VALUES, never the fact table; integer-exact significance"),
+    ("q35_dynamic_partition_pruning", "dynamic partition pruning: runtime dynamicpruningexpression partition filter on the fact scan, fed by the reused dim broadcast"),
 ]
 
 
@@ -179,6 +181,8 @@ MUST_CONTAIN = {
     "q34_bucketed_colocated_join": ("SortMergeJoin", "Bucketed: true"),
     "w08_sliding_distinct_users": ("Window", "Generate"),
     "e34_last_touch_attribution": ("Window",),
+    "a36_mann_whitney": ("Window", "HashAggregate"),
+    "q35_dynamic_partition_pruning": ("dynamicpruningexpression", "PartitionFilters"),
 }
 
 
@@ -199,7 +203,9 @@ def main() -> None:
         # a16's BNLJ is the gram-poor sidecar (both sides bounded small
         # by construction, right side broadcast — see fuzzy_join doc);
         # t13's BNLJ is the 1-row corpus-stats broadcast
-        if "BroadcastNestedLoopJoin" in p and name not in ("q17_above_avg_parts", "s01_cosine_topk", "s02_lsh_ann_topk", "a16_fuzzy_join", "t13_bm25_topk", "s13_hard_negatives", "a30_ks_test"):
+        # a36's BNLJ is the control-histogram fan-out against the
+        # broadcast handful of group NAMES (|arms| rows)
+        if "BroadcastNestedLoopJoin" in p and name not in ("q17_above_avg_parts", "s01_cosine_topk", "s02_lsh_ann_topk", "a16_fuzzy_join", "t13_bm25_topk", "s13_hard_negatives", "a30_ks_test", "a36_mann_whitney"):
             problems.append(f"{name}: BroadcastNestedLoopJoin in plan")
         # positive assertions: the plan property each showcase exists
         # to demonstrate must actually be in the plan, so a regression
