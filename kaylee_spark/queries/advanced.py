@@ -1449,3 +1449,89 @@ def a36_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return mann_whitney_u(ev, "value", "event_type", control="view")
+
+
+def _hll_oracle(rel_bound: float = 0.2) -> str:
+    from kaylee_spark.operators.analytics import (
+        HLL_ALPHA_NUM_SQL,
+        HLL_M,
+        HLL_WBITS,
+        hll_bitlen_sql,
+    )
+
+    m, wb = HLL_M, HLL_WBITS
+    raw = f"({HLL_ALPHA_NUM_SQL}) / CAST(s_total AS DOUBLE)"
+    return f"""
+    WITH base AS (
+        SELECT event_type AS grp, CAST(ts AS DATE) AS day, user_id AS uid
+        FROM events
+    ),
+    hashed AS (
+        SELECT grp, day,
+               ((((uid + 1) * (uid + 1)) % 2147483647) * 2654435761)
+                   % 2147483647 AS h
+        FROM base
+    ),
+    rho AS (
+        SELECT grp, day, h % {m} AS idx,
+               {wb + 1} - ({hll_bitlen_sql(f'((h // {m}) % {1 << wb})')}) AS rho
+        FROM hashed
+    ),
+    day_regs AS (
+        SELECT grp, day, idx, MAX(rho) AS m_day FROM rho GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT grp, idx, MAX(m_day) AS m_merged FROM day_regs GROUP BY 1, 2
+    ),
+    direct AS (
+        SELECT grp, idx, MAX(rho) AS m_direct FROM rho GROUP BY 1, 2
+    ),
+    per_grp AS (
+        SELECT mm.grp,
+               COUNT(*) AS n_present,
+               SUM(1 << ({wb + 1} - mm.m_merged)) AS s_present,
+               SUM(ABS(mm.m_merged - d.m_direct)) AS m_delta
+        FROM merged mm JOIN direct d ON d.grp = mm.grp AND d.idx = mm.idx
+        GROUP BY mm.grp
+    ),
+    exact AS (SELECT grp, COUNT(DISTINCT uid) AS n_exact FROM base GROUP BY grp),
+    scored AS (
+        SELECT p.grp, e.n_exact, p.m_delta,
+               p.s_present + ({m} - p.n_present) * {1 << (wb + 1)} AS s_total,
+               {m} - p.n_present AS v_empty
+        FROM per_grp p JOIN exact e ON e.grp = p.grp
+    ),
+    est AS (
+        SELECT grp, CAST(n_exact AS BIGINT) AS n_exact, m_delta,
+               ROUND(CASE WHEN {raw} < {2.5 * m} AND v_empty > 0
+                          THEN {float(m)} * ROUND(ln({float(m)} / CAST(v_empty AS DOUBLE)), 6)
+                          ELSE {raw} END, 6) AS estimate
+        FROM scored
+    )
+    SELECT grp, n_exact, estimate,
+           (ABS(estimate - CAST(n_exact AS DOUBLE))
+                <= {rel_bound} * CAST(n_exact AS DOUBLE)) AS within_bound,
+           (m_delta = 0) AS merge_exact
+    FROM est
+    """
+
+
+@query("a37_hll_distinct_store", oracle=_hll_oracle(), extra=True)
+def a37_hll_distinct_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct-user store: per (event_type, day)
+    register shards merged across days by element-wise MAX — the
+    mergeable monitoring-store pattern (a31/e31's PSI shelf, for
+    distincts): persist 256 small integers per group per day, answer
+    any date window's distinct estimate from stored shards with NO
+    fact rescan. Unlike a02's opaque built-in sketch bytes, every
+    register here is portable integer arithmetic the oracle re-derives
+    bit-for-bit (multiplicative hash, CASE-chain bit length — no float
+    log2); the oracle also re-proves the merge law (day-merged
+    registers ≡ direct-from-raw) and the estimate's 20% error bound.
+    The fixture exercises both estimator branches: linear counting at
+    sf0.001/0.01 (15/150 users), the harmonic HLL path at sf0.1 (1500)
+    (operators/analytics.py hll_distinct_store)."""
+    from kaylee_spark.operators.analytics import hll_distinct_store
+
+    ev = load_table(spark, sf_dir, "events")
+    return hll_distinct_store(ev, "user_id", "event_type")

@@ -684,3 +684,37 @@ def test_mann_whitney_matches_python_reference(spark):
         assert got[grp]["significant"] is sig, grp
     # the planted +30 shift must actually trip the 5% screen
     assert got["b"]["significant"] is True
+
+
+def test_hll_distinct_store_raw_branch_accuracy(spark):
+    from kaylee_spark.operators.analytics import hll_distinct_store
+
+    # 5000 distinct sequential ids, split across 3 days -> the
+    # harmonic (raw) branch, and day-shard merging is non-trivial
+    rows = [("a", f"2024-01-0{1 + (u % 3)} 00:00:00", u) for u in range(5000)]
+    df = (
+        spark.createDataFrame(rows, ["event_type", "ts", "user_id"])
+        .selectExpr("event_type", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id")
+    )
+    r = hll_distinct_store(df, "user_id", "event_type").collect()[0]
+    assert r["n_exact"] == 5000
+    assert r["merge_exact"] is True
+    assert r["within_bound"] is True
+    assert abs(r["estimate"] - 5000) / 5000 < 0.2
+
+
+def test_hll_distinct_store_duplicates_do_not_move_registers(spark):
+    from kaylee_spark.operators.analytics import hll_distinct_store
+
+    once = [("a", "2024-01-01 00:00:00", u) for u in range(300)]
+    thrice = once + [("a", "2024-01-02 00:00:00", u) for u in range(300)] * 2
+    def run(rows):
+        df = spark.createDataFrame(rows, ["event_type", "ts", "user_id"]).selectExpr(
+            "event_type", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id"
+        )
+        return hll_distinct_store(df, "user_id", "event_type").collect()[0]
+    a, b = run(once), run(thrice)
+    # idempotence: repeated observations of the same ids leave the
+    # registers (and so the estimate) exactly unchanged
+    assert a["estimate"] == b["estimate"]
+    assert b["n_exact"] == 300 and b["merge_exact"] is True

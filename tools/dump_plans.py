@@ -103,6 +103,7 @@ SHOWCASE = [
     ("e34_last_touch_attribution", "last-touch attribution: one user-keyed IGNORE-NULLS window carry; the lookback cutoff is a row-local predicate"),
     ("a36_mann_whitney", "Mann-Whitney: rank-free U from per-value histograms — the cumulative window runs over distinct VALUES, never the fact table; integer-exact significance"),
     ("q35_dynamic_partition_pruning", "dynamic partition pruning: runtime dynamicpruningexpression partition filter on the fact scan, fed by the reused dim broadcast"),
+    ("a37_hll_distinct_store", "portable HLL store: integer register pipeline in map-side-combined aggs; day shards merged by MAX; one tiny per-group close"),
 ]
 
 
@@ -183,6 +184,7 @@ MUST_CONTAIN = {
     "e34_last_touch_attribution": ("Window",),
     "a36_mann_whitney": ("Window", "HashAggregate"),
     "q35_dynamic_partition_pruning": ("dynamicpruningexpression", "PartitionFilters"),
+    "a37_hll_distinct_store": ("HashAggregate",),
 }
 
 
