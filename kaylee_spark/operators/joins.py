@@ -235,3 +235,58 @@ def fuzzy_join(
         .join(right, F.col("_fj_t") == F.col(right_col))
         .select(*left.columns, *right.columns, "edit_distance")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: int | None = None,
+    extra_on=None,
+) -> DataFrame:
+    """Interval×interval OVERLAP join: all (left, right) pairs whose
+    closed ranges intersect (left_lo <= right_hi AND right_lo <=
+    left_hi) — the sessions×incidents / stays×promotions shape that
+    range_join (point-in-interval) cannot express.
+
+    Bounds must be INTEGER columns (epoch seconds, days, positions):
+    bucketing uses exact integer division, so the bucket assignment is
+    reproducible by any engine — no float floor at bucket boundaries.
+
+    Without ``bucket_width`` Spark plans the inequality-only condition
+    as a nested-loop — fine for one broadcast-small side, unshippable
+    fact×fact. With it, BOTH sides explode across the width-``w``
+    buckets their interval spans and the join becomes an equi-join on
+    bucket id + the overlap residual. An overlapping pair then meets
+    in EVERY shared bucket, which would duplicate output; instead of a
+    distinct pass (a second shuffle of the whole result), each pair is
+    kept only in its FIRST overlap bucket — the one containing
+    max(left_lo, right_lo), a row-local predicate. Exactly-once output
+    with zero dedup shuffle.
+
+    Pick ``bucket_width`` near the typical interval length: cost is
+    sum of per-bucket |left|x|right| products, so the width trades
+    explode factor (len/width copies per row) against bucket occupancy
+    — same law as range_join's bucketing, both sides exploded.
+    """
+    cond = (F.col(left_lo) <= F.col(right_hi)) & (F.col(right_lo) <= F.col(left_hi))
+    if extra_on is not None:
+        cond = cond & extra_on
+    if bucket_width is None:
+        return left.join(right, cond)
+    w = int(bucket_width)
+    lb = left.withColumn(
+        "_lbkt", F.explode(F.sequence(F.expr(f"{left_lo} div {w}"), F.expr(f"{left_hi} div {w}")))
+    )
+    rb = right.withColumn(
+        "_rbkt", F.explode(F.sequence(F.expr(f"{right_lo} div {w}"), F.expr(f"{right_hi} div {w}")))
+    )
+    first_bucket = F.expr(f"greatest({left_lo}, {right_lo}) div {w}")
+    return (
+        lb.join(rb, (lb["_lbkt"] == rb["_rbkt"]) & cond)
+        .filter(F.col("_lbkt") == first_bucket)
+        .drop("_lbkt", "_rbkt")
+    )

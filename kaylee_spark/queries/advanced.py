@@ -1535,3 +1535,75 @@ def a37_hll_distinct_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return hll_distinct_store(ev, "user_id", "event_type")
+
+
+@query(
+    "a38_interval_overlap_join",
+    oracle="""
+    WITH sec AS (
+        SELECT user_id, event_type, event_id, value,
+               CAST(ts AS DATE) AS day,
+               datediff('second', TIMESTAMP '2024-01-01 00:00:00', ts) AS s
+        FROM events
+    ),
+    intervals AS (
+        SELECT user_id, day, MIN(s) AS lo, MAX(s) AS hi
+        FROM sec GROUP BY user_id, day
+    ),
+    incidents AS (
+        SELECT event_id AS incident_id, s AS ilo, s + 7200 AS ihi
+        FROM sec WHERE event_type = 'error' AND value > 200
+    )
+    SELECT i.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(LEAST(i.hi, x.ihi) - GREATEST(i.lo, x.ilo)) AS BIGINT)
+               AS overlap_seconds
+    FROM intervals i
+    JOIN incidents x ON i.lo <= x.ihi AND x.ilo <= i.hi
+    GROUP BY i.user_id
+    """,
+    extra=True,
+)
+def a38_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join — per-user daily activity spans
+    against severe-incident windows (error events with value > 200,
+    each open for 2 h): how often and for how long was each user
+    active DURING an incident. The oracle states the plain inequality
+    join; the engine's plan is the exploded-bucket equi-join (6 h
+    buckets on exact integer seconds) with the FIRST-overlap-bucket
+    row-local dedup — exactly-once pairs with no distinct pass and no
+    nested loop over fact×fact
+    (operators/joins.py interval_overlap_join). All arithmetic is
+    integer epoch-seconds via timestampdiff from a fixed origin, so
+    overlap durations hash bit-for-bit.
+
+    100 TB: both exploded sides shuffle on the bucket id — a
+    time-correlated, naturally balanced key; cost follows the
+    range_join bucket law (width ~ interval length)."""
+    from kaylee_spark.operators.joins import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = ev.withColumn(
+        "s",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"),
+    ).withColumn("day", F.to_date("ts"))
+    intervals = sec.groupBy("user_id", "day").agg(
+        F.min("s").alias("lo"), F.max("s").alias("hi")
+    )
+    incidents = (
+        sec.filter((F.col("event_type") == "error") & (F.col("value") > 200))
+        .select(
+            F.col("event_id").alias("incident_id"),
+            F.col("s").alias("ilo"),
+            (F.col("s") + 7200).alias("ihi"),
+        )
+    )
+    pairs = interval_overlap_join(
+        intervals, incidents, "lo", "hi", "ilo", "ihi", bucket_width=21600
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.sum(
+            F.least(F.col("hi"), F.col("ihi")) - F.greatest(F.col("lo"), F.col("ilo"))
+        ).cast("bigint").alias("overlap_seconds"),
+    )

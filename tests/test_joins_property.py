@@ -79,3 +79,43 @@ def test_bucketed_range_join_matches_reference(spark, points, intervals):
         if lo <= p <= hi
     }
     assert got == want
+
+
+intervals_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40), st.integers(min_value=0, max_value=15)
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(left=intervals_st, right=intervals_st, width=st.sampled_from([1, 3, 7, 50]))
+@_settings
+def test_interval_overlap_join_matches_bruteforce(spark, left, right, width):
+    """Bucketed overlap join == brute-force on adversarial shapes:
+    touching endpoints, zero-width intervals, empty sides, widths both
+    smaller and larger than every interval. Exactly-once output — the
+    first-overlap-bucket dedup must not drop or duplicate pairs."""
+    from kaylee_spark.operators.joins import interval_overlap_join
+
+    lrows = [(i, lo, lo + ln) for i, (lo, ln) in enumerate(left)]
+    rrows = [(j, lo, lo + ln) for j, (lo, ln) in enumerate(right)]
+    expected = sorted(
+        (li, rj)
+        for (li, llo, lhi) in lrows
+        for (rj, rlo, rhi) in rrows
+        if llo <= rhi and rlo <= lhi
+    )
+    ldf = spark.createDataFrame(lrows, ["lid", "lo", "hi"]) if lrows else None
+    rdf = spark.createDataFrame(rrows, ["rid", "rlo", "rhi"]) if rrows else None
+    if ldf is None or rdf is None:
+        assert expected == []
+        return
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, rdf, "lo", "hi", "rlo", "rhi", bucket_width=width
+        ).collect()
+    )
+    assert got == expected

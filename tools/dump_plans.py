@@ -104,6 +104,7 @@ SHOWCASE = [
     ("a36_mann_whitney", "Mann-Whitney: rank-free U from per-value histograms — the cumulative window runs over distinct VALUES, never the fact table; integer-exact significance"),
     ("q35_dynamic_partition_pruning", "dynamic partition pruning: runtime dynamicpruningexpression partition filter on the fact scan, fed by the reused dim broadcast"),
     ("a37_hll_distinct_store", "portable HLL store: integer register pipeline in map-side-combined aggs; day shards merged by MAX; one tiny per-group close"),
+    ("a38_interval_overlap_join", "interval overlap join: exploded-bucket equi-join + first-overlap-bucket dedup — no nested loop, no distinct pass"),
 ]
 
 
@@ -185,6 +186,12 @@ MUST_CONTAIN = {
     "a36_mann_whitney": ("Window", "HashAggregate"),
     "q35_dynamic_partition_pruning": ("dynamicpruningexpression", "PartitionFilters"),
     "a37_hll_distinct_store": ("HashAggregate",),
+    # the equi component on the bucket id must carry the join — a bare
+    # inequality would plan BNLJ/cartesian on two fact sides. At
+    # fixture scale the tiny incidents side makes it a BroadcastHASH
+    # join (SMJ at 100 TB — same bucket key either way); "HashJoin"
+    # matches broadcast/shuffled-hash and excludes BNLJ
+    "a38_interval_overlap_join": ("HashJoin", "Generate"),
 }
 
 
