@@ -1380,16 +1380,29 @@ def hll_distinct_store(
         F.to_date(F.col(ts_col)).alias("day"),
         F.col(id_col).alias("uid"),
     )
-    # square-mix hash: one modular SQUARING before the multiplicative
-    # step. Sequential ids through a plain affine hash form a lattice
-    # whose small-w cells inflate max-rho (measured +54% estimate bias
-    # at n/m ~ 6); squaring breaks the progression (measured -3%).
-    # Two mod steps keep every intermediate inside int64 for ids < 2^31.
-    hashed = (
-        base.withColumn(
+    hashed = with_hll_cols(base, "uid")
+    day_regs = hashed.groupBy("grp", "day", "idx").agg(F.max("rho").alias("m_day"))
+    merged = day_regs.groupBy("grp", "idx").agg(F.max("m_day").alias("m_merged"))
+    direct = hashed.groupBy("grp", "idx").agg(F.max("rho").alias("m_direct"))
+    exact = base.groupBy("grp").agg(F.countDistinct("uid").alias("n_exact"))
+    return hll_estimate_close(merged.join(direct, ["grp", "idx"]), exact, rel_bound)
+
+
+def with_hll_cols(df: DataFrame, id_col: str) -> DataFrame:
+    """Row-local HLL register coordinates (idx, rho) — safe on batch
+    AND streaming frames (no shuffle, no state).
+
+    Square-mix hash: one modular SQUARING before the multiplicative
+    step. Sequential ids through a plain affine hash form a lattice
+    whose small-w cells inflate max-rho (measured +54% estimate bias
+    at n/m ~ 6); squaring breaks the progression (measured -3%).
+    Two mod steps keep every intermediate inside int64 for ids < 2^31.
+    """
+    return (
+        df.withColumn(
             "h",
             (
-                (((F.col("uid") + 1) * (F.col("uid") + 1)) % F.lit(2147483647))
+                (((F.col(id_col) + 1) * (F.col(id_col) + 1)) % F.lit(2147483647))
                 * F.lit(2654435761)
             )
             % F.lit(2147483647),
@@ -1397,11 +1410,16 @@ def hll_distinct_store(
         .withColumn("idx", F.col("h") % HLL_M)
         .withColumn("w", F.expr(f"(h div {HLL_M}) % {1 << HLL_WBITS}"))
         .withColumn("rho", F.expr(f"{HLL_WBITS + 1} - ({hll_bitlen_sql('w')})"))
+        .drop("h", "w")
     )
-    day_regs = hashed.groupBy("grp", "day", "idx").agg(F.max("rho").alias("m_day"))
-    merged = day_regs.groupBy("grp", "idx").agg(F.max("m_day").alias("m_merged"))
-    direct = hashed.groupBy("grp", "idx").agg(F.max("rho").alias("m_direct"))
-    regs = merged.join(direct, ["grp", "idx"])
+
+
+def hll_estimate_close(regs: DataFrame, exact: DataFrame, rel_bound: float = 0.2) -> DataFrame:
+    """Close the HLL pipeline from joined registers (grp, idx,
+    m_merged, m_direct) + exact counts (grp, n_exact): harmonic /
+    linear-counting estimate, error-bound and merge-law booleans —
+    shared verbatim by the batch operator and the streamed-ingest twin
+    so stream ≡ batch is hash-verified."""
     per_grp = regs.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n_present"),
         F.sum(
@@ -1409,7 +1427,6 @@ def hll_distinct_store(
         ).alias("s_present"),
         F.sum(F.abs(F.col("m_merged") - F.col("m_direct"))).alias("m_delta"),
     )
-    exact = base.groupBy("grp").agg(F.countDistinct("uid").alias("n_exact"))
     j = per_grp.join(exact, "grp")
     s_total = F.col("s_present") + (F.lit(HLL_M) - F.col("n_present")) * F.lit(
         1 << (HLL_WBITS + 1)

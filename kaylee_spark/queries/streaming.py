@@ -1314,3 +1314,49 @@ def e34_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return last_touch_attribution(ev)
+
+
+def _hll_shared_oracle() -> str:
+    from kaylee_spark.queries.advanced import _hll_oracle
+
+    return _hll_oracle()
+
+
+@query("e35_streamed_hll_ingest", oracle=_hll_shared_oracle(), extra=True)
+def e35_streamed_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL distinct store fed by a TRUE stream: readStream ->
+    daily tumbling (event_type, register) MAX(rho) shards
+    (streaming/hll_day_registers — the mergeable partials) drained to
+    the store, then closed with the SAME hll_estimate_close arithmetic
+    as a37 against batch-built direct registers and exact counts — so
+    the streamed-ingest path is hash-verified to produce bit-identical
+    registers AND estimate to the batch path (oracle shared verbatim
+    with a37, whose merge_exact boolean now ALSO proves
+    streamed-shards ≡ batch-raw registers). The eighth true
+    readStream drain; at 100 TB the stream maintains 256 integers per
+    type per day and any window's distinct estimate never rescans
+    events."""
+    from kaylee_spark.operators.analytics import hll_estimate_close, with_hll_cols
+
+    drained = _drain_staged_stream(
+        spark,
+        sf_dir,
+        lambda ST, staged: ST.run_to_memory(
+            ST.hll_day_registers(ST.events_stream(spark, staged)),
+            output_mode="complete",
+        ),
+    )
+    merged = drained.groupBy("grp", "idx").agg(F.max("m_day").alias("m_merged"))
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("grp"), F.col("user_id").alias("uid")
+    )
+    direct = with_hll_cols(base, "uid").groupBy("grp", "idx").agg(
+        F.max("rho").alias("m_direct")
+    )
+    exact = base.groupBy("grp").agg(F.countDistinct("uid").alias("n_exact"))
+    # memory-sink lineage + self-join disambiguation: same localCheckpoint
+    # as e32 (the register store is |types| x 256 rows — tiny)
+    return hll_estimate_close(
+        merged.localCheckpoint().join(direct, ["grp", "idx"]), exact
+    )

@@ -395,3 +395,31 @@ def drift_bin_counts(events: DataFrame, edges: tuple, watermark: str = "2 hours"
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("w.start").alias("window_start"), "grp", "bin", "cnt")
     )
+
+
+def hll_day_registers(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streamed ingestion leg of the HLL distinct store: per
+    (event_type, day, register-index) MAX(rho) over daily tumbling
+    event-time windows — the mergeable register shards
+    hll_estimate_close consumes. The register coordinates are the
+    row-local integer pipeline shared with the batch operator
+    (operators/analytics.py with_hll_cols), so the streamed shards are
+    bit-identical to batch-built ones. State key cardinality =
+    |types| x |days in watermark horizon| x 256 registers — bounded on
+    an infinite stream; MAX is the idempotent merge, so replays and
+    late arrivals can only re-assert, never corrupt.
+    """
+    from kaylee_spark.operators.analytics import with_hll_cols
+
+    base = events.select(
+        F.col("event_type").alias("grp"),
+        F.col("ts"),
+        F.col("user_id").alias("uid"),
+    )
+    return (
+        with_hll_cols(base, "uid")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "grp", "idx")
+        .agg(F.max("rho").alias("m_day"))
+        .select(F.col("w.start").alias("window_start"), "grp", "idx", "m_day")
+    )
