@@ -1651,3 +1651,75 @@ def bloom_prescreen_report(
         F.count(F.when(~F.col("flagged") & F.col("is_dup"), 1)).alias("n_false_neg"),
     )
     return out
+
+
+def hamming_probe(
+    corpus_sig: DataFrame,
+    probe_sig: DataFrame,
+    max_hamming: int,
+    bits: int,
+    corpus_id: str = "vid",
+    probe_id: str = "vid",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Bipartite pigeonhole probe: all (corpus, probe) id pairs whose
+    ``bits``-bit signatures differ in at most ``max_hamming`` bits —
+    hamming_pairs' increment/eval-probe sibling (the d12/d13 shape for
+    signature space). COMPLETE for the same reason: a pair within
+    distance d differs in at most d of the d+1 disjoint chunks, so
+    some chunk agrees exactly; candidates come only from
+    agreeing-chunk buckets, exact popcount verifies.
+
+    Why not hamming_pairs on the tagged union: the self-join also
+    generates corpus×corpus candidates — at 100 TB that is almost ALL
+    of the work, spent on pairs the caller filters away. Here the
+    probe side (an eval set, a daily increment) is exploded into its
+    d+1 chunk keys and BROADCAST; the corpus side streams through the
+    bucket join at scan speed with no corpus×corpus term at all.
+    Duplicate meetings dedup arithmetically (first agreeing chunk of
+    the XOR — both signatures ride the join), never via a distinct.
+
+    Output: (``corpus_id``, ``probe_id``, hamming), exactly once.
+    """
+    chunks = max_hamming + 1
+    width = bits // chunks
+    mask = (1 << width) - 1
+
+    def banded(df: DataFrame, idc: str, out_id: str, out_sig: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias(out_id),
+            F.col(sig_col).alias(out_sig),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("chunk"),
+                            F.shiftrightunsigned(F.col(sig_col), c * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("key"),
+                        )
+                        for c in range(chunks)
+                    ]
+                )
+            ).alias("cb"),
+        ).select(out_id, out_sig, "cb.chunk", "cb.key")
+
+    out_c = f"{corpus_id}_c" if corpus_id == probe_id else corpus_id
+    out_p = f"{probe_id}_p" if corpus_id == probe_id else probe_id
+    # materialization barrier (the hamming_pairs lesson): without it
+    # Catalyst re-evaluates the signature fold per exploded chunk row
+    corp = banded(corpus_sig.localCheckpoint(eager=True), corpus_id, out_c, "sh_c")
+    prob = banded(probe_sig.localCheckpoint(eager=True), probe_id, out_p, "sh_p")
+    first_agree = "CASE " + " ".join(
+        f"WHEN (shiftrightunsigned(sh_c, {c * width}) & {mask}) = "
+        f"(shiftrightunsigned(sh_p, {c * width}) & {mask}) THEN {c}"
+        for c in range(chunks)
+    ) + " END"
+    ham = F.bit_count(F.col("sh_c").bitwiseXOR(F.col("sh_p")))
+    return (
+        corp.join(F.broadcast(prob), ["chunk", "key"])
+        .filter(F.col("chunk") == F.expr(first_agree))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(out_c, out_p, "hamming")
+    )

@@ -1001,3 +1001,42 @@ def d20_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
     increment = docs.filter(F.col("doc_id") % 10 == 0)
     key = F.concat_ws(" ", F.slice(tokens("text"), 1, 8))
     return D.bloom_prescreen_report(increment, corpus, key)
+
+
+def _d23_oracle() -> str:
+    from kaylee_spark.queries.similarity import _sign_ctes
+
+    return f"""
+    WITH {_sign_ctes()}
+    SELECT c.vec_id AS corpus_id, e.vec_id AS eval_id,
+           CAST(bit_count(xor(c.sig, e.sig)) AS INT) AS hamming
+    FROM sigs c JOIN sigs e ON c.vec_id % 10 <> 0 AND e.vec_id % 10 = 0
+    WHERE bit_count(xor(c.sig, e.sig)) <= 3
+    """
+
+
+@query("d23_semantic_decontamination", oracle=_d23_oracle(), extra=True)
+def d23_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space rung of the
+    leakage ladder (d07 catches exact n-gram overlap, d19 verbatim
+    substrings; paraphrases evade both): flag every corpus vector
+    within the sign-signature near-duplicate cone (24-bit SRP-LSH,
+    Hamming <= 3 ≈ 22°) of ANY held-out eval vector. Signatures are
+    s03's integer-exact construction; the pair set comes from the
+    BIPARTITE pigeonhole probe (operators/dedup.py hamming_probe):
+    the eval side's chunk keys broadcast, the corpus streams through
+    the bucket join at scan speed — NO corpus×corpus candidate term,
+    unlike running the symmetric self-join and filtering (at 100 TB
+    that discarded term is almost all the work). Complete by the
+    pigeonhole argument, so the sub-quadratic plan emits exactly the
+    oracle's brute-force bipartite set."""
+    from kaylee_spark.operators.similarity import sign_signatures
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = sign_signatures(emb.filter(F.col("vec_id") % 10 != 0), dim=64)
+    evalset = sign_signatures(emb.filter(F.col("vec_id") % 10 == 0), dim=64)
+    return (
+        D.hamming_probe(corpus, evalset, max_hamming=3, bits=24)
+        .withColumnRenamed("vid_c", "corpus_id")
+        .withColumnRenamed("vid_p", "eval_id")
+    )

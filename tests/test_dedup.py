@@ -858,3 +858,38 @@ def test_containment_topk_per_src_bounds_and_direction(spark):
     # host -> quote: only 3 of host's 10 shingles shared
     c, rnk = rows[(1, 2)]
     assert abs(c - 0.3) < 1e-12 and rnk == 1
+
+
+def test_hamming_probe_bipartite_complete(spark):
+    """Probe output == brute-force bipartite set, exactly once per
+    pair — including distance-0 twins, max-distance edges, and probe
+    signatures that match nothing."""
+    from kaylee_spark.operators.dedup import hamming_probe
+
+    bits, maxh = 24, 3
+    # LCG signatures + planted exact twin + planted 3-bit neighbor
+    sigs, x = [], 5
+    for i in range(40):
+        x = (x * 48271) % 2147483647
+        sigs.append(x % (1 << bits))
+    corpus = [(i, s) for i, s in enumerate(sigs)]
+    probes = [
+        (100, sigs[7]),                       # distance 0
+        (101, sigs[11] ^ 0b10010001),         # distance 3
+        (102, (~sigs[3]) & ((1 << bits) - 1)) # distance 24: no match
+    ]
+    cdf = spark.createDataFrame(corpus, ["vid", "sig"])
+    pdf = spark.createDataFrame(probes, ["vid", "sig"])
+    got = sorted(
+        (r["vid_c"], r["vid_p"], r["hamming"])
+        for r in hamming_probe(cdf, pdf, maxh, bits).collect()
+    )
+    expected = sorted(
+        (ci, pi, bin(cs ^ ps).count("1"))
+        for ci, cs in corpus
+        for pi, ps in probes
+        if bin(cs ^ ps).count("1") <= maxh
+    )
+    assert got == expected
+    assert (7, 100, 0) in got and (11, 101, 3) in got
+    assert not any(p == 102 for _, p, _ in got)

@@ -105,6 +105,7 @@ SHOWCASE = [
     ("q35_dynamic_partition_pruning", "dynamic partition pruning: runtime dynamicpruningexpression partition filter on the fact scan, fed by the reused dim broadcast"),
     ("a37_hll_distinct_store", "portable HLL store: integer register pipeline in map-side-combined aggs; day shards merged by MAX; one tiny per-group close"),
     ("a38_interval_overlap_join", "interval overlap join: exploded-bucket equi-join + first-overlap-bucket dedup — no nested loop, no distinct pass"),
+    ("d23_semantic_decontamination", "semantic decontamination: eval chunk keys broadcast against the streaming corpus side — bipartite probe, no corpus x corpus term"),
 ]
 
 
@@ -186,6 +187,7 @@ MUST_CONTAIN = {
     "a36_mann_whitney": ("Window", "HashAggregate"),
     "q35_dynamic_partition_pruning": ("dynamicpruningexpression", "PartitionFilters"),
     "a37_hll_distinct_store": ("HashAggregate",),
+    "d23_semantic_decontamination": ("BroadcastHashJoin", "localCheckpoint"),
     # the equi component on the bucket id must carry the join — a bare
     # inequality would plan BNLJ/cartesian on two fact sides. At
     # fixture scale the tiny incidents side makes it a BroadcastHASH

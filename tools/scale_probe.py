@@ -202,6 +202,30 @@ PROBE_QUERIES = (
     # over 10x real docs — per-doc counts are new arithmetic, not
     # repeats, because the offset ids join nothing
     "t31_bpe_apply",
+    # late round-11 additions. w08: user_ids are NOT offset, so x10
+    # events leave the distinct (user, day) set unchanged — the WAU
+    # curve must be INVARIANT while the dedup exchange sees 1M rows;
+    # e34: 10 purchases per original ts carry the same last touch
+    # under the (ts, event_id) tie-break — attributed revenue scales
+    # exactly 10x; a36: counts scale 10x so U scales 100x — the
+    # decimal(38,0) denominator-cleared significance compare is
+    # exercised near 1e31 for real; a37: duplicate observations are
+    # idempotent on MAX registers — n_exact, estimate and BOTH
+    # booleans must be bit-identical to the sf0.1 run; a38: severe
+    # incidents multiply 10x (offset event_ids are real new incident
+    # rows at the SAME seconds) so every overlap pair recurs 10x and
+    # the bucketed join carries ~5M pairs; q33: pair quantities scale
+    # 10x so the 2*early > total decimal comparison is RATIO-invariant
+    # (same qualifying pairs, 10x the scan); q34: the bucketed write
+    # re-pays its one shuffle over 6M rows and the zero-Exchange read
+    # join must still reconcile to the raw-parquet oracle.
+    "w08_sliding_distinct_users",
+    "e34_last_touch_attribution",
+    "a36_mann_whitney",
+    "a37_hll_distinct_store",
+    "a38_interval_overlap_join",
+    "q33_front_loaded_supply",
+    "q34_bucketed_colocated_join",
 )
 
 
