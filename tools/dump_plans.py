@@ -106,6 +106,7 @@ SHOWCASE = [
     ("a37_hll_distinct_store", "portable HLL store: integer register pipeline in map-side-combined aggs; day shards merged by MAX; one tiny per-group close"),
     ("a38_interval_overlap_join", "interval overlap join: exploded-bucket equi-join + first-overlap-bucket dedup — no nested loop, no distinct pass"),
     ("d23_semantic_decontamination", "semantic decontamination: eval chunk keys broadcast against the streaming corpus side — bipartite probe, no corpus x corpus term"),
+    ("t32_curriculum_bins", "curriculum bins: map-side entropy collapse, lang-partitioned NTILE (distributed range sort), 15-row close"),
 ]
 
 
@@ -188,6 +189,7 @@ MUST_CONTAIN = {
     "q35_dynamic_partition_pruning": ("dynamicpruningexpression", "PartitionFilters"),
     "a37_hll_distinct_store": ("HashAggregate",),
     "d23_semantic_decontamination": ("BroadcastHashJoin", "localCheckpoint"),
+    "t32_curriculum_bins": ("Window", "HashAggregate"),
     # the equi component on the bucket id must carry the join — a bare
     # inequality would plan BNLJ/cartesian on two fact sides. At
     # fixture scale the tiny incidents side makes it a BroadcastHASH
