@@ -1425,3 +1425,64 @@ def q35_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
             dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
+
+
+@query(
+    "q36_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {oracle_dec_sum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    extra=True,
+)
+def q36_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): a revenue VIEW aggregated per
+    supplier for one quarter, then the supplier(s) achieving the
+    GLOBAL MAX of that view — the scalar-subquery-over-an-aggregate
+    pattern (distinct from q02's per-group correlated min and q31's
+    pre-foldable global average: here the scalar derives from the
+    same aggregated frame it filters, so it cannot fold before the
+    aggregation runs).
+
+    Spark plan: ONE aggregation pass builds the view; an empty-frame
+    window max (no partition keys, but over the |suppliers|-row
+    AGGREGATE, never the fact table) attaches the global max without
+    a second scan or a self-join — then the equality filter and a
+    broadcast join to supplier names. Exact decimal revenue makes the
+    max-equality tie semantics identical across engines (Q15's
+    documented multi-winner case survives rounding only because the
+    compare happens on cent-rounded exact values, not doubles).
+
+    100 TB: the fact scan aggregates map-side into |suppliers| rows;
+    the single-partition window runs over THAT (bounded by the
+    supplier dimension, ~10M rows worst case — fine for one
+    partition); supplier join broadcasts.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    top = revenue.withColumn("_mx", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("_mx")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        top.join(F.broadcast(sup), top.supplier_no == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kaylee_spark.functions import oracle_dec_sum
 from kaylee_spark.queries import query
 from kaylee_spark.sources import load_table
 
@@ -344,3 +345,67 @@ def w08_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return sliding_distinct_users(ev, "user_id", "ts", 7)
+
+
+@query(
+    "w09_weekly_rank_movers",
+    oracle=f"""
+    WITH weekly AS (
+        SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+               event_type,
+               {oracle_dec_sum('value')} AS revenue
+        FROM events
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT week, event_type, revenue,
+               CAST(RANK() OVER (PARTITION BY week
+                                 ORDER BY revenue DESC, event_type) AS INT)
+                   AS rnk
+        FROM weekly
+    )
+    SELECT week, event_type, revenue, rnk,
+           CAST(LAG(rnk) OVER (PARTITION BY event_type ORDER BY week)
+                AS INT) AS prev_rnk,
+           CAST(LAG(rnk) OVER (PARTITION BY event_type ORDER BY week) - rnk
+                AS INT) AS rank_delta
+    FROM ranked
+    """,
+    extra=True,
+)
+def w09_weekly_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week rank movers — the dashboard "top movers" shape:
+    each event type's revenue RANK within its week, then the rank
+    delta against the previous week via LAG along the type's own
+    timeline (positive = climbed). Two window axes share the work of
+    ONE tiny aggregate: the weekly pivot is |weeks|x|types| rows, so
+    both the within-week rank sort and the per-type lag run over
+    dozens of rows regardless of fact-table size; revenue rides exact
+    decimal so rank ties cannot flip across engines (tie-break on
+    event_type makes the order total).
+
+    Week truncation is DATE arithmetic (Monday start via
+    date_sub(d, (dayofweek+5) mod 7)) — Spark's date_trunc returns a
+    session-zone TIMESTAMP even for NTZ input (the e12 lesson), so
+    the tz-independence probe would shift it on non-UTC sessions."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    week = F.date_sub(d, (F.dayofweek(d) + F.lit(5)) % 7)
+    from kaylee_spark.functions import dec_sum
+
+    weekly = ev.groupBy(
+        week.cast("timestamp_ntz").alias("week"), "event_type"
+    ).agg(dec_sum("value").alias("revenue"))
+    w_rank = Window.partitionBy("week").orderBy(
+        F.desc("revenue"), F.asc("event_type")
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("week")
+    ranked = weekly.withColumn("rnk", F.rank().over(w_rank).cast("int"))
+    return ranked.select(
+        "week",
+        "event_type",
+        "revenue",
+        "rnk",
+        F.lag("rnk").over(w_lag).cast("int").alias("prev_rnk"),
+        (F.lag("rnk").over(w_lag) - F.col("rnk")).cast("int").alias("rank_delta"),
+    )

@@ -718,3 +718,84 @@ def test_hll_distinct_store_duplicates_do_not_move_registers(spark):
     # registers (and so the estimate) exactly unchanged
     assert a["estimate"] == b["estimate"]
     assert b["n_exact"] == 300 and b["merge_exact"] is True
+
+
+def test_sliding_distinct_users_matches_bruteforce(spark):
+    from datetime import date, timedelta
+
+    from kaylee_spark.operators.analytics import sliding_distinct_users
+
+    # LCG (user, day) activity with multi-day gaps and repeat days —
+    # the shapes the lag-contribution trick must get exactly right
+    rows, x = [], 11
+    for _ in range(120):
+        x = (x * 48271) % 2147483647
+        u, dd = x % 7, (x // 7) % 25
+        rows.append((u, f"2024-03-{1 + dd:02d} 0{u % 9}:15:00"))
+    df = spark.createDataFrame(rows, ["user_id", "ts"]).selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts"
+    )
+    got = {
+        r["window_end"].date(): r["users"]
+        for r in sliding_distinct_users(df, "user_id", "ts", 7).collect()
+    }
+    days = {(u, date(2024, 3, 1) + timedelta(days=dd)) for u, dd in
+            ((u, int(t[8:10]) - 1) for u, t in rows)}
+    lo = min(d for _, d in days)
+    hi = max(d for _, d in days)
+    expected = {}
+    e = lo
+    while e <= hi:
+        expected[e] = len({u for u, d in days if e - timedelta(days=6) <= d <= e})
+        e += timedelta(days=1)
+    assert got == expected
+
+
+def test_last_touch_attribution_matches_bruteforce(spark):
+    from kaylee_spark.operators.analytics import last_touch_attribution
+
+    # LCG event stream: ties at identical timestamps exercise the
+    # (ts, event_id) tie-break; old touches exercise the lookback cut
+    rows, x = [], 3
+    types = ["click", "view", "purchase", "signup"]
+    for i in range(200):
+        x = (x * 48271) % 2147483647
+        u, tmin, ty = x % 5, (x // 5) % 20000, types[(x // 7) % 4]
+        rows.append((u, f"2024-01-01 00:00:00", i, ty, float(x % 97)))
+        rows[-1] = (u, tmin, i, ty, float(x % 97))
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    data = [
+        (u, base + timedelta(minutes=tmin), i, ty, v)
+        for (u, tmin, i, ty, v) in rows
+    ]
+    df = spark.createDataFrame(
+        data, ["user_id", "ts", "event_id", "event_type", "value"]
+    ).selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "event_id", "event_type", "value"
+    )
+    got = {
+        r["channel"]: (r["conversions"], round(r["revenue"], 2))
+        for r in last_touch_attribution(df, lookback_days=7).collect()
+    }
+    expected = {}
+    per_user = {}
+    for u, ts, i, ty, v in sorted(data, key=lambda r: (r[1], r[2])):
+        per_user.setdefault(u, [])
+        if ty == "purchase":
+            touch = None
+            for (tts, tty) in reversed(per_user[u]):
+                touch = (tts, tty)
+                break
+            ch = (
+                touch[1]
+                if touch and touch[0] >= ts - timedelta(days=7)
+                else "direct"
+            )
+            c, s = expected.get(ch, (0, 0.0))
+            expected[ch] = (c + 1, round(s + v, 2))
+        if ty in ("click", "view"):
+            per_user[u].append((ts, ty))
+    expected = {k: (c, round(s, 2)) for k, (c, s) in expected.items()}
+    assert got == expected

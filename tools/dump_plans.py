@@ -107,6 +107,8 @@ SHOWCASE = [
     ("a38_interval_overlap_join", "interval overlap join: exploded-bucket equi-join + first-overlap-bucket dedup — no nested loop, no distinct pass"),
     ("d23_semantic_decontamination", "semantic decontamination: eval chunk keys broadcast against the streaming corpus side — bipartite probe, no corpus x corpus term"),
     ("t32_curriculum_bins", "curriculum bins: map-side entropy collapse, lang-partitioned NTILE (distributed range sort), 15-row close"),
+    ("q36_top_supplier", "Q15 shape: global-max window over the |suppliers|-row AGGREGATE, never the fact table; broadcast name join"),
+    ("w09_weekly_rank_movers", "rank movers: two window axes (within-week rank, per-type lag) over ONE tiny weekly aggregate"),
 ]
 
 
@@ -190,6 +192,8 @@ MUST_CONTAIN = {
     "a37_hll_distinct_store": ("HashAggregate",),
     "d23_semantic_decontamination": ("BroadcastHashJoin", "localCheckpoint"),
     "t32_curriculum_bins": ("Window", "HashAggregate"),
+    "q36_top_supplier": ("Window", "BroadcastHashJoin"),
+    "w09_weekly_rank_movers": ("Window", "HashAggregate"),
     # the equi component on the bucket id must carry the join — a bare
     # inequality would plan BNLJ/cartesian on two fact sides. At
     # fixture scale the tiny incidents side makes it a BroadcastHASH
