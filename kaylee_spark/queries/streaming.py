@@ -1275,9 +1275,10 @@ def e32_streamed_psi_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_score_pivot(pivot.localCheckpoint(), "2024-01-01", n_bins)
 
 
-@query(
-    "e34_last_touch_attribution",
-    oracle=f"""
+def _attribution_oracle() -> str:
+    """Shared by e34 (batch window carry) and e36 (streamed state) —
+    the two paths must hash-match the same SQL semantics."""
+    return f"""
     WITH tagged AS (
         SELECT user_id, ts, event_type, value,
                LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
@@ -1299,9 +1300,10 @@ def e32_streamed_psi_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tagged
     WHERE event_type = 'purchase'
     GROUP BY 1
-    """,
-    extra=True,
-)
+    """
+
+
+@query("e34_last_touch_attribution", oracle=_attribution_oracle(), extra=True)
 def e34_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch revenue attribution: every purchase credited to the
     user's most recent click/view strictly before it within 7 days,
@@ -1359,4 +1361,35 @@ def e35_streamed_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as e32 (the register store is |types| x 256 rows — tiny)
     return hll_estimate_close(
         merged.localCheckpoint().join(direct, ["grp", "idx"]), exact
+    )
+
+
+@query("e36_streamed_attribution", oracle=_attribution_oracle(), extra=True)
+def e36_streamed_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed last-touch attribution — the NINTH true readStream
+    drain and the first ORDER-SENSITIVE stateful one: per-user
+    applyInPandasWithState carries the most recent touch (ts, channel)
+    and attributes each purchase the moment it arrives, append-mode
+    (an attribution is final at emission — no later event can precede
+    it in event time). Within a batch the group sorts by
+    (ts, event_id); across batches the staged source's contiguous
+    oldest-first time slices guarantee no time travel — under that
+    contract the emitted rows equal e34's batch window carry
+    row-for-row, and the drained frame closes with the SAME
+    channel-level decimal aggregate against the SAME oracle, so
+    stream ≡ batch is hash-verified end to end
+    (streaming/stateful.last_touch_state)."""
+    from kaylee_spark.streaming.stateful import last_touch_state
+
+    drained = _drain_staged_stream(
+        spark,
+        sf_dir,
+        lambda ST, staged: ST.run_to_memory(
+            last_touch_state(ST.events_stream(spark, staged)),
+            output_mode="append",
+        ),
+    )
+    return drained.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("conversions"),
+        dec_sum("value").alias("revenue"),
     )
