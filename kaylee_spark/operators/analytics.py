@@ -1194,7 +1194,14 @@ def last_touch_attribution(
         .orderBy(ts_col, tiebreak_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    tagged = events.select(
+    # only touches and conversions matter: dropping every other type
+    # BEFORE the window cannot change any conversion's last preceding
+    # touch, and it shrinks the one wide exchange + per-user sort by
+    # the irrelevant-event fraction (the pushed-down filter reaches
+    # the scan)
+    tagged = events.filter(
+        is_touch | (F.col("event_type") == conversion_type)
+    ).select(
         user_col, ts_col, tiebreak_col, "event_type", F.col(value_col).alias("v")
     ).withColumns(
         {
@@ -1246,10 +1253,14 @@ def mann_whitney_u(
         >  38416 · n1·n2 · ((N+1)·N·(N−1) − Σ(t³−t))
     (z² = 1.96² = 38416/10⁴ with the tie-corrected variance, both
     sides cleared of denominators), so no sqrt and no division can
-    ulp-flip the verdict. Products ride DECIMAL(38,0): headroom to
-    ~10³⁸ covers N up to ~4·10⁵ per arm; u1 itself is exact in a
-    double up to 2⁵³ (beyond that, report the decision booleans and
-    counts — they stay exact).
+    ulp-flip the verdict. Products ride DECIMAL(38,0): worst case
+    (|2U1 − n1·n2| at its maximum n1·n2) the left side is
+    ~1.2·10⁵·n⁶, so 10³⁸ headroom covers n up to ~3·10⁵ per arm —
+    beyond that the decimal product overflows (ANSI raise, not a
+    wrong answer); re-derive with a larger cleared denominator or
+    test on a sampled arm. u1 itself is exact in a double up to 2⁵³
+    (beyond that, report the decision booleans and counts — they
+    stay exact).
 
     Output: one row per non-control group —
     (grp, n1 BIGINT, n2 BIGINT, u1 DOUBLE, significant BOOLEAN).

@@ -68,6 +68,10 @@ def stage_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     if cached is not None and os.path.isdir(cached):
         return cached
     out = os.path.join(tempfile.gettempdir(), f"kaylee_events_{uuid.uuid4().hex[:8]}")
+    import time as _time_mod
+
+    _base = _time_mod.time() - 3600  # past-dated: never ahead of wall clock
+    _stamped: set[str] = set()
     ev = load_table(spark, sf_dir, "events")
     fracs = [i / n_files for i in range(1, n_files)]
     bounds = ev.select(
@@ -84,6 +88,19 @@ def stage_events_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
         # sequential writes -> increasing file mtimes -> the streaming
         # file source replays slices oldest-first
         sl.coalesce(1).write.mode("append").parquet(out)
+        # ...but Spark's file source orders candidate files by mtime
+        # with NO tiebreak, and filesystem mtime granularity can tie
+        # two back-to-back writes — a tie may deliver slices
+        # NEWEST-first. Watermark-only consumers tolerate that (late
+        # rows are still within the watermark); the ORDER-SENSITIVE
+        # stateful drains (e36's attribution carry) must not see time
+        # travel, so stamp each slice's part files with an explicitly
+        # strictly-increasing mtime.
+        for name in os.listdir(out):
+            p = os.path.join(out, name)
+            if name.startswith("part-") and p not in _stamped:
+                os.utime(p, (_base + i, _base + i))
+                _stamped.add(p)
     _STAGE_CACHE[key] = out
     return out
 

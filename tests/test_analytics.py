@@ -761,8 +761,7 @@ def test_last_touch_attribution_matches_bruteforce(spark):
     for i in range(200):
         x = (x * 48271) % 2147483647
         u, tmin, ty = x % 5, (x // 5) % 20000, types[(x // 7) % 4]
-        rows.append((u, f"2024-01-01 00:00:00", i, ty, float(x % 97)))
-        rows[-1] = (u, tmin, i, ty, float(x % 97))
+        rows.append((u, tmin, i, ty, float(x % 97)))
     from datetime import datetime, timedelta
 
     base = datetime(2024, 1, 1)
