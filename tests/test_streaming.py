@@ -314,3 +314,84 @@ def test_drift_store_restart_no_double_count(spark, events_dir, tmp_path):
         ).collect()
     }
     assert got == want  # no missing windows, no double-counted bins
+
+
+def test_streamed_attribution_state_survives_restart(spark, tmp_path):
+    """e36's order-sensitive state must survive a checkpoint restart:
+    a touch ingested before the shutdown must attribute a purchase
+    that only arrives after the restart — and the union of emissions
+    across both runs must equal the brute-force attribution of the
+    full stream, exactly once."""
+    import os
+    import time as _t
+
+    from datetime import datetime, timedelta
+
+    from kaylee_spark.streaming import events_stream, stream_to_parquet
+    from kaylee_spark.streaming.stateful import last_touch_state
+
+    base = datetime(2024, 1, 1)
+    types = ["click", "view", "purchase", "signup"]
+    rows, x = [], 9
+    for i in range(160):
+        x = (x * 48271) % 2147483647
+        rows.append((i, base + timedelta(minutes=(x // 5) % 5000), x % 4,
+                     types[(x // 7) % 4], float(x % 89)))
+    rows.sort(key=lambda r: (r[1], r[0]))
+    half = len(rows) // 2
+    # planted cross-restart pair: user 99 clicks at the very end of
+    # phase 1, purchases at the very start of phase 2
+    t_cut = rows[half - 1][1]
+    rows.insert(half, (900, t_cut + timedelta(seconds=1), 99, "click", 0.0))
+    rows.insert(half + 1, (901, t_cut + timedelta(seconds=2), 99, "purchase", 50.0))
+    half += 1  # click stays in phase 1, purchase opens phase 2
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    schema = "event_id long, user_id long, event_type string, value double"
+
+    def write_phase(phase_rows, mtime):
+        df = spark.createDataFrame(
+            [(i, ts.strftime("%Y-%m-%d %H:%M:%S"), u, ty, v)
+             for (i, ts, u, ty, v) in phase_rows],
+            "event_id long, ts string, user_id long, event_type string, value double",
+        ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+                     "event_type", "value")
+        df.coalesce(1).write.mode("append").parquet(src)
+        for name in os.listdir(src):
+            p = os.path.join(src, name)
+            if name.startswith("part-"):
+                cur = os.path.getmtime(p)
+                if cur > mtime - 0.5:  # only stamp the new file once
+                    os.utime(p, (mtime, mtime))
+
+    def drain():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        q = stream_to_parquet(last_touch_state(stream), out, ckpt)
+        q.awaitTermination()
+
+    t0 = _t.time() - 3600
+    write_phase(rows[:half], t0)
+    drain()
+    write_phase(rows[half:], t0 + 10)
+    drain()
+
+    got = {
+        (r["user_id"], r["channel"], round(r["value"], 2))
+        for r in spark.read.parquet(out).collect()
+    }
+    # brute force over the full ordered stream
+    expected, last = set(), {}
+    for i, ts, u, ty, v in rows:
+        if ty == "purchase":
+            t = last.get(u)
+            ch = t[1] if t and (ts - t[0]).total_seconds() <= 7 * 86400 else "direct"
+            expected.add((u, ch, round(v, 2)))
+        if ty in ("click", "view"):
+            last[u] = (ts, ty)
+    assert got == expected
+    # the planted purchase attributed to the PRE-RESTART click
+    assert (99, "click", 50.0) in got
+    assert spark.read.parquet(out).count() == sum(1 for r in rows if r[3] == "purchase")
