@@ -1102,6 +1102,12 @@ def hamming_pairs(
             f"{max_hamming}-error pattern to leave one block clean)"
         )
     chunks = max_hamming + 1
+    if bits < chunks:
+        raise ValueError(
+            f"hamming_pairs needs bits >= max_hamming + 1 "
+            f"(got bits={bits}, max_hamming={max_hamming}); width would "
+            "floor to 0 and every chunk key would be 0 (a full cross join)"
+        )
     width = bits // chunks
     mask = (1 << width) - 1
     a_id, b_id = f"{out_prefix}_a", f"{out_prefix}_b"
@@ -1682,6 +1688,17 @@ def hamming_probe(
     Output: (``corpus_id``, ``probe_id``, hamming), exactly once.
     """
     chunks = max_hamming + 1
+    if bits < chunks:
+        # width would floor to 0 and every chunk key would be 0 —
+        # still complete, but silently a full corpus×probe cross
+        # product. Degenerate parameters must fail loudly (ADVICE r11).
+        raise ValueError(
+            f"hamming_probe needs bits >= max_hamming + 1 "
+            f"(got bits={bits}, max_hamming={max_hamming})"
+        )
+    # bits % chunks high-order remainder bits are left out of every
+    # chunk key: bucketing is weaker (more candidates) but the exact
+    # popcount verify keeps the output correct.
     width = bits // chunks
     mask = (1 << width) - 1
 

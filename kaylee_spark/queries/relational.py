@@ -1324,7 +1324,14 @@ def q34_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kaylee_spark.sources.sinks import write_bucketed_table
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    # pid suffix keeps concurrent processes on the same fixture from
+    # dropping/overwriting each other's bucketed tables mid-query
+    # (ADVICE r11); within one process reruns reuse/overwrite the same
+    # name, so repeated oracle sweeps don't accumulate temp dirs.
+    tag = (
+        os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+        + f"_p{os.getpid()}"
+    )
     base = os.path.join(tempfile.gettempdir(), f"kaylee_bucketed_{tag}")
     for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         name = f"kaylee_b_{tbl}_{tag}"

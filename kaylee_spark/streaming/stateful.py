@@ -93,7 +93,10 @@ def last_touch_state(
                     if touch_us is not None and ts_us - touch_us <= lookback_us
                     else "direct"
                 )
-                out.append((key[0], ts, ch, float(value)))
+                # NULL conversion values must stay NULL: float(NaN)
+                # would diverge from the batch twin, whose dec_sum
+                # skips NULLs (ADVICE r11).
+                out.append((key[0], ts, ch, None if pd.isna(value) else float(value)))
             if ev_type in touches:
                 touch_us, channel = ts_us, ev_type
         if touch_us is not None:

@@ -395,3 +395,55 @@ def test_streamed_attribution_state_survives_restart(spark, tmp_path):
     # the planted purchase attributed to the PRE-RESTART click
     assert (99, "click", 50.0) in got
     assert spark.read.parquet(out).count() == sum(1 for r in rows if r[3] == "purchase")
+
+
+def test_streamed_attribution_preserves_null_values(spark, tmp_path):
+    """A NULL conversion value must stream through as NULL, matching
+    the batch twin's semantics (dec_sum skips NULLs) — pandas would
+    otherwise coerce it to NaN (ADVICE r11)."""
+    import math
+    import os
+
+    from kaylee_spark.streaming import stream_to_parquet
+    from kaylee_spark.streaming.stateful import last_touch_state
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "click", 1.0),
+            (2, "2024-01-01 10:05:00", 7, "purchase", None),
+            (3, "2024-01-01 10:10:00", 7, "purchase", 5.0),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type", "value"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).parquet(src)
+    q = stream_to_parquet(last_touch_state(stream), out, ckpt)
+    q.awaitTermination()
+
+    got = sorted(
+        ((r["channel"], r["value"]) for r in spark.read.parquet(out).collect()),
+        key=lambda t: (t[0], t[1] is not None, t[1] or 0.0),
+    )
+    assert got == [("click", None), ("click", 5.0)], f"NULL must stay NULL, got {got}"
+    assert not any(v is not None and math.isnan(v) for _, v in got)
+
+
+def test_hamming_guard_degenerate_bits(spark):
+    """bits < max_hamming + 1 must fail loudly, not silently run a
+    full cross product with zero-width chunk keys (ADVICE r11)."""
+    import pytest
+
+    from kaylee_spark.operators import dedup as D
+    from kaylee_spark.operators.dedup import hamming_probe
+
+    df = spark.createDataFrame([(1, 3), (2, 5)], ["vid", "sig"])
+    with pytest.raises(ValueError, match="bits >= max_hamming"):
+        hamming_probe(df, df, max_hamming=24, bits=24)
+    with pytest.raises(ValueError, match="bits >= max_hamming"):
+        D.hamming_pairs(df, 24, 24, blocks=25, id_col="vid", sig_col="sig")
