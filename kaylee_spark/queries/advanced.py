@@ -515,7 +515,6 @@ def a15_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM rec
     GROUP BY k % 10
     """,
-    extra=True,
 )
 def a34_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POLYMORPHIC Python UDTF (Spark 4 analyze-time schema, VERDICT
@@ -1006,7 +1005,6 @@ def a33_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS spearman_rho
     FROM s
     """,
-    extra=True,
 )
 def a24_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(returnflag, linestatus) Spearman rank correlation between
@@ -1317,7 +1315,7 @@ def _ks_oracle() -> str:
     """
 
 
-@query("a30_ks_test", oracle=_ks_oracle())
+@query("a30_ks_test", oracle=_ks_oracle(), extra=True)
 def a30_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov distribution-shift test of
     every event type's value distribution against the 'view' control
@@ -1516,7 +1514,7 @@ def _hll_oracle(rel_bound: float = 0.2) -> str:
     """
 
 
-@query("a37_hll_distinct_store", oracle=_hll_oracle(), extra=True)
+@query("a37_hll_distinct_store", oracle=_hll_oracle())
 def a37_hll_distinct_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable HyperLogLog distinct-user store: per (event_type, day)
     register shards merged across days by element-wise MAX — the
@@ -1562,7 +1560,6 @@ def a37_hll_distinct_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN incidents x ON i.lo <= x.ihi AND x.ilo <= i.hi
     GROUP BY i.user_id
     """,
-    extra=True,
 )
 def a38_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval×interval OVERLAP join — per-user daily activity spans

@@ -291,7 +291,7 @@ def _d05_oracle() -> str:
     """
 
 
-@query("d05_simhash_pairs", oracle=_d05_oracle())
+@query("d05_simhash_pairs", oracle=_d05_oracle(), extra=True)
 def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming<=6 via pigeonhole bucketing +
     exact popcount verify), built on the PORTABLE polynomial token
@@ -346,8 +346,7 @@ def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(c.cluster, d.doc_id) AS cluster,
            (d.doc_id = COALESCE(c.cluster, d.doc_id)) AS is_canonical
     FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
-    """,
-)
+    """, extra=True)
 def d06_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: Jaccard>=0.5 pairs -> iterative min-label
     connected components -> deterministic canonical per cluster.
@@ -906,8 +905,7 @@ def d17_corpus_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                / SUM(c)) > 0.5 AS is_contaminated
     FROM occ JOIN support USING (win)
     GROUP BY doc
-    """,
-)
+    """, extra=True)
 def d19_duplicate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-substring audit (Lee et al. 2022):
     per doc, the fraction of its 10-token window occurrences whose
@@ -1015,7 +1013,7 @@ def _d23_oracle() -> str:
     """
 
 
-@query("d23_semantic_decontamination", oracle=_d23_oracle(), extra=True)
+@query("d23_semantic_decontamination", oracle=_d23_oracle())
 def d23_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC decontamination — the embedding-space rung of the
     leakage ladder (d07 catches exact n-gram overlap, d19 verbatim

@@ -79,8 +79,7 @@ def t02_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(ROUND(rep_ratio, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_rep_ratio
     FROM scored
     GROUP BY lang
-    """,
-)
+    """, extra=True)
 def t03_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gate per language: stopword ratio plus the
     repeated-line-ratio boilerplate filter (operators/text.py), both
@@ -189,8 +188,7 @@ def t05_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
     FROM documents
-    """,
-)
+    """, extra=True)
 def t06_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar pandas_udf surface: Arrow-batched regex token count.
 
@@ -1106,7 +1104,7 @@ def t31_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("t30_bpe_train_batched", oracle=_bpe_oracle(2, batch_m=3), extra=True)
+@query("t30_bpe_train_batched", oracle=_bpe_oracle(2, batch_m=3))
 def t30_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batched production rung of t28: two rounds learning up to
     THREE token-disjoint merge rules per corpus scan

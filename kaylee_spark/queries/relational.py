@@ -181,8 +181,7 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN region   ON n_regionkey = r_regionkey
     WHERE r_name = 'ASIA'
     GROUP BY n_name
-    """,
-)
+    """, extra=True)
 def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join through two snowflake dims, dims broadcast.
 
@@ -213,8 +212,7 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
     )
     GROUP BY o_orderpriority
-    """,
-)
+    """, extra=True)
 def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS subquery as a LEFT SEMI join (TPC-H Q4 shape).
 
@@ -776,8 +774,7 @@ def q09_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_custkey, c_name, c_acctbal, n_name
     ORDER BY revenue DESC, c_custkey ASC
     LIMIT 20
-    """,
-)
+    """, extra=True)
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: lost revenue from returned items, top 20
     customers.
@@ -1130,7 +1127,6 @@ def q31_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY numwait DESC, s.s_name
     LIMIT 100
     """,
-    extra=True,
 )
 def q32_sole_fault_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (suppliers who kept orders waiting) — the
@@ -1296,7 +1292,6 @@ def q33_front_loaded_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderstatus
     """,
-    extra=True,
 )
 def q34_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact⋈fact join with the shuffle PRE-PAID at write time: both
@@ -1380,7 +1375,6 @@ def q34_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE d.ship_year = 1996
     GROUP BY f.ship_month
     """,
-    extra=True,
 )
 def q35_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DYNAMIC partition pruning — the optimization that makes

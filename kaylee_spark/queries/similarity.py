@@ -29,7 +29,7 @@ _EXACT_TOPK_ORACLE = """
     """
 
 
-@query("s01_cosine_topk", oracle=_EXACT_TOPK_ORACLE)
+@query("s01_cosine_topk", oracle=_EXACT_TOPK_ORACLE, extra=True)
 def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-10 for 5 query vectors.
 

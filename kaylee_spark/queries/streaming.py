@@ -109,7 +109,7 @@ def _drain_staged_documents(spark: SparkSession, sf_dir: str, build) -> DataFram
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
-@query("e07_streamed_tumbling", oracle=_TUMBLING_ORACLE)
+@query("e07_streamed_tumbling", oracle=_TUMBLING_ORACLE, extra=True)
 def e07_streamed_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE Structured-Streaming execution of e01: readStream ->
     withWatermark -> tumbling window -> availableNow drain into a
@@ -697,7 +697,6 @@ def e22_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     FALSE) AS is_anomaly
     FROM m
     """,
-    extra=True,
 )
 def e23_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly flags: each event scored against its
@@ -877,7 +876,7 @@ def e20_streamed_stateful_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents i
     WHERE doc_id % 10 = 0
       AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.seen = sha256(i.text))
-    """)
+    """, extra=True)
 def e21_streamed_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE streaming near-dup ingest — the daily 100 TB pipeline as
     one row: documents arrive as staged file deliveries (readStream),
@@ -1324,7 +1323,7 @@ def _hll_shared_oracle() -> str:
     return _hll_oracle()
 
 
-@query("e35_streamed_hll_ingest", oracle=_hll_shared_oracle(), extra=True)
+@query("e35_streamed_hll_ingest", oracle=_hll_shared_oracle())
 def e35_streamed_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HLL distinct store fed by a TRUE stream: readStream ->
     daily tumbling (event_type, register) MAX(rho) shards
@@ -1364,7 +1363,7 @@ def e35_streamed_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("e36_streamed_attribution", oracle=_attribution_oracle(), extra=True)
+@query("e36_streamed_attribution", oracle=_attribution_oracle())
 def e36_streamed_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed last-touch attribution — the NINTH true readStream
     drain and the first ORDER-SENSITIVE stateful one: per-user

@@ -29,8 +29,7 @@ from kaylee_spark.sources import load_table
                CAST(PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS DOUBLE) AS price_pct_rank
         FROM orders
     ) WHERE price_rank <= 3
-    """,
-)
+    """, extra=True)
 def w01_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking surface per partition: RANK / ROW_NUMBER / DENSE_RANK /
     NTILE / PERCENT_RANK in one driver-verified query (top-3 orders per
@@ -326,7 +325,6 @@ def w07_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN du ON du.d BETWEEN g.window_end - 6 AND g.window_end
     GROUP BY g.window_end
     """,
-    extra=True,
 )
 def w08_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day distinct active users per calendar day (the WAU
