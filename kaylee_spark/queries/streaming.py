@@ -1392,3 +1392,72 @@ def e36_streamed_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("conversions"),
         dec_sum("value").alias("revenue"),
     )
+
+
+_RATE_ROWS_PER_BATCH = 500
+_RATE_BATCHES = 10
+
+_RATE_ORACLE = f"""
+SELECT TIMESTAMP '1970-01-01 00:00:00'
+         + (CAST(v AS BIGINT) // {_RATE_ROWS_PER_BATCH}) * INTERVAL 1 HOUR AS batch_hour,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(v) AS BIGINT) AS sum_value,
+       CAST(SUM((v * v) % 97) AS BIGINT) AS chk
+FROM range(0, {_RATE_ROWS_PER_BATCH * _RATE_BATCHES}) t(v)
+GROUP BY 1
+"""
+
+
+@query("e37_streamed_rate_source", oracle=_RATE_ORACLE, extra=True)
+def e37_streamed_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TENTH true streaming drain — and the first with NO file
+    staging anywhere: Spark's built-in ``rate-micro-batch`` source
+    (streaming/rate_stream), proving the streaming layer is not
+    coupled to the staged-fixture harness and exercising the
+    continuous-trigger/stop path the file drains skip (a rate source
+    never exhausts, so availableNow/processAllAvailable cannot bound
+    it — boundedness comes from the QUERY's value-domain filter and a
+    fixed-point poll, streaming/run_until_rows).
+
+    Determinism is the source's own contract (probed empirically and
+    pinned in rate_stream's docstring): micro-batch b carries values
+    [b*R, (b+1)*R) stamped startTimestamp + b*advance, so the
+    seed→oracle mapping needs no data files at all — DuckDB replays
+    the domain with range(). The stream runs a STATEFUL complete-mode
+    aggregation keyed on the batch timestamp; batch commits are
+    atomic, so each group materializes whole and polling for the
+    known group count is race-free. All measures are integer-exact
+    (no decimal needed: sums stay far inside int64).
+
+    Ignores ``sf_dir`` by design — the domain is the generator's.
+    At 100 TB this shape is the backpressure rehearsal rig: per-trigger
+    volume is a dial, and the same checkpoint/restart guarantees the
+    file drains rely on are exercised against replayable integer
+    offsets (restart-tested in tests/test_streaming.py).
+    """
+    from kaylee_spark import streaming as ST
+
+    n_total = _RATE_ROWS_PER_BATCH * _RATE_BATCHES
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        v = F.col("value")
+        agg = (
+            ST.rate_stream(spark, _RATE_ROWS_PER_BATCH)
+            .filter(v < n_total)
+            .groupBy("timestamp")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(v).alias("sum_value"),
+                F.sum((v * v) % 97).alias("chk"),
+            )
+        )
+        drained = ST.run_until_rows(agg, _RATE_BATCHES, output_mode="complete")
+        return drained.select(
+            _ntz("timestamp").alias("batch_hour"), "n_rows", "sum_value", "chk"
+        ).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

@@ -390,6 +390,74 @@ def run_all_to_memory(
     return stream_df.sparkSession.table(name)
 
 
+def rate_stream(
+    spark,
+    rows_per_batch: int,
+    advance_ms: int = 3_600_000,
+    num_partitions: int = 4,
+    start_timestamp: int = 0,
+) -> DataFrame:
+    """Spark's built-in ``rate-micro-batch`` source — a TRUE streaming
+    source with NO file staging anywhere: micro-batch b deterministically
+    carries values [b*rows_per_batch, (b+1)*rows_per_batch) all stamped
+    ``start_timestamp + b*advance_ms`` (probed empirically; the
+    value→batch→timestamp law is what makes a seed→oracle mapping
+    possible). Offsets are replayable integers, so checkpoint restarts
+    resume mid-domain exactly-once — the property the e37 restart test
+    pins. At 100 TB the same shape is the load-generator / backpressure
+    rehearsal rig: per-trigger volume is a dial, not a file count."""
+    return (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("numPartitions", num_partitions)
+        .option("startTimestamp", start_timestamp)
+        .option("advanceMillisPerBatch", advance_ms)
+        .load()
+    )
+
+
+def run_until_rows(
+    stream_df: DataFrame,
+    target_rows: int,
+    output_mode: str = "append",
+    name: str | None = None,
+    timeout_s: float = 120.0,
+    poll_s: float = 0.2,
+) -> DataFrame:
+    """Drain an UNBOUNDED source into a memory sink until the sink
+    holds ``target_rows`` rows, then stop. processAllAvailable (and
+    availableNow) never terminate on a rate source — its latestOffset
+    advances every trigger forever — so boundedness must come from the
+    QUERY (a value-domain filter) and the drain polls the sink for the
+    filter's known fixed point. Deterministic: once every row of the
+    filtered domain has been committed, later batches contribute
+    nothing, so the drained table is the same set regardless of when
+    within a trailing batch the stop lands."""
+    import time as _time
+
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    spark = stream_df.sparkSession
+    try:
+        deadline = _time.time() + timeout_s
+        while spark.table(name).count() < target_rows:
+            if _time.time() > deadline:
+                raise TimeoutError(
+                    f"rate drain: {spark.table(name).count()}/{target_rows} "
+                    f"rows after {timeout_s}s"
+                )
+            _time.sleep(poll_s)
+    finally:
+        q.stop()
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def drift_bin_counts(events: DataFrame, edges: tuple, watermark: str = "2 hours") -> DataFrame:
     """Streamed ingestion leg of the PSI drift store: per (event_type,
     day, value-bin) counts over daily tumbling event-time windows —
