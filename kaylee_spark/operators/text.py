@@ -1157,3 +1157,163 @@ def bpe_apply(
     return df.withColumn("bpe_tokens", toks).withColumn(
         "n_bpe_tokens", F.size("bpe_tokens").cast("bigint")
     )
+
+
+#: shared Spark/DuckDB expression for the unigram-LM integer piece
+#: score: quantized-ln Laplace-smoothed probability, in micro-nats.
+#: ROUND(ln, 6) -> DECIMAL(18,6) is the proven t17 recipe (both
+#: engines agree bit-for-bit); * 1e6 clears the fraction exactly, so
+#: the final BIGINT cast is lossless on both engines.
+UNIGRAM_SCORE_SQL = (
+    "CAST(CAST(ROUND(ln(CAST(cnt + 1 AS DOUBLE) / CAST(total + v AS DOUBLE)), 6)"
+    " AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+)
+
+
+def unigram_viterbi(word: str, scores: dict, max_piece_len: int) -> list:
+    """Best unigram-LM segmentation of ``word`` under integer piece
+    scores: maximize total score, then fewer pieces, then the
+    right-to-left-longest piece-length sequence. The tie-break chain
+    is prefix-decomposable (an exchange argument: replacing a prefix
+    with a strictly better one improves the whole chain), so this DP
+    equals the enumerate-all-segmentations argmax the SQL oracle
+    computes — two different algorithms, one contract.
+    """
+    n = len(word)
+    # dp[j] = (score, -n_pieces, last_len, prev_index, piece) best at j
+    dp = [None] * (n + 1)
+    dp[0] = (0, 0, 0, -1, "")
+    for j in range(1, n + 1):
+        best = None
+        for l in range(1, min(max_piece_len, j) + 1):
+            piece = word[j - l : j]
+            s = scores.get(piece)
+            prev = dp[j - l]
+            if s is None or prev is None:
+                continue
+            cand = (prev[0] + s, prev[1] - 1, l, j - l, piece)
+            if best is None or cand[:3] > best[:3]:
+                best = cand
+        dp[j] = best
+    if dp[n] is None:  # unreachable when every char is in the vocab
+        return [word]
+    out, j = [], n
+    while j > 0:
+        _, _, _, prev_i, piece = dp[j]
+        out.append(piece)
+        j = prev_i
+    out.reverse()
+    return out
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 2,
+    seed_multi: int = 60,
+    keep_multi: int = 40,
+    max_piece_len: int = 4,
+    max_word_len: int = 10,
+) -> DataFrame:
+    """Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer training
+    — the OTHER dominant LLM tokenizer family, completing the t19/t28/
+    t30/t31 BPE lifecycle: seed a substring vocabulary, then EM with
+    the Viterbi approximation — E-step segments every word under the
+    current piece scores and accumulates frequency-weighted piece
+    counts, M-step re-scores from the counts, prune keeps the
+    ``keep_multi`` best multi-char pieces (single chars are never
+    pruned: coverage). All arithmetic is engine-portable: counts are
+    exact integers, scores are quantized-ln micro-nats
+    (UNIGRAM_SCORE_SQL, the t17 recipe), and the Viterbi tie-break
+    (max score, fewer pieces, right-to-left-longest lengths) is a
+    total order — so a SQL oracle can replay training EXACTLY, and it
+    does so by ENUMERATING all segmentations per word (recursive CTE)
+    instead of running this DP: engine and oracle agree on the
+    contract, not on the algorithm (the t28 lesson).
+
+    Scale shape (the s09/t28 iterative-loop discipline): the corpus
+    collapses ONCE into the distinct-word frequency table (one
+    shuffle; at 100 TB this is the standard compressed-corpus trick —
+    SentencePiece itself trains on unique sentences with counts).
+    Each EM round then costs ONE scan of that word table (row-local
+    Arrow-batched Viterbi with the <=(seed_multi + alphabet)-row score
+    dict broadcast in the UDF closure) plus one droplet-sized count
+    aggregate and a bounded collect of the new scores — scans per
+    round: 1, independent of rounds x vocab (the batched-BPE
+    measurement's moral, inherited by construction).
+
+    Returns the trained vocabulary: (piece, piece_len, n_uses) —
+    n_uses is the final E-step's frequency-weighted usage count
+    (0 for coverage-only chars the last Viterbi never used).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if rounds < 1:
+        raise ValueError(f"unigram_train requires rounds >= 1, got {rounds}")
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") <= max_word_len))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wf"))
+        .localCheckpoint(eager=True)  # the compressed corpus: reused every round
+    )
+    # seed: every substring of length 1..max_piece_len, frequency-weighted
+    subs = words.select(
+        F.col("wf"),
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length(w)), i ->"
+                f" transform(sequence(i, least(i + {max_piece_len} - 1, length(w))),"
+                f" j -> substring(w, i, j - i + 1))))"
+            )
+        ).alias("piece"),
+    ).groupBy("piece").agg(F.sum("wf").alias("cnt"))
+    chars = subs.filter(F.length("piece") == 1)
+    multi = (
+        subs.filter(F.length("piece") > 1)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(seed_multi)
+    )
+    vocab = chars.unionAll(multi).localCheckpoint(eager=True)
+    char_set = chars.select("piece").localCheckpoint(eager=True)
+
+    for _ in range(rounds):
+        # M-step scores from current counts (bounded model state)
+        totals = vocab.agg(
+            F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("v")
+        )
+        score_rows = vocab.crossJoin(F.broadcast(totals)).selectExpr(
+            "piece", f"{UNIGRAM_SCORE_SQL} AS s"
+        ).collect()
+        scores = {r["piece"]: int(r["s"]) for r in score_rows}
+
+        def _seg(col):
+            return col.map(lambda w: unigram_viterbi(w, scores, max_piece_len))
+
+        # no annotations: pandas_udf resolves them eagerly and the
+        # module uses lazy (string) annotations with a local pd import
+        seg = pandas_udf(_seg, "array<string>")
+
+        counts = (
+            words.select("wf", F.explode(seg("w")).alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("wf").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        new_chars = char_set.join(counts, "piece", "left").select(
+            "piece", F.coalesce("cnt", F.lit(0).cast("bigint")).alias("cnt")
+        )
+        new_multi = (
+            counts.filter(F.length("piece") > 1)
+            .orderBy(F.desc("cnt"), F.asc("piece"))
+            .limit(keep_multi)
+        )
+        vocab = new_chars.unionAll(new_multi).localCheckpoint(eager=True)
+
+    return vocab.select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        F.col("cnt").alias("n_uses"),
+    )

@@ -1233,3 +1233,107 @@ def t32_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("entropy").alias("hi_entropy"),
         )
     )
+
+
+def _t33_oracle(rounds: int = 2, seed_multi: int = 60, keep_multi: int = 40,
+                max_piece_len: int = 4, max_word_len: int = 10) -> str:
+    """Unigram-LM training replayed by ENUMERATION: where the engine
+    runs a Viterbi DP per word, the oracle expands EVERY segmentation
+    with a recursive CTE and argmaxes under the identical total order
+    (score DESC, n_pieces ASC, reversed-length string DESC — the
+    right-to-left-longest tie-break, prefix-decomposable so DP ==
+    enumeration). Same contract, different algorithm: agreement here
+    is evidence of intent, not of a shared formula (the t28 lesson).
+    """
+    from kaylee_spark.operators.text import UNIGRAM_SCORE_SQL
+
+    parts = [
+        f"""toks AS (
+        SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+        FROM documents
+    ),
+    words AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS wf FROM toks
+        WHERE regexp_matches(w, '^[a-z]+$') AND length(w) <= {max_word_len}
+        GROUP BY w
+    ),
+    sub AS (
+        SELECT substr(w.w, CAST(s.i AS INT), CAST(l.j - s.i + 1 AS INT)) AS piece,
+               SUM(w.wf) AS cnt
+        FROM words w, range(1, {max_word_len + 1}) s(i),
+             range(1, {max_word_len + max_piece_len}) l(j)
+        WHERE s.i <= length(w.w)
+          AND l.j >= s.i AND l.j <= least(s.i + {max_piece_len} - 1, length(w.w))
+        GROUP BY 1
+    ),
+    chars0 AS (SELECT piece FROM sub WHERE length(piece) = 1),
+    vocab0 AS (
+        SELECT piece, cnt FROM sub WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM sub WHERE length(piece) > 1
+            ORDER BY cnt DESC, piece ASC LIMIT {seed_multi})
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""score{r - 1} AS (
+        SELECT piece, {UNIGRAM_SCORE_SQL} AS s
+        FROM vocab{r - 1}, (SELECT SUM(cnt) AS total, COUNT(*) AS v FROM vocab{r - 1})
+    ),
+    paths{r} AS (
+        SELECT w AS w, 0 AS pos, CAST(0 AS BIGINT) AS score, 0 AS np,
+               '' AS revlen, '' AS path
+        FROM words
+        UNION ALL
+        SELECT p.w, p.pos + length(v.piece), p.score + v.s, p.np + 1,
+               CAST(length(v.piece) AS VARCHAR) || p.revlen,
+               p.path || '|' || v.piece
+        FROM paths{r} p JOIN score{r - 1} v
+          ON substr(p.w, p.pos + 1, length(v.piece)) = v.piece
+    ),
+    best{r} AS (
+        SELECT w, path FROM (
+            SELECT w, path, ROW_NUMBER() OVER (
+                PARTITION BY w ORDER BY score DESC, np ASC, revlen DESC) AS rn
+            FROM paths{r} WHERE pos = length(w)) t
+        WHERE rn = 1
+    ),
+    cnt{r} AS (
+        SELECT piece, CAST(SUM(wf) AS BIGINT) AS cnt FROM (
+            SELECT b.w, unnest(list_filter(string_split(b.path, '|'), x -> x <> '')) AS piece
+            FROM best{r} b) u
+        JOIN words USING (w) GROUP BY piece
+    ),
+    vocab{r} AS (
+        SELECT c.piece, COALESCE(n.cnt, CAST(0 AS BIGINT)) AS cnt
+        FROM chars0 c LEFT JOIN cnt{r} n USING (piece)
+        UNION ALL
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM cnt{r} WHERE length(piece) > 1
+            ORDER BY cnt DESC, piece ASC LIMIT {keep_multi})
+    )""")
+    return (
+        "WITH RECURSIVE " + ",\n    ".join(parts)
+        + f"""
+    SELECT piece, CAST(length(piece) AS INT) AS piece_len, cnt AS n_uses
+    FROM vocab{rounds}
+    """
+    )
+
+
+@query("t33_unigram_lm_train", oracle=_t33_oracle(), extra=True)
+def t33_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training over the
+    corpus — the second dominant LLM tokenizer family, completing the
+    lifecycle next to BPE's t19/t28/t30/t31: substring seed vocab, two
+    EM rounds (Viterbi E-step over the distinct-word compressed
+    corpus, quantized-ln M-step, coverage-preserving prune), exact
+    integer arithmetic end to end (operators/text.unigram_train). The
+    oracle REPLAYS TRAINING BY ENUMERATION — recursive-CTE expansion
+    of every segmentation per word, argmax under the same total order
+    the engine's DP uses — so engine-oracle agreement checks the
+    segmentation CONTRACT, not a shared formula. One word-table scan
+    per EM round; the score table is bounded model state broadcast in
+    the UDF closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.unigram_train(docs)

@@ -245,3 +245,50 @@ def test_fingerprint_is_order_sensitive_and_stable(spark):
             for r in df.repartition(7).select("doc_id", col.alias("fp")).collect()
         }
         assert fp == fp2
+
+
+# ------------------------------------------------------ unigram-LM
+
+
+def test_unigram_viterbi_is_lossless_and_prefers_fewer_pieces():
+    """Row-local DP contract, formula-free: the best segmentation must
+    re-spell the word exactly, and with all piece probabilities < 1 a
+    single covering piece always beats any split of itself (ln is
+    subadditive on products of probabilities < 1)."""
+    from kaylee_spark.operators.text import unigram_viterbi
+
+    scores = {
+        "a": -300_000, "b": -310_000, "c": -320_000, "d": -330_000,
+        "ab": -500_000, "cd": -510_000, "abcd": -700_000, "bc": -505_000,
+    }
+    for w in ("abcd", "abc", "dcba", "aabbccdd", "d"):
+        pieces = unigram_viterbi(w, scores, 4)
+        assert "".join(pieces) == w, (w, pieces)
+    assert unigram_viterbi("abcd", scores, 4) == ["abcd"]
+    # tie-break: equal score paths -> fewer pieces wins
+    tie = {"x": -100, "xx": -200, "xxx": -300}
+    assert unigram_viterbi("xxx", tie, 4) == ["xxx"]
+
+
+def test_unigram_train_planted_whole_word_vocabulary(spark):
+    """Planted ground truth reasoned from first principles (no replay
+    of either engine's arithmetic): a corpus of three distinct words
+    must train to exactly the three whole-word pieces carrying their
+    frequencies — every sub-piece is Viterbi-unused (a whole piece
+    with p<1 beats any split) and therefore pruned; the coverage
+    chars survive with zero uses. A defect in seeding, counting,
+    pruning, or the DP moves at least one of these rows."""
+    from kaylee_spark.operators.text import unigram_train
+
+    text = " ".join(["abcd"] * 10 + ["efg"] * 8 + ["ab"] * 5)
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = {
+        r["piece"]: (r["piece_len"], r["n_uses"])
+        for r in unigram_train(df).collect()
+    }
+    expected_multi = {"abcd": (4, 10), "efg": (3, 8), "ab": (2, 5)}
+    for piece, want in expected_multi.items():
+        assert got.get(piece) == want, (piece, got.get(piece))
+    for ch in "abcdefg":
+        assert got.get(ch) == (1, 0), (ch, got.get(ch))
+    assert len(got) == 7 + 3, sorted(got)

@@ -108,6 +108,9 @@ SHOWCASE = [
     ("d23_semantic_decontamination", "semantic decontamination: eval chunk keys broadcast against the streaming corpus side — bipartite probe, no corpus x corpus term"),
     ("t32_curriculum_bins", "curriculum bins: map-side entropy collapse, lang-partitioned NTILE (distributed range sort), 15-row close"),
     ("q36_top_supplier", "Q15 shape: global-max window over the |suppliers|-row AGGREGATE, never the fact table; broadcast name join"),
+    # EM rounds live BEHIND per-round localCheckpoints (the t28/g07
+    # pattern): the final plan is the trained-vocab projection
+    ("t33_unigram_lm_train", "unigram-LM train: per-EM-round Viterbi scan of the distinct-word table behind checkpoints; one scan per round, score dict broadcast in the UDF closure"),
     ("w09_weekly_rank_movers", "rank movers: two window axes (within-week rank, per-type lag) over ONE tiny weekly aggregate"),
 ]
 
@@ -192,6 +195,7 @@ MUST_CONTAIN = {
     "a37_hll_distinct_store": ("HashAggregate",),
     "d23_semantic_decontamination": ("BroadcastHashJoin", "localCheckpoint"),
     "t32_curriculum_bins": ("Window", "HashAggregate"),
+    "t33_unigram_lm_train": ("Scan ExistingRDD",),
     "q36_top_supplier": ("Window", "BroadcastHashJoin"),
     "w09_weekly_rank_movers": ("Window", "HashAggregate"),
     # the equi component on the bucket id must carry the join — a bare
