@@ -23,6 +23,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: Shared CDC fixture + oracle for the upsert family: the
+#: o_orderkey%7==0 slice of orders plays a change batch (revised
+#: status/price, every third change a delete tombstone) applied over
+#: the full snapshot. Both the batch row (d09) and its streamed
+#: foreachBatch twin (e38) verify against this SAME SQL, so the hash
+#: gate proves stream ≡ batch for the merge semantics — the e35/e36
+#: shared-oracle pattern applied to snapshot maintenance.
+CDC_UPSERT_ORACLE = """
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    upd AS (
+        SELECT o_orderkey,
+               'X' AS o_orderstatus,
+               o_totalprice + 1.0 AS o_totalprice,
+               (o_orderkey % 21 = 0) AS deleted
+        FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd WHERE NOT deleted
+    UNION ALL
+    SELECT b.* FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
+    """
+
+
+def cdc_change_batch(base: DataFrame) -> DataFrame:
+    """The change batch of CDC_UPSERT_ORACLE as a DataFrame over the
+    3-column base snapshot (o_orderkey, o_orderstatus, o_totalprice)."""
+    return (
+        base.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+        .withColumn("deleted", F.col("o_orderkey") % 21 == 0)
+    )
+
 
 def upsert_snapshot(
     base: DataFrame,

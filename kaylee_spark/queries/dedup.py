@@ -409,44 +409,29 @@ def d08_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_exact_dedup(increment, "text", "doc_id", seen)
 
 
-@query(
-    "d09_snapshot_upsert",
-    oracle="""
-    WITH base AS (
-        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
-    ),
-    upd AS (
-        SELECT o_orderkey,
-               'X' AS o_orderstatus,
-               o_totalprice + 1.0 AS o_totalprice,
-               (o_orderkey % 21 = 0) AS deleted
-        FROM orders WHERE o_orderkey % 7 = 0
-    )
-    SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd WHERE NOT deleted
-    UNION ALL
-    SELECT b.* FROM base b
-    WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
-    """,
-    extra=True,
-)
+def _cdc_upsert_oracle() -> str:
+    from kaylee_spark.operators.maintenance import CDC_UPSERT_ORACLE
+
+    return CDC_UPSERT_ORACLE
+
+
+@query("d09_snapshot_upsert", oracle=_cdc_upsert_oracle(), extra=True)
 def d09_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC-style snapshot merge: the o_orderkey%7==0 slice plays a
-    change batch (revised status/price, every third change a delete
-    tombstone) applied over the full orders snapshot. Base payload
-    never shuffles — survivors come from a broadcast key anti-join;
-    see operators/maintenance.py for the 100 TB layout notes."""
-    from kaylee_spark.operators.maintenance import upsert_snapshot
+    """CDC-style snapshot merge: the shared change fixture
+    (maintenance.cdc_change_batch — revised status/price, every third
+    change a delete tombstone) applied over the full orders snapshot
+    in ONE batch. Base payload never shuffles — survivors come from a
+    broadcast key anti-join; see operators/maintenance.py for the
+    100 TB layout notes. The oracle (CDC_UPSERT_ORACLE) is shared
+    verbatim with the streamed foreachBatch twin e38."""
+    from kaylee_spark.operators.maintenance import cdc_change_batch, upsert_snapshot
 
     base = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    updates = (
-        base.filter(F.col("o_orderkey") % 7 == 0)
-        .withColumn("o_orderstatus", F.lit("X"))
-        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
-        .withColumn("deleted", F.col("o_orderkey") % 21 == 0)
+    return upsert_snapshot(
+        base, cdc_change_batch(base), keys="o_orderkey", tombstone_col="deleted"
     )
-    return upsert_snapshot(base, updates, keys="o_orderkey", tombstone_col="deleted")
 
 
 @query(

@@ -1487,3 +1487,74 @@ def q36_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.join(F.broadcast(sup), top.supplier_no == sup.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@query(
+    "q37_zorder_box_scan",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT (MAX(l_partkey) * 4) // 10 AS p_lo, (MAX(l_partkey) * 5) // 10 AS p_hi,
+               (MAX(l_suppkey) * 4) // 10 AS s_lo, (MAX(l_suppkey) * 5) // 10 AS s_hi
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {oracle_dec_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem, bounds
+    WHERE l_partkey BETWEEN p_lo AND p_hi
+      AND l_suppkey BETWEEN s_lo AND s_hi
+    GROUP BY l_returnflag
+    """,
+    extra=True,
+)
+def q37_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data-skipping layout as a query row: lineitem
+    lands Z-ORDER clustered on (l_partkey, l_suppkey)
+    (sinks.write_zorder_parquet — equi-mass bucket ids bit-interleaved
+    into one Morton clustering key, one range shuffle, no UDF), then a
+    2-D box predicate (the middle decile band of each key's domain,
+    ~1% of rows) scans it back. Because the layout makes every file's
+    min/max footer range tight on BOTH dimensions, the pushed filters
+    (plan-asserted in tests/test_plans.py) let the parquet reader skip
+    the row groups whose ranges miss the box — measured as real
+    skipping in tests/test_sinks.py.
+
+    The oracle replays the identical predicate on the RAW parquet, so
+    the hash gate also proves the clustered write+read roundtrip is
+    lossless — layout changed, semantics didn't. Box bounds derive
+    from MAX(key) on both engines (bounded driver-side scalar on the
+    Spark side), so selectivity stays ~1% at every SF instead of
+    pinning literals to one fixture's domain.
+
+    At 100 TB this is the OPTIMIZE ZORDER story: one clustering pass
+    at ingest, then every selective dashboard predicate on EITHER key
+    reads the few files whose footer range intersects it — scan cost
+    proportional to selectivity, not table size, without any index.
+    """
+    import os
+    import tempfile
+
+    from kaylee_spark.sources.sinks import write_zorder_parquet
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    mx = li.agg(
+        F.max("l_partkey").alias("p"), F.max("l_suppkey").alias("s")
+    ).first()
+    p_lo, p_hi = mx["p"] * 4 // 10, mx["p"] * 5 // 10
+    s_lo, s_hi = mx["s"] * 4 // 10, mx["s"] * 5 // 10
+    tag = (
+        os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+        + f"_p{os.getpid()}"
+    )
+    path = os.path.join(tempfile.gettempdir(), f"kaylee_zorder_{tag}")
+    write_zorder_parquet(li, path, "l_partkey", "l_suppkey", n_files=16)
+    scan = spark.read.parquet(path).filter(
+        F.col("l_partkey").between(p_lo, p_hi)
+        & F.col("l_suppkey").between(s_lo, s_hi)
+    )
+    return scan.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )

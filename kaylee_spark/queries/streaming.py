@@ -1461,3 +1461,52 @@ def e37_streamed_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _cdc_upsert_oracle() -> str:
+    from kaylee_spark.operators.maintenance import CDC_UPSERT_ORACLE
+
+    return CDC_UPSERT_ORACLE
+
+
+@query("e38_streamed_upsert_snapshot", oracle=_cdc_upsert_oracle(), extra=True)
+def e38_streamed_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ELEVENTH streaming drain and the first with an EXTERNAL
+    batch sink: CDC change deliveries arrive as a key-sliced file
+    stream and a checkpointed foreachBatch applies each micro-batch
+    to a versioned copy-on-write parquet snapshot
+    (streaming/streamed_upsert_snapshot) — `MERGE INTO` fed by a
+    stream, the lakehouse maintenance loop.
+
+    The change fixture and the oracle are SHARED VERBATIM with the
+    one-shot batch row d09 (maintenance.CDC_UPSERT_ORACLE), so the
+    hash gate proves incremental-stream ≡ single-batch for the merge
+    semantics; hash slicing puts each key in exactly one delivery, so
+    the equality is arrival-order-free. Exactly-once comes from
+    foreachBatch idempotence — batch b rewrites version v{b+1} as a
+    pure function of (v{b}, batch b), so at-least-once replays
+    overwrite their own output (restart-tested in
+    tests/test_streaming.py).
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from kaylee_spark import streaming as ST
+    from kaylee_spark.operators.maintenance import cdc_change_batch
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    changes_dir = ST.stage_change_batches(cdc_change_batch(base), n_files=4)
+    workdir = os.path.join(
+        tempfile.gettempdir(), f"kaylee_cow_{uuid.uuid4().hex[:8]}"
+    )
+    return ST.streamed_upsert_snapshot(
+        spark,
+        base,
+        changes_dir,
+        keys="o_orderkey",
+        workdir=workdir,
+        tombstone_col="deleted",
+    )

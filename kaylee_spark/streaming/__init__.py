@@ -508,3 +508,81 @@ def hll_day_registers(events: DataFrame, watermark: str = "2 hours") -> DataFram
         .agg(F.max("rho").alias("m_day"))
         .select(F.col("w.start").alias("window_start"), "grp", "idx", "m_day")
     )
+
+
+def stage_change_batches(changes: DataFrame, n_files: int = 4) -> str:
+    """Materialize a CDC change batch as ``n_files`` key-hash-sliced
+    parquet files — the shape a change FEED delivers to a streaming
+    file source. Hash slicing (repartition on the keys) puts each key
+    in exactly one delivery, so per-key upserts across micro-batches
+    commute and the final snapshot is delivery-order-insensitive (no
+    mtime stamping needed, unlike the order-sensitive event staging).
+
+    A fresh uuid directory per call: change feeds are transient by
+    nature and tiny relative to the snapshot (the normal CDC regime),
+    so there is nothing to cache across drains.
+    """
+    out = os.path.join(tempfile.gettempdir(), f"kaylee_changes_{uuid.uuid4().hex[:8]}")
+    changes.repartition(n_files, changes.columns[0]).write.mode("overwrite").parquet(out)
+    return out
+
+
+def streamed_upsert_snapshot(
+    spark: SparkSession,
+    base: DataFrame,
+    changes_dir: str,
+    keys: list[str] | str,
+    workdir: str,
+    tombstone_col: str | None = None,
+    files_per_trigger: int = 1,
+) -> DataFrame:
+    """Copy-on-write snapshot maintained by a foreachBatch upsert —
+    the streaming twin of operators/maintenance.upsert_snapshot and
+    the lakehouse `MERGE INTO`-from-a-stream shape.
+
+    Version chain: ``v0`` = base; micro-batch ``b`` reads ``v{b}``,
+    applies the batch's changes with the batch upsert operator, and
+    writes ``v{b+1}`` with mode=overwrite. foreachBatch is
+    at-least-once (a crash after the write but before the checkpoint
+    commit replays the SAME batch_id with the SAME data), and the
+    rewrite is a pure function of (v{b}, batch b), so a replay
+    overwrites its own output — idempotent, hence end-to-end
+    exactly-once (restart-tested in tests/test_streaming.py).
+
+    At 100 TB the full-snapshot rewrite per batch becomes a
+    partition-scoped one: the base lands partitioned/bucketed
+    (sinks.write_parquet/write_bucketed_table), each micro-batch
+    touches only the partitions its keys hash to (dynamic partition
+    overwrite), and the upsert's anti-join keeps base payload columns
+    out of every shuffle. The version pointer swap is the atomic
+    commit — exactly how copy-on-write lakehouse tables execute
+    streaming MERGE.
+
+    Returns the FINAL snapshot as a batch DataFrame (the highest
+    committed version).
+    """
+    from kaylee_spark.operators.maintenance import upsert_snapshot
+
+    base.write.mode("overwrite").parquet(os.path.join(workdir, "v0"))
+    schema = spark.read.parquet(changes_dir).schema
+
+    def apply_batch(batch_df, batch_id: int):
+        prev = spark.read.parquet(os.path.join(workdir, f"v{batch_id}"))
+        nxt = upsert_snapshot(prev, batch_df, keys=keys, tombstone_col=tombstone_col)
+        nxt.write.mode("overwrite").parquet(os.path.join(workdir, f"v{batch_id + 1}"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(changes_dir)
+    )
+    q = stream_foreach_batch(
+        stream, apply_batch, checkpoint=os.path.join(workdir, "ckpt")
+    )
+    q.awaitTermination()
+    versions = [
+        int(d[1:])
+        for d in os.listdir(workdir)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    return spark.read.parquet(os.path.join(workdir, f"v{max(versions)}"))

@@ -231,3 +231,12 @@ def test_q34_bucketed_join_plans_without_exchange(spark, sf_dir, registry):
     smj_line = next(i for i, l in enumerate(tree.splitlines()) if "SortMergeJoin" in l)
     below = "\n".join(tree.splitlines()[smj_line:])
     assert "Exchange" not in below, below
+
+
+def test_q37_box_filters_pushed_to_zorder_scan(spark, sf_dir, registry):
+    """q37's 2-D box predicate must reach the parquet scan of the
+    Z-ordered layout as pushed min/max-skippable filters on BOTH
+    dimensions — without pushdown the clustering buys nothing."""
+    p = plan_of(registry["q37_zorder_box_scan"].fn(spark, sf_dir))
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(l_partkey", p), p
+    assert re.search(r"PushedFilters: \[.*LessThanOrEqual\(l_suppkey", p), p

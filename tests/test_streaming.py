@@ -504,3 +504,63 @@ def test_rate_source_drain_survives_checkpoint_restart(spark, tmp_path):
     assert all(
         int(r["timestamp"].timestamp()) == (r["value"] // R) * 3600 for r in rows
     )
+
+
+def test_streamed_upsert_snapshot_restart_exactly_once(spark, tmp_path):
+    """e38's copy-on-write chain must survive a checkpoint restart:
+    change deliveries applied before the shutdown stay applied, ones
+    delivered after land on top, and a drain with nothing new changes
+    nothing — the final snapshot equals the ONE-SHOT batch upsert of
+    all changes (incremental ≡ batch), exactly once."""
+    import os
+
+    from kaylee_spark import streaming as ST
+    from kaylee_spark.operators.maintenance import cdc_change_batch, upsert_snapshot
+
+    base = spark.createDataFrame(
+        [(k, "O", float(k) + 0.25) for k in range(200)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    changes = cdc_change_batch(base)
+    changes_dir = str(tmp_path / "changes")
+    workdir = str(tmp_path / "cow")
+    os.makedirs(changes_dir, exist_ok=True)
+
+    def deliver(pred):
+        changes.filter(pred).coalesce(1).write.mode("append").parquet(changes_dir)
+
+    def drain():
+        return ST.streamed_upsert_snapshot(
+            spark, base, changes_dir, keys="o_orderkey",
+            workdir=workdir, tombstone_col="deleted",
+        )
+
+    def snap_set(df):
+        return {(r["o_orderkey"], r["o_orderstatus"], r["o_totalprice"])
+                for r in df.collect()}
+
+    from pyspark.sql import functions as F
+
+    deliver(F.col("o_orderkey") < 100)
+    mid = drain()
+    want_mid = upsert_snapshot(
+        base, changes.filter(F.col("o_orderkey") < 100),
+        keys="o_orderkey", tombstone_col="deleted",
+    )
+    assert snap_set(mid) == snap_set(want_mid)
+
+    deliver(F.col("o_orderkey") >= 100)  # post-restart deliveries
+    final = drain()
+    want_final = upsert_snapshot(
+        base, changes, keys="o_orderkey", tombstone_col="deleted"
+    )
+    assert snap_set(final) == snap_set(want_final)
+    # deleted keys are gone entirely; surviving updated keys carry the
+    # new payload (not a duplicate of the base row)
+    final_keys = {k for (k, _, _) in snap_set(final)}
+    assert not any(k % 21 == 0 for k in final_keys if k % 7 == 0)
+    assert (7, "X", 8.25) in snap_set(final)
+    assert (7, "O", 7.25) not in snap_set(final)
+
+    again = drain()  # restart with nothing new: a pure no-op
+    assert snap_set(again) == snap_set(want_final)
