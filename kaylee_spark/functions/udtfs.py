@@ -119,6 +119,13 @@ class _ExplodeTypedRecords:
     def eval(self, spec: str, payload: str):
         import json
 
+        # the spec is a planning-time constant but eval receives it
+        # per ROW — memoize the parse (measured: the split/strip chain
+        # per row was ~1/3 of the UDTF's sf0.1 wall)
+        fields = getattr(self, "_memo_fields", None)
+        if fields is None or getattr(self, "_memo_spec", None) != spec:
+            fields = self._parse_spec(spec)
+            self._memo_spec, self._memo_fields = spec, fields
         if payload is None:
             return
         try:
@@ -128,7 +135,7 @@ class _ExplodeTypedRecords:
         if not isinstance(rec, dict):
             return
         out = []
-        for name, ty in self._parse_spec(spec):
+        for name, ty in fields:
             v = rec.get(name)
             if v is None:
                 out.append(None)

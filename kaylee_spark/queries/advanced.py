@@ -527,11 +527,20 @@ def a34_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is fixed-schema). The requested ``tag`` key is absent from the
     fixture's props, proving the typed-NULL path end-to-end
     (n_tagged = 0 in every bucket — counted, not assumed). The oracle
-    replays the extraction with json_extract on the same constants."""
+    replays the extraction with json_extract on the same constants.
+
+    The input is repartitioned to the session's parallelism before the
+    lateral: a Python-bound stage must be sized by CORES, not by scan
+    splits — the fixture arrives as one file (2 splits), which left 30
+    of 32 cores idle through the UDTF (measured 13.0 s -> 2.1 s at
+    sf0.1). At 100 TB the scan has more splits than cores and the
+    exchange folds into the shuffle budget the pre-agg pays anyway."""
     from kaylee_spark.functions.udtfs import register_udtfs
 
     register_udtfs(spark)
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("a34_events")
+    load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView("a34_events")
     return spark.sql(
         "SELECT t.k % 10 AS k_bucket, COUNT(*) AS n_events, "
         "MIN(t.k) AS min_k, MAX(t.k) AS max_k, COUNT(t.tag) AS n_tagged "

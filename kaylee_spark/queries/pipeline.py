@@ -170,3 +170,60 @@ def p02_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tokens_kept") - budget_col.cast("bigint"), F.lit(0).cast("bigint")
         ).alias("overshoot"),
     )
+
+
+_P03_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
+           CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN n_chars >= 200 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+           CAST(COUNT(DISTINCT CASE WHEN n_chars >= 200 THEN sha256(text) END) AS BIGINT) AS n_unique
+    FROM documents
+    """
+
+
+@query("p03_observed_funnel", oracle=_P03_ORACLE, extra=True)
+def p03_observed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass pipeline observability: the curation funnel's
+    per-stage counters collected with ``DataFrame.observe`` — metrics
+    piggyback on the ONE job that computes the pipeline's real result
+    instead of re-scanning per stage (at 100 TB a three-stage funnel
+    audited by separate counts costs three extra full scans; observe
+    costs zero). Stage counters (input size; quality survivors + their
+    character mass) ride as Observation rows through the SAME action
+    that computes the final exact-dedup cardinality; the returned
+    one-row frame is assembled from the observed values — bounded
+    driver state, like every model/planner scalar in the registry.
+
+    All four measures are integer-exact (counts and an int character
+    sum), so the hash gate verifies the observe() path bit-for-bit
+    against DuckDB's filtered aggregates — proving the piggybacked
+    counters equal the recompute-from-scratch semantics.
+    """
+    from pyspark.sql import Observation
+
+    from kaylee_spark.operators.dedup import content_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs_in = Observation()
+    obs_q = Observation()
+    staged = docs.observe(obs_in, F.count(F.lit(1)).alias("n_input")).filter(
+        F.col("n_chars") >= 200
+    ).observe(
+        obs_q,
+        F.count(F.lit(1)).alias("n_quality"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+    n_unique = staged.agg(
+        F.count_distinct(content_hash("text")).alias("n_unique")
+    ).first()["n_unique"]
+    return spark.createDataFrame(
+        [
+            (
+                obs_in.get["n_input"],
+                obs_q.get["n_quality"],
+                int(obs_q.get["chars_kept"]),
+                n_unique,
+            )
+        ],
+        "n_input long, n_quality long, chars_kept long, n_unique long",
+    )

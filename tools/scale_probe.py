@@ -226,6 +226,22 @@ PROBE_QUERIES = (
     "a38_interval_overlap_join",
     "q33_front_loaded_supply",
     "q34_bucketed_colocated_join",
+    # round-12 additions. q37: lineitem keys are duplicated (not
+    # offset) so MAX-derived box bounds are x10-INVARIANT while the
+    # box matches 10x the rows — the Z-clustered write re-pays its
+    # range shuffle over 6M rows and the footer-stats roundtrip must
+    # reconcile to the raw-parquet oracle; e38: the orders key offset
+    # gives 10x REAL change keys (each (k+i*1e8)%7==0 slice is new
+    # arithmetic), so the streamed copy-on-write chain merges ~857k
+    # changes across its micro-batches and must still equal the
+    # one-shot batch upsert oracle.
+    "q37_zorder_box_scan",
+    "e38_streamed_upsert_snapshot",
+    # p03: offset doc_ids make the x10 corpus 10x REAL documents, so
+    # every observed counter (input, quality survivors, char mass,
+    # distinct hashes) scales for real — the observe() path must agree
+    # with DuckDB's filtered aggregates at 50k docs
+    "p03_observed_funnel",
 )
 
 
