@@ -112,6 +112,7 @@ SHOWCASE = [
     # pattern): the final plan is the trained-vocab projection
     ("t33_unigram_lm_train", "unigram-LM train: per-EM-round Viterbi scan of the distinct-word table behind checkpoints; one scan per round, score dict broadcast in the UDF closure"),
     ("w09_weekly_rank_movers", "rank movers: two window axes (within-week rank, per-type lag) over ONE tiny weekly aggregate"),
+    ("q37_zorder_box_scan", "Z-order box scan: both box predicates pushed to the clustered layout's parquet footer stats — scan cost tracks selectivity, not table size"),
 ]
 
 
@@ -198,6 +199,7 @@ MUST_CONTAIN = {
     "t33_unigram_lm_train": ("Scan ExistingRDD",),
     "q36_top_supplier": ("Window", "BroadcastHashJoin"),
     "w09_weekly_rank_movers": ("Window", "HashAggregate"),
+    "q37_zorder_box_scan": ("PushedFilters", "GreaterThanOrEqual(l_partkey"),
     # the equi component on the bucket id must carry the join — a bare
     # inequality would plan BNLJ/cartesian on two fact sides. At
     # fixture scale the tiny incidents side makes it a BroadcastHASH
