@@ -227,3 +227,56 @@ def m06_pushdown_datafn_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame
         spark.conf.set(conf_key, prev)
     words = df.select(F.explode(F.split("line", " ")).alias("word"))
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query("m07_streamed_results_sink", oracle=_m04_oracle(), extra=True)
+def m07_streamed_results_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The datafn loop CLOSED end-to-end in Python DataSource code on
+    BOTH ends: the streaming datafn source feeds a stateless word
+    projection into the kaylee_results STREAMING sink
+    (sources/pydatasource.py JsonlResultsStreamWriter — per-micro-batch
+    task-commit manifests, the streaming twin of the batch writer's
+    protocol), then the committed parts are read back through the
+    manifests and aggregated. Exactly-once composes from the two
+    halves the repo already proves separately: replayable integer
+    offsets on the source, manifest replacement on the sink (a
+    replayed batch names only its fresh parts, so the earlier
+    attempt's files are orphans no reader sees — restart-tested in
+    tests/test_mapreduce.py). The oracle is m04/m05's VERBATIM, so the
+    hash gate proves source -> streamed sink -> manifest read-back
+    loses and duplicates nothing. This is SURVEY §2.1 #6 (results
+    sink) + #8 (straggler/dup guard) demonstrated at the Python API
+    level on the STREAMING path."""
+    import os
+    import tempfile
+    import uuid
+
+    from kaylee_spark.sources.pydatasource import read_stream_results, register
+
+    register(spark)
+    base = os.path.join(tempfile.gettempdir(), f"kaylee_m07_{uuid.uuid4().hex[:8]}")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    stream = (
+        spark.readStream.format("kaylee_datafn")
+        # two batches: the multi-manifest union is the property under
+        # test, and each micro-batch pays a Python worker launch on
+        # BOTH ends (source read + sink write) — the restart test
+        # exercises finer batching
+        .option("rows_per_batch", 4000)
+        .option("max_rows", 8000)
+        .load()
+    )
+    words = stream.select(F.explode(F.split("line", " ")).alias("word"))
+    q = (
+        words.writeStream.format("kaylee_results")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination()
+    read_back = read_stream_results(spark, out, "word string")
+    return read_back.groupBy("word").agg(F.count(F.lit(1)).alias("n"))

@@ -26,6 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     InputPartition,
@@ -251,8 +252,61 @@ class JsonlResultsWriter(DataSourceWriter):
         pass
 
 
+class JsonlResultsStreamWriter(DataSourceStreamWriter):
+    """STREAMING leg of the results sink — the same task-commit
+    manifest protocol per MICRO-BATCH: each task writes a
+    uniquely-named part and returns it in its commit message; the
+    driver's ``commit(messages, batchId)`` writes
+    ``_MANIFEST-{batchId}.json`` naming exactly that batch's committed
+    parts. Exactly-once under Spark's at-least-once replay falls out
+    of manifest REPLACEMENT: a replayed batch writes fresh
+    uniquely-named parts and rewrites its own manifest to name only
+    them, so the earlier attempt's files become orphans no reader
+    sees — idempotence by pointer swap, not by file overwrite, the
+    same commit shape the batch writer and streaming file sinks use.
+    ``read_stream_results`` reads the union of batch manifests.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kaylee_results stream writer requires option 'path'")
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator):
+        import json
+        import uuid
+
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartCommit(name=name, count=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+
+        manifest = {
+            "batch_id": int(batchId),
+            "parts": sorted(m.name for m in messages if m is not None),
+            "total_rows": int(sum(m.count for m in messages if m is not None)),
+        }
+        with open(os.path.join(self.path, f"_MANIFEST-{batchId}.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages, batchId: int) -> None:
+        # same janitor-vs-correctness split as the batch writer: the
+        # unwritten (or soon-replaced) batch manifest keeps every
+        # aborted part invisible
+        pass
+
+
 class JsonlResultsSource(DataSource):
-    """``df.write.format("kaylee_results").option("path", p).save()``"""
+    """``df.write.format("kaylee_results").option("path", p).save()``
+    (batch) and ``df.writeStream.format("kaylee_results")...`` (the
+    per-micro-batch manifest twin)."""
 
     @classmethod
     def name(cls):
@@ -260,6 +314,9 @@ class JsonlResultsSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return JsonlResultsWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return JsonlResultsStreamWriter(self.options)
 
 
 def read_results(spark, path: str, schema: str):
@@ -277,6 +334,29 @@ def read_results(spark, path: str, schema: str):
     with open(manifest_path) as f:
         manifest = json.load(f)
     parts = [os.path.join(path, name) for name in manifest["parts"]]
+    if not parts:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(parts)
+
+
+def read_stream_results(spark, path: str, schema: str):
+    """Read back ONLY the committed parts of a STREAMED kaylee_results
+    sink: the union of every ``_MANIFEST-{batchId}.json``'s parts.
+    Each batch's manifest is the last write for that batchId, so a
+    replayed batch's earlier attempt (orphan parts it no longer names)
+    is invisible — the reader sees each input row exactly once."""
+    import glob
+    import json
+
+    manifests = sorted(glob.glob(os.path.join(path, "_MANIFEST-*.json")))
+    if not manifests:
+        raise FileNotFoundError(
+            f"no _MANIFEST-*.json under {path}: no stream batch ever committed"
+        )
+    parts: list[str] = []
+    for mp in manifests:
+        with open(mp) as f:
+            parts.extend(os.path.join(path, name) for name in json.load(f)["parts"])
     if not parts:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(parts)

@@ -343,3 +343,78 @@ def test_results_sink_overwrite_replaces_generation(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == [("y", 2), ("z", 3)]
     with pytest.raises(FileNotFoundError, match="never committed"):
         read_results(spark, str(tmp_path / "nowhere"), "k string, v bigint")
+
+
+def test_stream_results_sink_manifest_replacement_exactly_once(spark, tmp_path):
+    """The STREAMING writer's exactly-once mechanism is manifest
+    REPLACEMENT: a replayed micro-batch writes fresh uniquely-named
+    parts and rewrites its own _MANIFEST-{batchId}.json to name only
+    them, so the first attempt's files become invisible orphans.
+    Exercised at the protocol level: two write attempts for the same
+    batch, commit names only the second — the reader must see exactly
+    the second attempt's rows, once."""
+    from pyspark.sql import Row
+
+    from kaylee_spark.sources.pydatasource import (
+        JsonlResultsStreamWriter,
+        read_stream_results,
+    )
+
+    out = str(tmp_path / "out")
+    w = JsonlResultsStreamWriter({"path": out})
+    first = w.write(iter([Row(word="stale"), Row(word="stale")]))
+    replay = w.write(iter([Row(word="alpha"), Row(word="bravo")]))
+    assert first.name != replay.name  # fresh parts per attempt
+    w.commit([replay], batchId=0)  # the replay is what commits
+    w.commit([w.write(iter([Row(word="charlie")]))], batchId=1)
+
+    back = read_stream_results(spark, out, "word string")
+    got = sorted(r["word"] for r in back.collect())
+    assert got == ["alpha", "bravo", "charlie"]  # no 'stale' anywhere
+    # the orphan file exists on disk but no manifest points to it
+    import os
+
+    assert os.path.exists(os.path.join(out, first.name))
+
+
+def test_stream_results_sink_restart_commits_nothing_new(spark, tmp_path):
+    """End-to-end restart leg: drain the bounded datafn stream into the
+    streaming results sink, restart the same (source, checkpoint, sink)
+    triple — the second run must add no manifests and no rows."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kaylee_spark.sources.pydatasource import read_stream_results, register
+
+    register(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.format("kaylee_datafn")
+            .option("rows_per_batch", 500)
+            .option("max_rows", 2000)
+            .load()
+        )
+        words = stream.select(F.explode(F.split("line", " ")).alias("word"))
+        q = (
+            words.writeStream.format("kaylee_results")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        q.awaitTermination()
+
+    drain()
+    n_manifests = len(glob.glob(os.path.join(out, "_MANIFEST-*.json")))
+    n_rows = read_stream_results(spark, out, "word string").count()
+    assert n_rows > 0 and n_manifests > 1  # real multi-batch run
+    drain()  # restart: offsets exhausted, nothing recommits
+    assert len(glob.glob(os.path.join(out, "_MANIFEST-*.json"))) == n_manifests
+    assert read_stream_results(spark, out, "word string").count() == n_rows
