@@ -1521,3 +1521,85 @@ def e38_streamed_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         workdir=workdir,
         tombstone_col="deleted",
     )
+
+
+_E39_ORACLE = """
+    SELECT p.user_id,
+           p.event_id AS purchase_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND c.ts > p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase'
+    """
+
+
+@query("e39_streamed_outer_join", oracle=_E39_ORACLE, extra=True)
+def e39_streamed_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the streaming
+    semantics inner joins don't exercise: an unmatched purchase can
+    only be DECLARED unmatched once the watermark has passed its whole
+    30-minute match window, so outer rows trail the watermark and live
+    in state until then. The drain therefore reads the flush-sentinel
+    staging (streaming/stage_events_with_flush): far-future sentinel
+    PAIRS (one per side's event type — Catalyst pushes each side's
+    type filter below the watermark node, so only rows a side selects
+    can advance its watermark; probed) in TWO separate trailing
+    batches — watermarks take effect one batch late and no bounded
+    drain waits for a no-data finalization batch (probed: with one
+    flush batch the last unmatched purchases stayed in state). The
+    second flush batch runs under the first's raised watermark and
+    emits the complete unmatched tail, making the streamed result
+    EXACTLY the batch LEFT JOIN, which is the oracle (NULL click
+    columns for unmatched purchases included in the hash; the
+    user_id -1 sentinels are dropped from the result).
+
+    State stays bounded on an infinite stream by the same
+    watermark+interval horizon as the inner join (e09); at 100 TB the
+    sentinel's role is played by ordinary arrivals — outer results
+    are simply ready one watermark-delay later than inner ones, which
+    is the latency/completeness trade the operator exists to make
+    explicit."""
+    from kaylee_spark import streaming as ST
+
+    staged = ST.stage_events_with_flush(spark, sf_dir)
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # 6 sequential micro-batches x join-state tasks: size the state
+    # shuffle by key cardinality (a few hundred users), not the batch
+    # default — see _drain_staged_stream's sizing note
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # one file per trigger: the two sentinels MUST land in separate
+        # batches for the tail flush (see stage_events_with_flush).
+        # Watermark BEFORE the side filters — a watermark operator only
+        # sees rows that reach it, and the sentinels match no side
+        # filter by design (the watermark-first, route-after shape).
+        ev = ST.events_stream(spark, staged, files_per_trigger=1).withWatermark(
+            "ts", "2 hours"
+        )
+        joined = ST.stream_stream_join(
+            ev.filter(F.col("event_type") == "purchase"),
+            ev.filter(F.col("event_type") == "click"),
+            watermark=None,
+            how="leftOuter",
+        )
+        drained = ST.run_to_memory(joined, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        drained.filter(F.col("user_id") >= 0)  # drop the flush sentinels
+        .select(
+            "user_id",
+            F.col("l_event_id").alias("purchase_id"),
+            _ntz("l_ts").alias("purchase_ts"),
+            F.col("r_event_id").alias("click_id"),
+            _ntz("r_ts").alias("click_ts"),
+        )
+        .localCheckpoint()
+    )

@@ -154,9 +154,10 @@ def stream_stream_join(
     right: DataFrame,
     on: str = "user_id",
     within: str = "30 minutes",
-    watermark: str = "2 hours",
+    watermark: str | None = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: each left event matched to
+    """Watermarked stream-stream join: each left event matched to
     right events of the same key whose timestamp falls in
     (left.ts - within, left.ts].
 
@@ -167,14 +168,33 @@ def stream_stream_join(
     pair of infinite streams in finite memory at scale. Without the
     time bound Spark would have to buffer one side forever.
 
-    Output: (on, left event_id/ts, matched right event_id/ts).
+    ``how="leftOuter"`` adds the outer semantics streams make hard:
+    an unmatched left row can only be DECLARED unmatched once the
+    watermark has passed its entire match window — so outer results
+    trail the watermark, and a bounded drain must push the watermark
+    past the data's end to flush the tail (see
+    stage_events_with_flush's sentinel).
+
+    ``watermark=None`` means the inputs arrive ALREADY watermarked —
+    the production shape when one ingest point assigns the watermark
+    and downstream routing filters branch from it. This also matters
+    mechanically: a watermark operator only sees rows that REACH it,
+    so a flush sentinel filtered out upstream of a per-side
+    withWatermark would never advance anything (probed; the e39
+    lesson) — watermark first, filter after.
+
+    Output: (on, left event_id/ts, matched right event_id/ts —
+    NULLs for unmatched lefts under leftOuter).
     """
-    lw = left.withWatermark("ts", watermark).select(
+    if watermark is not None:
+        left = left.withWatermark("ts", watermark)
+        right = right.withWatermark("ts", watermark)
+    lw = left.select(
         F.col(on).alias("k"),
         F.col("event_id").alias("l_event_id"),
         F.col("ts").alias("l_ts"),
     )
-    rw = right.withWatermark("ts", watermark).select(
+    rw = right.select(
         F.col(on).alias("rk"),
         F.col("event_id").alias("r_event_id"),
         F.col("ts").alias("r_ts"),
@@ -184,9 +204,74 @@ def stream_stream_join(
         & (F.col("r_ts") <= F.col("l_ts"))
         & (F.col("r_ts") > F.col("l_ts") - F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, cond).select(
+    return lw.join(rw, cond, how).select(
         F.col("k").alias(on), "l_event_id", "l_ts", "r_event_id", "r_ts"
     )
+
+
+def stage_events_with_flush(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """The staged events directory PLUS trailing flush-sentinel files:
+    events 10/20 days past the fixture's max ts (user_id -1,
+    event_type 'sentinel' — excluded by any real filter, so the
+    consumer must watermark BEFORE filtering for them to count). Their
+    arrival advances the watermark beyond every real row's match
+    window, so stateful operators whose results TRAIL the watermark
+    (outer stream-stream joins, late-window finalization) flush their
+    complete tail before a bounded drain ends. This is the standard
+    bounded-drain answer for watermark-trailing semantics; on an
+    unbounded production stream the next real arrivals play this role.
+
+    TWO sentinel files, delivered in separate trailing micro-batches
+    (consume with files_per_trigger=1): watermarks take effect one
+    batch late — batch N+1 runs with the watermark computed from what
+    batch N saw — so the FIRST sentinel's raise only governs the
+    batch after it, and neither availableNow nor processAllAvailable
+    waits for a no-data finalization batch (probed: the outer tail
+    stayed in state with one sentinel). The second sentinel's batch
+    executes under the first's raised watermark and flushes the tail.
+
+    Cached per (fixture, mtime, n_files) like stage_events_dir; the
+    sentinel files are stamped with the latest mtimes so the file
+    source delivers them LAST, in order.
+    """
+    src = os.path.join(sf_dir, "events.parquet")
+    key = ("flush", os.path.realpath(src), os.path.getmtime(src), n_files)
+    cached = _STAGE_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    import shutil
+
+    staged = stage_events_dir(spark, sf_dir, n_files)
+    out = os.path.join(tempfile.gettempdir(), f"kaylee_evflush_{uuid.uuid4().hex[:8]}")
+    shutil.copytree(staged, out)
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    for days in (10, 20):
+        # one sentinel row PER CONSUMER-SIDE TYPE, not a synthetic
+        # 'sentinel' type: Catalyst pushes a consumer's event_type
+        # filter below the watermark operator into the scan, so a row
+        # of a type no side selects never reaches ANY watermark node
+        # (probed — the tail stayed in state). user_id -1 marks them
+        # for exclusion from final results; under a leftOuter join the
+        # click sentinel matches only its paired purchase sentinel.
+        sentinel = spark.createDataFrame(
+            [
+                (-1, max_ts, -1, "purchase", 0.0, "{}"),
+                (-2, max_ts, -1, "click", 0.0, "{}"),
+            ],
+            EVENTS_SCHEMA,
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS"))
+        sentinel.coalesce(1).write.mode("append").parquet(out)
+        # stamp in write order so far: slices keep their relative
+        # order, sentinel 1 after them, sentinel 2 strictly last
+        names = sorted(
+            (n for n in os.listdir(out) if n.startswith("part-")),
+            key=lambda n: os.path.getmtime(os.path.join(out, n)),
+        )
+        base_t = __import__("time").time() - 3600
+        for i, n in enumerate(names):
+            os.utime(os.path.join(out, n), (base_t + i, base_t + i))
+    _STAGE_CACHE[key] = out
+    return out
 
 
 def stream_dedup(events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours") -> DataFrame:
