@@ -1337,3 +1337,50 @@ def t33_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the UDF closure."""
     docs = load_table(spark, sf_dir, "documents")
     return T.unigram_train(docs)
+
+
+def _bpe_eval_oracle(rounds: int = 5) -> str:
+    """t34's oracle: t31's full per-document apply chain as a derived
+    table, closed with the per-language fertility aggregate."""
+    per_doc = _bpe_apply_oracle(rounds)
+    return f"""
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_raw_tokens) AS BIGINT) AS raw_tokens,
+           CAST(SUM(p.n_bpe_tokens) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM ({per_doc}) p JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """
+
+
+@query("t34_tokenizer_eval", oracle=_bpe_eval_oracle(5), extra=True)
+def t34_tokenizer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer EVALUATION — the lifecycle's third rung after training
+    (t28/t30/t33) and inference (t31): per-language fertility/
+    compression accounting for a learned merge table. Emits, per
+    language, document count, raw whitespace-token volume, post-merge
+    BPE token volume, and character volume — the integer ingredients
+    of the two standard tokenizer-quality metrics (fertility =
+    bpe_tokens/raw_tokens per language, compression = chars/bpe_token;
+    LLM teams watch these per language because a tokenizer trained on
+    a skewed mix quietly taxes the minority languages with more tokens
+    per word). All columns are exact integers, so the hash gate checks
+    train -> apply -> corpus-level accounting end to end.
+
+    Scale shape: training is t28's loop (one pair-count scan per
+    round); apply is the zero-exchange chained-replace projection; the
+    eval itself is ONE map-side-combined groupBy over |langs| keys —
+    the whole rung adds a single tiny aggregate to what t31 already
+    pays."""
+    from kaylee_spark.operators.text import bpe_apply, bpe_train, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", rounds=5)
+    out = bpe_apply(docs, merges, "text")
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("raw_tokens"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("bpe_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -1603,3 +1603,53 @@ def e39_streamed_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+
+
+_E40_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+           CAST(SUM(user_id) AS BIGINT) AS sum_user
+    FROM events
+    """
+
+
+@query("e40_streamed_observed_metrics", oracle=_E40_ORACLE, extra=True)
+def e40_streamed_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING observability — p03's twin on the readStream path:
+    ``DataFrame.observe`` metrics ride each micro-batch and surface in
+    StreamingQueryProgress.observedMetrics, so a pipeline's health
+    counters (rows ingested, per-type counts, checksums) cost ZERO
+    extra scans and no second query — the monitoring story a 100 TB
+    ingest needs (per-batch metrics feed alerting; the alternative, a
+    parallel counting query, doubles the read). The drain sums the
+    per-batch observed rows driver-side (one tiny dict per batch) and
+    the hash gate verifies the piggybacked totals equal DuckDB's
+    recompute over the same fixture — proving no batch was missed,
+    double-counted, or partially observed. All measures integer-exact.
+    """
+    from kaylee_spark import streaming as ST
+
+    staged = ST.stage_events_dir(spark, sf_dir)
+    ev = ST.events_stream(spark, staged, files_per_trigger=2)
+    observed = ev.observe(
+        "m",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_clicks"),
+        F.sum("user_id").alias("sum_user"),
+    )
+    q = (
+        observed.writeStream.format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    tot = {"n_rows": 0, "n_clicks": 0, "sum_user": 0}
+    for p in q.recentProgress:
+        m = p["observedMetrics"].get("m") if p["observedMetrics"] else None
+        if m is not None:
+            for k in tot:
+                tot[k] += int(m[k] or 0)
+    return spark.createDataFrame(
+        [(tot["n_rows"], tot["n_clicks"], tot["sum_user"])],
+        "n_rows long, n_clicks long, sum_user long",
+    )
