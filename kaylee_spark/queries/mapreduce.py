@@ -267,12 +267,29 @@ def m07_streamed_results_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     words = stream.select(F.explode(F.split("line", " ")).alias("word"))
-    q = (
-        words.writeStream.format("kaylee_results")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .start()
+
+    def start():
+        return (
+            words.writeStream.format("kaylee_results")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # Pin this thread's ACTIVE session to ours before the sink lookup:
+    # JVM getActiveSession is a ThreadLocal, each streaming query runs
+    # on a session CLONE (conf isolation) whose dataSourceManager was
+    # copied at clone time, and a long sweep can leave such a stale
+    # clone active on the py4j thread — the streaming-sink lookup then
+    # consults the clone's manager and misses registrations made on
+    # the real session (reproduced at 150+ prior queries:
+    # DATA_SOURCE_NOT_FOUND for kaylee_results with register() one
+    # line above; re-registering did NOT help, which is what points at
+    # the thread-local, not the manager).
+    spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+        spark._jsparkSession
     )
+    q = start()
     try:
         q.processAllAvailable()
     finally:
