@@ -564,3 +564,35 @@ def test_streamed_upsert_snapshot_restart_exactly_once(spark, tmp_path):
 
     again = drain()  # restart with nothing new: a pure no-op
     assert snap_set(again) == snap_set(want_final)
+
+
+def test_flush_staging_contract(spark):
+    """stage_events_with_flush must deliver: the real slices first (in
+    time order), then two sentinel files in separate mtime positions,
+    each carrying one row per consumer-side type — the preconditions
+    e39's tail flush is built on."""
+    import os
+
+    from kaylee_spark import streaming as ST
+
+    staged = ST.stage_events_with_flush(spark, "/root/testdata/sf0.001")
+    parts = sorted(
+        (n for n in os.listdir(staged) if n.startswith("part-")),
+        key=lambda n: os.path.getmtime(os.path.join(staged, n)),
+    )
+    assert len(parts) == 6  # 4 slices + 2 flush files
+    mtimes = [os.path.getmtime(os.path.join(staged, n)) for n in parts]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 6  # strict order
+    import pyarrow.parquet as pq
+
+    # the two newest files are the sentinels: one purchase + one click
+    # row each, user_id -1, and the second strictly later in event time
+    sent = [pq.read_table(os.path.join(staged, n)).to_pylist() for n in parts[-2:]]
+    for rows in sent:
+        assert sorted(r["event_type"] for r in rows) == ["click", "purchase"]
+        assert all(r["user_id"] == -1 for r in rows)
+    assert max(r["ts"] for r in sent[1]) > max(r["ts"] for r in sent[0])
+    # and every real slice holds only non-negative user ids
+    for n in parts[:4]:
+        t = pq.read_table(os.path.join(staged, n), columns=["user_id"])
+        assert min(t.column("user_id").to_pylist()) >= 0
