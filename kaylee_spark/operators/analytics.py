@@ -1460,3 +1460,42 @@ def hll_estimate_close(regs: DataFrame, exact: DataFrame, rel_bound: float = 0.2
         ).alias("within_bound"),
         (F.col("m_delta") == 0).alias("merge_exact"),
     )
+
+
+def moment_registers(
+    events: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Day-sharded fixed-point MOMENT registers — the incremental-
+    statistics sibling of the HLL distinct store (a37): per
+    (group, day) shard keep exact integer power sums over the value
+    quantized to cents — n, S1 = Σc, S2 = Σc² — and any window's mean
+    and population variance derive from shard SUMS alone:
+    mean_cents = S1/n, var_cents² = (n·S2 − S1²)/n². Addition is the
+    merge, so shards are associative, commutative, idempotent to
+    re-aggregate, and replayable by any engine — at 100 TB yesterday's
+    profile never rescans yesterday's events (the same mergeability
+    argument as a37's MAX registers, for moments instead of
+    cardinality).
+
+    Fixed-point cents make every register an exact int64 (S2 per
+    shard ~5e12 at sf0.1 — decades of headroom); quantization is the
+    store's declared precision, applied identically by the SQL twin.
+    One map-side-combined shuffle on (group, day) builds the store.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    return (
+        events.select(
+            F.col(group_col).alias("grp"),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+            cents.alias("c"),
+        )
+        .groupBy("grp", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+        )
+    )

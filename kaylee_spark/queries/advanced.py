@@ -1613,3 +1613,82 @@ def a38_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.col("hi"), F.col("ihi")) - F.greatest(F.col("lo"), F.col("ilo"))
         ).cast("bigint").alias("overlap_seconds"),
     )
+
+
+_A39_ORACLE = """
+    WITH c AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    shards AS (
+        SELECT event_type, day, COUNT(*) AS n, SUM(c) AS s1, SUM(c * c) AS s2
+        FROM c GROUP BY event_type, day
+    ),
+    merged AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(s1) AS BIGINT) AS s1_cents,
+               CAST(SUM(s2) AS BIGINT) AS s2_cents
+        FROM shards GROUP BY event_type
+    ),
+    direct AS (
+        SELECT event_type, COUNT(*) AS n, SUM(c) AS s1, SUM(c * c) AS s2
+        FROM c GROUP BY event_type
+    )
+    SELECT m.event_type, m.n_days, m.n, m.s1_cents, m.s2_cents,
+           (m.n = d.n AND m.s1_cents = d.s1 AND m.s2_cents = d.s2) AS merge_exact
+    FROM merged m JOIN direct d USING (event_type)
+    """
+
+
+@query("a39_moment_store", oracle=_A39_ORACLE, extra=True)
+def a39_moment_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable mergeable MOMENT store (operators/analytics.
+    moment_registers) — a37's pattern for mean/variance instead of
+    cardinality: day shards hold exact integer power sums in cents
+    (n, S1, S2), merged by plain ADDITION, so any window's mean and
+    population variance derive from shard sums without rescanning
+    history. The emitted row per event type carries the merged
+    registers plus ``merge_exact`` — the in-query proof that
+    day-sharded merge ≡ direct single-pass on the same engine (the
+    re-shard invariance the mergeability claim rests on); the oracle
+    replays both paths, so the hash gate pins the register arithmetic
+    AND the invariance cross-engine. Variance derivation from these
+    registers is pinned against a hand-computed fixture in
+    tests/test_planted_defects.py (the t28 lesson: the oracle shares
+    the register formula, so the DERIVED statistic needs an
+    independent check)."""
+    from kaylee_spark.operators.analytics import moment_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    shards = moment_registers(ev)
+    merged = shards.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1_cents"),
+        F.sum("s2").alias("s2_cents"),
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    direct = (
+        ev.select(F.col("event_type").alias("grp"), cents.alias("c"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("dn"),
+            F.sum("c").alias("ds1"),
+            F.sum(F.col("c") * F.col("c")).alias("ds2"),
+        )
+    )
+    return merged.join(direct, "grp").select(
+        F.col("grp").alias("event_type"),
+        "n_days",
+        "n",
+        "s1_cents",
+        "s2_cents",
+        (
+            (F.col("n") == F.col("dn"))
+            & (F.col("s1_cents") == F.col("ds1"))
+            & (F.col("s2_cents") == F.col("ds2"))
+        ).alias("merge_exact"),
+    )

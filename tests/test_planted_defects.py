@@ -26,6 +26,7 @@ Family coverage:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 
 # ---------------------------------------------------------------- BPE
@@ -292,3 +293,40 @@ def test_unigram_train_planted_whole_word_vocabulary(spark):
     for ch in "abcdefg":
         assert got.get(ch) == (1, 0), (ch, got.get(ch))
     assert len(got) == 7 + 3, sorted(got)
+
+
+def test_moment_registers_derive_known_variance(spark):
+    """a39's registers share their formula with the oracle, so the
+    DERIVED statistic needs an independent check (the t28 lesson): on
+    a hand-computable fixture, mean and population variance derived
+    from the merged registers must equal statistics.mean/pvariance —
+    and merging the two day shards must give the same registers as
+    one global pass."""
+    import statistics
+
+    from kaylee_spark.operators.analytics import moment_registers
+
+    vals_d1, vals_d2 = [1.00, 2.00, 4.00], [10.00, 0.00]
+    rows = [(i, f"2024-01-0{d} 12:00:00", "t", v)
+            for d, vs in ((1, vals_d1), (2, vals_d2))
+            for i, v in enumerate(vs)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "event_type", "value")
+
+    shards = moment_registers(df).collect()
+    assert len(shards) == 2  # one register row per day
+    n = sum(r["n"] for r in shards)
+    s1 = sum(r["s1"] for r in shards)
+    s2 = sum(r["s2"] for r in shards)
+    vals = vals_d1 + vals_d2
+    # registers are exact cents
+    assert (n, s1, s2) == (
+        len(vals),
+        sum(round(v * 100) for v in vals),
+        sum(round(v * 100) ** 2 for v in vals),
+    )
+    mean_cents = s1 / n
+    var_cents2 = (n * s2 - s1 * s1) / (n * n)
+    assert mean_cents / 100 == pytest.approx(statistics.mean(vals))
+    assert var_cents2 / 10_000 == pytest.approx(statistics.pvariance(vals))

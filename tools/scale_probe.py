@@ -242,6 +242,10 @@ PROBE_QUERIES = (
     # distinct hashes) scales for real — the observe() path must agree
     # with DuckDB's filtered aggregates at 50k docs
     "p03_observed_funnel",
+    # a39: offset event_ids give 10x real observations, so every
+    # register (n, S1, S2 in cents) scales for real and the shard-
+    # merge ≡ direct booleans are exercised at 10x magnitudes
+    "a39_moment_store",
 )
 
 
