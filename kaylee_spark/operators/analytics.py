@@ -1499,3 +1499,140 @@ def moment_registers(
             F.sum(F.col("c") * F.col("c")).alias("s2"),
         )
     )
+
+
+QSTORE_WIDTH_CENTS = 2500
+
+
+def quantile_buckets(
+    events: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    width_cents: int = QSTORE_WIDTH_CENTS,
+) -> DataFrame:
+    """Day-sharded fixed-fencepost QUANTILE store — the third mergeable
+    statistic next to the HLL distinct store (a37, MAX registers) and
+    the moment store (a39, power sums): per (group, day) shard keep
+    exact counts per fixed-width value bucket
+    (``b = cents div width_cents``), and any window's discrete
+    quantile derives from shard-count ADDITION alone — cumulative
+    counts over the fixed fenceposts locate the rank-``ceil(q·n)``
+    bucket without rescanning history. Addition is the merge, so
+    shards are associative, commutative, and replayable by any engine;
+    at 100 TB yesterday's latency profile never rescans yesterday's
+    events, and the store is |groups| × |days| × |buckets| rows.
+
+    Fixed fenceposts (not data-dependent equi-depth cuts) are what
+    make the shards mergeable — two shards built on different days
+    agree on bucket boundaries by construction. The fencepost width is
+    the store's declared resolution: a derived quantile is exact to
+    within one bucket (proof emitted per group by
+    ``quantile_store_close``).
+
+    Precondition: values are non-negative (``div`` truncates toward
+    zero, so a mixed-sign domain would fold (-w, w) into bucket 0 —
+    shift by the domain minimum first for signed inputs).
+
+    One map-side-combined shuffle on (group, day, bucket) builds the
+    store.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    return (
+        events.select(
+            F.col(group_col).alias("grp"),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+            cents.alias("c"),
+        )
+        .withColumn("b", F.expr(f"c div {int(width_cents)}"))
+        .groupBy("grp", "day", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def quantile_store_close(
+    merged: DataFrame,
+    base: DataFrame,
+    width_cents: int = QSTORE_WIDTH_CENTS,
+) -> DataFrame:
+    """Close the quantile store from merged bucket counts
+    (grp, b, n) + the raw value frame ``base`` (grp, c): derive the
+    p50/p90/p99 bucket upper fenceposts from cumulative counts, and
+    emit two in-query proofs — shared verbatim by the batch operator
+    (a40) and the streamed-ingest twin (e41) so stream ≡ batch is
+    hash-verified:
+
+    - ``merge_exact``: day-merged bucket counts EQUAL direct
+      single-pass counts on the same engine (Σ|Δ| = 0 over a full
+      outer join — the re-shard invariance the mergeability claim
+      rests on);
+    - ``bracket_exact``: for each quantile, the exact rank-``r`` value
+      (r = ceil(q·n), located by a row_number sort — the
+      driver-verifiability tax, not the production path) falls in the
+      bucket the cumulative counts selected. Rank arithmetic is pure
+      integers (ceil(p·n/q) = (p·n + q − 1) div q), so both engines
+      compute identical ranks.
+
+    Quantile ties are safe: rows with equal ``c`` may order
+    arbitrarily under row_number, but the rank-r VALUE is unique for
+    a fixed r, so the emitted fenceposts and proofs are deterministic.
+    """
+    w = int(width_cents)
+    tot = merged.groupBy("grp").agg(
+        F.sum("n").alias("n"), F.count(F.lit(1)).alias("n_buckets")
+    )
+    cum = merged.withColumn(
+        "cum", F.sum("n").over(Window.partitionBy("grp").orderBy("b"))
+    )
+    j = cum.join(tot.select("grp", F.col("n").alias("nt")), "grp")
+    r50 = F.expr("(nt + 1) div 2")
+    r90 = F.expr("(9 * nt + 9) div 10")
+    r99 = F.expr("(99 * nt + 99) div 100")
+    picks = j.groupBy("grp").agg(
+        F.min(F.when(F.col("cum") >= r50, F.col("b"))).alias("b50"),
+        F.min(F.when(F.col("cum") >= r90, F.col("b"))).alias("b90"),
+        F.min(F.when(F.col("cum") >= r99, F.col("b"))).alias("b99"),
+    )
+    # direct (un-sharded) bucket counts from raw values, for merge_exact
+    direct = (
+        base.withColumn("b", F.expr(f"c div {w}"))
+        .groupBy("grp", "b")
+        .agg(F.count(F.lit(1)).alias("dn"))
+    )
+    delta = (
+        merged.join(direct, ["grp", "b"], "full_outer")
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.abs(F.coalesce(F.col("n"), F.lit(0)) - F.coalesce(F.col("dn"), F.lit(0)))
+            ).alias("m_delta")
+        )
+    )
+    # exact rank-r values by one sort — the in-query bracket proof
+    ranked = base.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("grp").orderBy("c"))
+    ).join(tot.select("grp", F.col("n").alias("nt")), "grp")
+    exact = ranked.groupBy("grp").agg(
+        F.min(F.when(F.col("rn") == F.expr("(nt + 1) div 2"), F.col("c"))).alias("v50"),
+        F.min(F.when(F.col("rn") == F.expr("(9 * nt + 9) div 10"), F.col("c"))).alias("v90"),
+        F.min(F.when(F.col("rn") == F.expr("(99 * nt + 99) div 100"), F.col("c"))).alias("v99"),
+    )
+    return (
+        tot.join(picks, "grp")
+        .join(delta, "grp")
+        .join(exact, "grp")
+        .select(
+            F.col("grp").alias("event_type"),
+            "n",
+            "n_buckets",
+            ((F.col("b50") + 1) * w).alias("p50_ub_cents"),
+            ((F.col("b90") + 1) * w).alias("p90_ub_cents"),
+            ((F.col("b99") + 1) * w).alias("p99_ub_cents"),
+            (
+                (F.expr(f"v50 div {w}") == F.col("b50"))
+                & (F.expr(f"v90 div {w}") == F.col("b90"))
+                & (F.expr(f"v99 div {w}") == F.col("b99"))
+            ).alias("bracket_exact"),
+            (F.col("m_delta") == 0).alias("merge_exact"),
+        )
+    )

@@ -1692,3 +1692,110 @@ def a39_moment_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("s2_cents") == F.col("ds2"))
         ).alias("merge_exact"),
     )
+
+
+_A40_ORACLE = """
+    WITH c AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    bx AS (SELECT event_type, day, c, c // 2500 AS b FROM c),
+    shards AS (
+        SELECT event_type, day, b, COUNT(*) AS n
+        FROM bx GROUP BY event_type, day, b
+    ),
+    merged AS (
+        SELECT event_type, b, CAST(SUM(n) AS BIGINT) AS n
+        FROM shards GROUP BY event_type, b
+    ),
+    tot AS (
+        SELECT event_type, CAST(SUM(n) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets
+        FROM merged GROUP BY event_type
+    ),
+    cum AS (
+        SELECT m.event_type, m.b, t.n AS nt,
+               CAST(SUM(m.n) OVER (
+                   PARTITION BY m.event_type ORDER BY m.b
+               ) AS BIGINT) AS cum
+        FROM merged m JOIN tot t USING (event_type)
+    ),
+    picks AS (
+        SELECT event_type,
+               MIN(CASE WHEN cum >= (nt + 1) // 2 THEN b END) AS b50,
+               MIN(CASE WHEN cum >= (9 * nt + 9) // 10 THEN b END) AS b90,
+               MIN(CASE WHEN cum >= (99 * nt + 99) // 100 THEN b END) AS b99
+        FROM cum GROUP BY event_type
+    ),
+    direct AS (
+        SELECT event_type, b, COUNT(*) AS dn FROM bx GROUP BY event_type, b
+    ),
+    delta AS (
+        SELECT COALESCE(m.event_type, d.event_type) AS event_type,
+               SUM(ABS(COALESCE(m.n, 0) - COALESCE(d.dn, 0))) AS m_delta
+        FROM merged m
+        FULL JOIN direct d ON m.event_type = d.event_type AND m.b = d.b
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT bx.event_type, bx.c, t.n AS nt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY bx.event_type ORDER BY bx.c
+               ) AS rn
+        FROM bx JOIN tot t USING (event_type)
+    ),
+    exact AS (
+        SELECT event_type,
+               MIN(CASE WHEN rn = (nt + 1) // 2 THEN c END) AS v50,
+               MIN(CASE WHEN rn = (9 * nt + 9) // 10 THEN c END) AS v90,
+               MIN(CASE WHEN rn = (99 * nt + 99) // 100 THEN c END) AS v99
+        FROM ranked GROUP BY event_type
+    )
+    SELECT t.event_type, t.n, t.n_buckets,
+           (p.b50 + 1) * 2500 AS p50_ub_cents,
+           (p.b90 + 1) * 2500 AS p90_ub_cents,
+           (p.b99 + 1) * 2500 AS p99_ub_cents,
+           (e.v50 // 2500 = p.b50 AND e.v90 // 2500 = p.b90
+            AND e.v99 // 2500 = p.b99) AS bracket_exact,
+           (dl.m_delta = 0) AS merge_exact
+    FROM tot t
+    JOIN picks p USING (event_type)
+    JOIN delta dl USING (event_type)
+    JOIN exact e USING (event_type)
+    """
+
+
+@query("a40_quantile_store", oracle=_A40_ORACLE, extra=True)
+def a40_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable mergeable QUANTILE store (operators/analytics.
+    quantile_buckets) — the third mergeable statistic beside the HLL
+    distinct store (a37) and the moment store (a39): per (event_type,
+    day) shards of exact counts over FIXED value fenceposts
+    (cents div 2500), merged by plain ADDITION, with p50/p90/p99
+    derived from cumulative merged counts as the rank-ceil(q·n)
+    bucket's upper fencepost. Fixed fenceposts (not data-dependent
+    cuts) are what make shards mergeable across days and engines; the
+    fencepost width is the store's declared resolution. Two in-query
+    proofs ship with every row: ``merge_exact`` (day-sharded merge ≡
+    direct single-pass — the a39 re-shard invariance) and
+    ``bracket_exact`` (the exact rank-r value, located by an
+    independent row_number sort, falls in the bucket the cumulative
+    counts picked — so the rank derivation is cross-checked in-query,
+    and the oracle replays BOTH paths, pinning the bucket arithmetic
+    cross-engine). Only the store ships at 100 TB: the sort behind
+    bracket_exact is the driver-verifiability tax, same as a02's
+    exact twins. Quantile derivation from planted counts is pinned
+    against a hand-computed fixture in tests/test_planted_defects.py
+    (the t28 lesson)."""
+    from kaylee_spark.operators.analytics import (
+        quantile_buckets,
+        quantile_store_close,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    shards = quantile_buckets(ev)
+    merged = shards.groupBy("grp", "b").agg(F.sum("n").alias("n"))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    base = ev.select(F.col("event_type").alias("grp"), cents.alias("c"))
+    return quantile_store_close(merged, base)

@@ -1653,3 +1653,49 @@ def e40_streamed_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame
         [(tot["n_rows"], tot["n_clicks"], tot["sum_user"])],
         "n_rows long, n_clicks long, sum_user long",
     )
+
+
+def _a40_shared_oracle() -> str:
+    from kaylee_spark.queries.advanced import _A40_ORACLE
+
+    return _A40_ORACLE
+
+
+@query("e41_streamed_quantile_ingest", oracle=_a40_shared_oracle(), extra=True)
+def e41_streamed_quantile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed-fencepost quantile store fed by a TRUE stream:
+    readStream -> daily tumbling (event_type, bucket) COUNT shards
+    (streaming/quantile_day_buckets — the mergeable partials) drained
+    to the store, then closed with the SAME quantile_store_close
+    arithmetic as a40 against batch-built direct counts and exact
+    rank values — so the streamed-ingest path is hash-verified to
+    produce bit-identical bucket counts AND quantiles to the batch
+    path (oracle shared verbatim with a40, whose merge_exact boolean
+    now ALSO proves streamed-shards ≡ batch-raw counts). At 100 TB
+    the stream maintains |types| × |buckets| integers per day and any
+    window's latency percentile never rescans events.
+
+    Two slices per trigger: COUNT shards are owned by disjoint
+    (day, bucket) windows and complete-mode re-emission replaces, so
+    batch sizing is purely an overhead dial (same amortization note
+    as e35/e36)."""
+    from kaylee_spark.operators.analytics import quantile_store_close
+
+    drained = _drain_staged_stream(
+        spark,
+        sf_dir,
+        lambda ST, staged: ST.run_to_memory(
+            ST.quantile_day_buckets(
+                ST.events_stream(spark, staged, files_per_trigger=2)
+            ),
+            output_mode="complete",
+        ),
+    )
+    merged = drained.groupBy("grp", "b").agg(F.sum("n_day").alias("n"))
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    base = ev.select(F.col("event_type").alias("grp"), cents.alias("c"))
+    # memory-sink lineage + self-join disambiguation: same
+    # localCheckpoint as e32/e35 (the store is |types| x |buckets|
+    # rows — tiny)
+    return quantile_store_close(merged.localCheckpoint(), base)

@@ -671,3 +671,29 @@ def streamed_upsert_snapshot(
         if d.startswith("v") and d[1:].isdigit()
     ]
     return spark.read.parquet(os.path.join(workdir, f"v{max(versions)}"))
+
+
+def quantile_day_buckets(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streamed ingestion leg of the fixed-fencepost quantile store:
+    per (event_type, day, bucket) COUNT over daily tumbling event-time
+    windows — the mergeable count shards quantile_store_close
+    consumes. The bucket coordinate is the row-local integer pipeline
+    shared with the batch operator (operators/analytics.py
+    quantile_buckets: cents div width), so streamed shards are
+    bit-identical to batch-built ones. State key cardinality =
+    |types| × |days in watermark horizon| × |buckets| — bounded on an
+    infinite stream; COUNT shards merge by addition downstream, and
+    within the store a (day, bucket) cell is owned by exactly one
+    window, so complete-mode emission replays exact counts.
+    """
+    from kaylee_spark.operators.analytics import QSTORE_WIDTH_CENTS
+
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        events.select(F.col("event_type").alias("grp"), F.col("ts"), cents.alias("c"))
+        .withColumn("b", F.expr(f"c div {QSTORE_WIDTH_CENTS}"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "grp", "b")
+        .agg(F.count(F.lit(1)).alias("n_day"))
+        .select(F.col("w.start").alias("window_start"), "grp", "b", "n_day")
+    )
