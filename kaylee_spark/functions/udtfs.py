@@ -122,12 +122,16 @@ class _ExplodeTypedRecords:
         # the spec is a planning-time constant but eval receives it
         # per ROW — memoize the parse (measured: the split/strip chain
         # per row was ~1/3 of the UDTF's sf0.1 wall)
+        # payload-None short-circuits BEFORE the spec parse: a row with
+        # a null payload must yield nothing even if its spec cell is
+        # null/invalid (the memo lookup alone would be safe, but a
+        # cold-cache parse of a bad spec would raise)
+        if payload is None:
+            return
         fields = getattr(self, "_memo_fields", None)
         if fields is None or getattr(self, "_memo_spec", None) != spec:
             fields = self._parse_spec(spec)
             self._memo_spec, self._memo_fields = spec, fields
-        if payload is None:
-            return
         try:
             rec = json.loads(payload)
         except ValueError:

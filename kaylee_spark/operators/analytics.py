@@ -1484,6 +1484,15 @@ def moment_registers(
     shard ~5e12 at sf0.1 — decades of headroom); quantization is the
     store's declared precision, applied identically by the SQL twin.
     One map-side-combined shuffle on (group, day) builds the store.
+
+    PRECONDITION (int64 envelope): S2 = Σc² must stay below 2^63
+    per shard — i.e. rows_per_shard · max_cents² < 9.2e18, e.g. ~9e9
+    rows/day/group at $1,000 values or ~9e5 rows at $100,000 values.
+    Spark's non-ANSI bigint SUM wraps silently past that while
+    DuckDB's promotes to HUGEINT, so an overflow surfaces as an
+    engine-oracle hash mismatch, not an error (ADVICE r12). Beyond
+    the envelope, pre-scale the quantization (dollars instead of
+    cents) or shard finer (hour shards); the merge law is unchanged.
     """
     cents = F.round(F.col(value_col) * 100).cast("bigint")
     return (

@@ -286,9 +286,16 @@ def m07_streamed_results_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DATA_SOURCE_NOT_FOUND for kaylee_results with register() one
     # line above; re-registering did NOT help, which is what points at
     # the thread-local, not the manager).
-    spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
-        spark._jsparkSession
-    )
+    try:
+        # Spark 4.x internal package path (absent under Spark Connect
+        # or a future rename) — if the hook is gone, degrade to the
+        # documented DATA_SOURCE_NOT_FOUND on stale clones instead of
+        # an AttributeError at this line (ADVICE r12).
+        spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+    except Exception:
+        pass
     q = start()
     try:
         q.processAllAvailable()

@@ -34,6 +34,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _STAGED_ONCE: set[str] = set()
 
 
+def _stage_tag(sf_dir: str) -> str:
+    """Staging tag for layout dirs: fixture basename + pid (concurrent-
+    process isolation, ADVICE r11) + the lineitem fixture's mtime, so a
+    fixture regenerated mid-process restages instead of silently
+    reusing a stale layout (ADVICE r12 — mirrors streaming's
+    _STAGE_CACHE key convention)."""
+    import os
+
+    from kaylee_spark.sources import table_path
+
+    mt = int(os.path.getmtime(table_path(sf_dir, "lineitem")))
+    return (
+        os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+        + f"_p{os.getpid()}_m{mt}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation
 # ---------------------------------------------------------------------------
@@ -1329,10 +1346,7 @@ def q34_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dropping/overwriting each other's bucketed tables mid-query
     # (ADVICE r11); within one process reruns reuse/overwrite the same
     # name, so repeated oracle sweeps don't accumulate temp dirs.
-    tag = (
-        os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-        + f"_p{os.getpid()}"
-    )
+    tag = _stage_tag(sf_dir)
     base = os.path.join(tempfile.gettempdir(), f"kaylee_bucketed_{tag}")
     # stage ONCE per process: the bucketed write is INGEST-time work —
     # the query-time claim under measurement is the zero-Exchange read
@@ -1421,10 +1435,7 @@ def q35_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
     # pid suffix (concurrent-process isolation, same as q34) + staged
     # ONCE per process: the partitioned landing is ingest-time work,
     # the measured query is the runtime-pruned scan+join.
-    tag = (
-        os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-        + f"_p{os.getpid()}"
-    )
+    tag = _stage_tag(sf_dir)
     base = os.path.join(tempfile.gettempdir(), f"kaylee_dpp_{tag}")
     if base not in _STAGED_ONCE or not os.path.isdir(os.path.join(base, "dim")):
         li = _t(spark, sf_dir, "lineitem")
@@ -1568,10 +1579,7 @@ def q37_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     p_lo, p_hi = mx["p"] * 4 // 10, mx["p"] * 5 // 10
     s_lo, s_hi = mx["s"] * 4 // 10, mx["s"] * 5 // 10
-    tag = (
-        os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-        + f"_p{os.getpid()}"
-    )
+    tag = _stage_tag(sf_dir)
     path = os.path.join(tempfile.gettempdir(), f"kaylee_zorder_{tag}")
     # clustered ONCE per process (ingest-time work, like q34/q35)
     if path not in _STAGED_ONCE or not os.path.isdir(path):
@@ -1584,4 +1592,68 @@ def q37_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
         dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+@query(
+    "q38_small_quantity_revenue",
+    oracle=f"""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {oracle_dec_sum('l.l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size <= 3
+      AND CAST(l.l_quantity AS BIGINT) * 5
+          * (SELECT COUNT(*) FROM lineitem l2
+             WHERE l2.l_partkey = p.p_partkey)
+          < (SELECT CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+             FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    GROUP BY p.p_brand
+    """,
+    extra=True,
+)
+def q38_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue) — the classic
+    correlated-scalar-per-group decorrelation: for each line item of a
+    small part (p_size <= 3; the fixture has no p_container), compare
+    its quantity to 20% of ITS PART's average quantity over all of
+    lineitem, and sum the qualifying revenue / 7 per brand. It is the
+    most common decorrelation real users write after EXISTS/IN: the
+    oracle runs the correlated form natively, so the hash gate proves
+    the decorrelation below is semantics-preserving.
+
+    Exactness: q < 0.2·AVG(q) is evaluated as 5·n·q < Σq — quantities
+    are integral, so the threshold is pure int64 arithmetic and no
+    engine-dependent double AVG sits on a comparison boundary
+    (n·q·5 <= 50·5·|rows per part| — decades inside int64).
+
+    Plan shape at 100 TB: ONE scan of lineitem (plan-asserted) — the
+    size filter prunes part to a small dim that arrives broadcast, and
+    the per-part (Σq, n) pair rides a window over the SAME
+    l_partkey-keyed exchange the filtered rows already need; no second
+    fact scan, no per-row subquery, no join back. The window partition
+    is one part's line items (bounded, uniform), so no skew; the final
+    per-brand rollup reduces over ~25 groups."""
+    from pyspark.sql import Window
+
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_size") <= 3)
+        .select("p_partkey", "p_brand")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    q = F.col("l_quantity").cast("bigint")
+    qualified = (
+        j.withColumn("sum_q", F.sum(q).over(w))
+        .withColumn("n_q", F.count(F.lit(1)).over(w))
+        .where(q * 5 * F.col("n_q") < F.col("sum_q"))
+    )
+    return qualified.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (dec_sum("l_extendedprice") / 7.0).alias("avg_yearly"),
     )

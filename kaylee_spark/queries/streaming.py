@@ -1621,12 +1621,21 @@ def e40_streamed_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame
     counters (rows ingested, per-type counts, checksums) cost ZERO
     extra scans and no second query — the monitoring story a 100 TB
     ingest needs (per-batch metrics feed alerting; the alternative, a
-    parallel counting query, doubles the read). The drain sums the
-    per-batch observed rows driver-side (one tiny dict per batch) and
-    the hash gate verifies the piggybacked totals equal DuckDB's
-    recompute over the same fixture — proving no batch was missed,
-    double-counted, or partially observed. All measures integer-exact.
+    parallel counting query, doubles the read). A
+    StreamingQueryListener accumulates the per-batch observed rows
+    (one tiny dict per batch) — NOT q.recentProgress, which is a ring
+    buffer capped at spark.sql.streaming.numRecentProgressUpdates
+    (default 100) and would silently drop early batches on a long
+    drain (ADVICE r12). The listener bus delivers events in order, so
+    the QueryTerminated event is the barrier proving every progress
+    event was summed; the hash gate then verifies the piggybacked
+    totals equal DuckDB's recompute over the same fixture — no batch
+    missed, double-counted, or partially observed. Integer-exact.
     """
+    import threading
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
     from kaylee_spark import streaming as ST
 
     staged = ST.stage_events_dir(spark, sf_dir)
@@ -1637,20 +1646,54 @@ def e40_streamed_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_clicks"),
         F.sum("user_id").alias("sum_user"),
     )
-    q = (
-        observed.writeStream.format("noop")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    tot = {"n_rows": 0, "n_clicks": 0, "sum_user": 0}
-    for p in q.recentProgress:
-        m = p["observedMetrics"].get("m") if p["observedMetrics"] else None
-        if m is not None:
-            for k in tot:
-                tot[k] += int(m[k] or 0)
+
+    class _Acc(StreamingQueryListener):
+        def __init__(self):
+            self.tot = {"n_rows": 0, "n_clicks": 0, "sum_user": 0}
+            self.qid: str | None = None
+            self.done = threading.Event()
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            if self.qid is not None and str(p.id) != self.qid:
+                return
+            m = p.observedMetrics.get("m") if p.observedMetrics else None
+            if m is not None:
+                for k in self.tot:
+                    self.tot[k] += int(m[k] or 0)
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            if self.qid is None or str(event.id) == self.qid:
+                self.done.set()
+
+        def __str__(self):  # listener bus logs repr on errors
+            return "e40_observed_metrics_accumulator"
+
+    acc = _Acc()
+    spark.streams.addListener(acc)
+    try:
+        q = (
+            observed.writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # the first progress event cannot precede the first completed
+        # micro-batch, so assigning the filter id here is race-free
+        acc.qid = str(q.id)
+        q.awaitTermination()
+        # listener events are async: wait for the in-order terminated
+        # event, which proves all progress events were delivered
+        assert acc.done.wait(timeout=60), "listener termination event not delivered"
+    finally:
+        spark.streams.removeListener(acc)
     return spark.createDataFrame(
-        [(tot["n_rows"], tot["n_clicks"], tot["sum_user"])],
+        [(acc.tot["n_rows"], acc.tot["n_clicks"], acc.tot["sum_user"])],
         "n_rows long, n_clicks long, sum_user long",
     )
 

@@ -240,3 +240,15 @@ def test_q37_box_filters_pushed_to_zorder_scan(spark, sf_dir, registry):
     p = plan_of(registry["q37_zorder_box_scan"].fn(spark, sf_dir))
     assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(l_partkey", p), p
     assert re.search(r"PushedFilters: \[.*LessThanOrEqual\(l_suppkey", p), p
+
+
+def test_q38_one_scan_decorrelation(spark, sf_dir, registry):
+    """q38's correlated-scalar-per-group decorrelation must stay
+    ONE-SCAN: the per-part average rides a window over the filtered
+    fact, never a second lineitem scan or a per-row subquery; the
+    pruned part dim arrives broadcast."""
+    p = plan_of(registry["q38_small_quantity_revenue"].fn(spark, sf_dir))
+    assert len(re.findall(r"Location: InMemoryFileIndex \[\S*lineitem", p)) == 1, p
+    assert "BroadcastHashJoin" in p, p
+    assert "Window" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p

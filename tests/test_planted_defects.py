@@ -21,6 +21,25 @@ Family coverage:
   and a planted decontamination fixture with geometric ground truth.
 - Portable-hash text family (t04; t16/d20 have planted tests in
   test_sampling/test_dedup already): order sensitivity + stability.
+- Unigram LM (t33/t34): lossless Viterbi + planted whole-word vocab.
+- Moment store (a39): derived mean/variance vs statistics.mean/
+  pvariance on a hand-computable fixture.
+- Time-series closed forms: e23 rolling z vs statistics.pstdev on the
+  previous-window history; e24 EWMA literal weight chain vs pandas
+  ewm(adjust=True, ignore_na=False); e27 CUSUM closed cumulative form
+  vs the textbook sequential recursion in exact Fractions.
+- Drift shelf: a30 rational KS vs hand-derived D on tied samples +
+  the published c(0.05) cut; a31 PSI quantized-ln chain vs textbook
+  math.log PSI and the exact-zero no-shift case.
+- Graph fixed point: g01 integer PageRank vs an independent float
+  implementation of the leaky recurrence on a planted graph.
+- Quantile store (a40/e41): derived p50/p90/p99 fenceposts vs a
+  hand-computed fixture + day re-shard invariance.
+
+Exemptions (formula-twinned but already pinned elsewhere): e22's
+linear interpolation (hand-computed gap/edge/tie cases in
+test_timeseries) and e26's autocorrelation (vs a numpy reference and
+a planted period in test_timeseries).
 """
 
 from __future__ import annotations
@@ -330,3 +349,257 @@ def test_moment_registers_derive_known_variance(spark):
     var_cents2 = (n * s2 - s1 * s1) / (n * n)
     assert mean_cents / 100 == pytest.approx(statistics.mean(vals))
     assert var_cents2 / 10_000 == pytest.approx(statistics.pvariance(vals))
+
+
+# ------------------------------------------------- time-series (e23)
+
+
+def _ts_rows(user_vals: dict[int, list[float | None]]):
+    return [
+        (uid * 1000 + i, f"2024-01-01 0{i}:00:00", uid, v)
+        for uid, vs in user_vals.items()
+        for i, v in enumerate(vs)
+    ]
+
+
+def _ts_frame(spark, user_vals):
+    return spark.createDataFrame(
+        _ts_rows(user_vals), "event_id long, ts string, user_id long, value double"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id", "value"
+    )
+
+
+def test_rolling_zscore_matches_statistics_module(spark):
+    """e23's oracle replays the engine's decimal-moment closed form;
+    this pins the SEMANTIC contract (z of each value against its key's
+    previous-window population mean/sd, self-excluded) against plain
+    statistics.mean/pstdev on a planted series — including the
+    empty-history (first row) and constant-history (sd = 0) nulls."""
+    import statistics
+
+    from kaylee_spark.operators.timeseries import rolling_zscore
+
+    vals = {1: [10.0, 20.0, 40.0, 30.0, 100.0], 2: [5.0, 5.0, 5.0, 9.0]}
+    df = _ts_frame(spark, vals)
+    got = {
+        r["event_id"]: (r["z"], r["is_anomaly"])
+        for r in rolling_zscore(
+            df, "value", "ts", "user_id", window_rows=3, threshold=1.0,
+            tiebreak_cols=["event_id"],
+        ).collect()
+    }
+    for uid, vs in vals.items():
+        for i, v in enumerate(vs):
+            hist = vs[max(0, i - 3):i]
+            want_z = None
+            if hist:
+                sd = statistics.pstdev(hist)
+                if sd > 0:
+                    want_z = round((v - statistics.mean(hist)) / sd, 6)
+            z, flag = got[uid * 1000 + i]
+            if want_z is None:
+                assert z is None and flag is False, (uid, i, z, flag)
+            else:
+                assert z == pytest.approx(want_z, abs=2e-6), (uid, i, z, want_z)
+                assert flag == (abs(want_z) > 1.0), (uid, i)
+
+
+# ------------------------------------------------- time-series (e24)
+
+
+def test_ewma_matches_pandas_adjust_true(spark):
+    """e24's oracle shares the engine's literal weight chain; this
+    compares against pandas ewm(adjust=True, ignore_na=False) — an
+    independent implementation of the declared semantics — on a
+    planted series with an interior null (weights stay position-based,
+    the null term is skipped)."""
+    import pandas as pd
+
+    from kaylee_spark.operators.timeseries import ewma
+
+    series = [1.0, 2.0, None, 4.0, 8.0, 3.0]
+    df = _ts_frame(spark, {1: series})
+    got = [
+        r["value_ewma"]
+        for r in ewma(
+            df, "value", "ts", "user_id", alpha=0.5, max_lags=24,
+            tiebreak_cols=["event_id"],
+        ).orderBy("event_id").collect()
+    ]
+    want = pd.Series(series, dtype="float64").ewm(alpha=0.5, adjust=True).mean()
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert g == pytest.approx(round(float(w), 6), abs=2e-6), (i, g, w)
+
+
+# ------------------------------------------------- time-series (e27)
+
+
+def test_cusum_matches_textbook_recursion_exactly(spark):
+    """e27's closed cumulative form (C_t - min(0, running-min C)) is
+    verified against the textbook sequential recursion
+    S_t = max(0, S_{t-1} + x_t - mean - slack) computed in exact
+    Fractions — the rewrite the oracle replays but never re-derives."""
+    from fractions import Fraction
+
+    from kaylee_spark.operators.timeseries import cusum
+
+    vals = [1.0, 5.0, 1.0, 9.0, 1.0, 9.0, 9.0]
+    df = _ts_frame(spark, {1: vals})
+    got = [
+        (r["cusum"], r["is_shift"])
+        for r in cusum(
+            df, "value", "ts", "user_id", slack=0.5, threshold=2.0,
+            tiebreak_cols=["event_id"],
+        ).orderBy("event_id").collect()
+    ]
+    cents = [round(v * 100) for v in vals]
+    mean = Fraction(sum(cents), 100 * len(cents))
+    s = Fraction(0)
+    for i, c in enumerate(cents):
+        s = max(Fraction(0), s + Fraction(c, 100) - mean - Fraction(1, 2))
+        assert got[i][0] == pytest.approx(float(s), rel=1e-12), (i, got[i][0], s)
+        assert got[i][1] == (s > 2), (i, got[i][1], s)
+    assert any(flag for _, flag in got)  # the planted shift is detected
+
+
+# ------------------------------------------------------- stats (a30)
+
+
+def test_ks_two_sample_hand_computed(spark):
+    """a30's rational |i*m - j*n| max is pinned against a hand-derived
+    D on planted samples with TIES (the right-continuous-CDF case):
+    control = 7x[1,1,2], t_near = 7x[1,2,2] -> D = 1/3 at x=1
+    (F_t = 7/21, F_c = 14/21), below the 1.3581*sqrt(42/441) = 0.419
+    cut; t_far = 21x[5] -> D = 1, significant."""
+    from kaylee_spark.operators.analytics import ks_two_sample
+
+    rows = (
+        [("ctl", v) for v in [1.0, 1.0, 2.0] * 7]
+        + [("t_near", v) for v in [1.0, 2.0, 2.0] * 7]
+        + [("t_far", 5.0)] * 21
+    )
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = {
+        r["grp"]: r.asDict()
+        for r in ks_two_sample(df, "v", "grp", control="ctl").collect()
+    }
+    near = got["t_near"]
+    assert (near["n"], near["m"], near["ks_num"], near["ks_denom"]) == (21, 21, 147, 441)
+    assert near["ks_stat"] == pytest.approx(1 / 3, rel=1e-12)
+    assert near["significant"] is False
+    far = got["t_far"]
+    assert far["ks_num"] == 441 and far["ks_stat"] == pytest.approx(1.0)
+    assert far["significant"] is True
+
+
+# ------------------------------------------------------- drift (a31)
+
+
+def test_psi_drift_matches_textbook_formula(spark):
+    """a31's oracle replays the 6dp-quantized ln chain; this compares
+    against the textbook PSI = sum (pa-pb)*ln(pa/pb) with add-1
+    smoothing computed in plain math.log on planted bin counts
+    (quantization error <= n_bins * 1e-6), and pins the zero-shift
+    case to an exact 0.0."""
+    import math
+
+    from kaylee_spark.operators.analytics import psi_drift
+
+    edges = (10.0, 20.0)
+    a_vals = [5.0] * 8 + [15.0] * 2            # bins (8, 2, 0)
+    b_vals = [5.0] * 2 + [15.0] * 2 + [25.0] * 6  # bins (2, 2, 6)
+    rows = [("g", True, v) for v in a_vals] + [("g", False, v) for v in b_vals]
+    df = spark.createDataFrame(rows, "grp string, is_a boolean, value double")
+    row = psi_drift(df, "value", "grp", "is_a", edges=edges).collect()[0]
+    pa = [(8 + 1) / 13, (2 + 1) / 13, (0 + 1) / 13]
+    pb = [(2 + 1) / 13, (2 + 1) / 13, (6 + 1) / 13]
+    want = sum((x - y) * math.log(x / y) for x, y in zip(pa, pb))
+    assert row["psi"] == pytest.approx(want, abs=1e-5)
+    assert row["drifted"] is True
+    same = [("g", p, v) for p in (True, False) for v in a_vals]
+    row0 = psi_drift(
+        spark.createDataFrame(same, "grp string, is_a boolean, value double"),
+        "value", "grp", "is_a", edges=edges,
+    ).collect()[0]
+    assert row0["psi"] == 0.0 and row0["drifted"] is False
+
+
+# ------------------------------------------------------- graph (g01)
+
+
+def test_pagerank_close_to_float_reference(spark):
+    """g01's oracle unrolls the engine's integer fixed-point
+    recurrence; this checks the SEMANTICS against an independent
+    float implementation of leaky PageRank (teleport 0.15, damping
+    0.85, dangling mass dropped) on a planted 5-node graph — the
+    integer quantization error is < 1e-9 of a rank unit."""
+    from kaylee_spark.operators.graph import pagerank
+
+    edge_list = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (3, 5)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["id"]: r["rank_e12"] / 1e12 for r in pagerank(edges, iterations=3).collect()}
+
+    nodes = sorted({n for e in edge_list for n in e})
+    deg = {u: sum(1 for s, _ in edge_list if s == u) for u in nodes}
+    r = {u: 1 / len(nodes) for u in nodes}
+    for _ in range(3):
+        r = {
+            v: 0.15 / len(nodes)
+            + 0.85 * sum(r[u] / deg[u] for u, w in edge_list if w == v)
+            for v in nodes
+        }
+    for v in nodes:
+        assert got[v] == pytest.approx(r[v], abs=1e-9), (v, got[v], r[v])
+    # node 5 is dangling: it keeps only the teleport share
+    assert r[5] > 0.15 / len(nodes)
+
+
+# -------------------------------------------------- quantile store (a40)
+
+
+def test_quantile_store_hand_computed(spark):
+    """a40's oracle replays the bucket arithmetic; this pins the
+    DERIVED quantiles against a hand-computed fixture (the t28
+    lesson). cents: day1 [100,1000,3000,3000,6000],
+    day2 [1000,2600,5100,8000,9900] -> buckets (div 2500) merge to
+    {0:3, 1:3, 2:2, 3:2}, n=10; ranks r50=5 -> b1 (ub 5000),
+    r90=9 -> b3 (ub 10000), r99=10 -> b3. Re-sharding the same values
+    onto different days must not change the store (merge invariance
+    beyond the in-query boolean)."""
+    import pyspark.sql.functions as SF
+
+    from kaylee_spark.operators.analytics import (
+        quantile_buckets,
+        quantile_store_close,
+    )
+
+    d1 = [1.00, 10.00, 30.00, 30.00, 60.00]
+    d2 = [10.00, 26.00, 51.00, 80.00, 99.00]
+
+    def run(day_split):
+        rows = [
+            (100 * d + i, f"2024-01-0{d} 12:00:00", "t", v)
+            for d, vs in day_split for i, v in enumerate(vs)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string, value double"
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "event_type", "value"
+        )
+        merged = quantile_buckets(df).groupBy("grp", "b").agg(SF.sum("n").alias("n"))
+        base = df.select(
+            SF.col("event_type").alias("grp"),
+            SF.round(SF.col("value") * 100).cast("bigint").alias("c"),
+        )
+        return quantile_store_close(merged, base).collect()[0].asDict()
+
+    row = run([(1, d1), (2, d2)])
+    assert row == {
+        "event_type": "t", "n": 10, "n_buckets": 4,
+        "p50_ub_cents": 5000, "p90_ub_cents": 10000, "p99_ub_cents": 10000,
+        "bracket_exact": True, "merge_exact": True,
+    }, row
+    # metamorphic re-shard: swap one value across days, same multiset
+    reshard = run([(1, d1[:3] + [d2[0]]), (2, d2[1:] + d1[3:])])
+    assert reshard == row, reshard
