@@ -955,6 +955,7 @@ def a32_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(v) AS INT) AS max_v
     FROM s GROUP BY media_id
     """,
+    extra=True,
 )
 def a33_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SAMPLE-LEVEL audio decode, end-to-end and hash-gated — the
@@ -1014,6 +1015,7 @@ def a33_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS spearman_rho
     FROM s
     """,
+    extra=True,
 )
 def a24_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(returnflag, linestatus) Spearman rank correlation between
@@ -1643,7 +1645,7 @@ _A39_ORACLE = """
     """
 
 
-@query("a39_moment_store", oracle=_A39_ORACLE, extra=True)
+@query("a39_moment_store", oracle=_A39_ORACLE)
 def a39_moment_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable mergeable MOMENT store (operators/analytics.
     moment_registers) — a37's pattern for mean/variance instead of
@@ -1766,7 +1768,7 @@ _A40_ORACLE = """
     """
 
 
-@query("a40_quantile_store", oracle=_A40_ORACLE, extra=True)
+@query("a40_quantile_store", oracle=_A40_ORACLE)
 def a40_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable mergeable QUANTILE store (operators/analytics.
     quantile_buckets) — the third mergeable statistic beside the HLL

@@ -179,6 +179,7 @@ def d21_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.doc = doc_b
     WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
     """,
+    extra=True,
 )
 def d04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-MinHash LSH candidates + exact-Jaccard verify — the
@@ -231,6 +232,7 @@ def d04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_contaminated AS DOUBLE) / n_shingles >= 0.5 AS flagged
     FROM scored
     """,
+    extra=True,
 )
 def d07_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus n-gram decontamination: the documents fixture is

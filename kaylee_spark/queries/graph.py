@@ -398,7 +398,7 @@ def _lpa_oracle(rounds: int = 3) -> str:
     """
 
 
-@query("g07_label_propagation", oracle=_lpa_oracle(3))
+@query("g07_label_propagation", oracle=_lpa_oracle(3), extra=True)
 def g07_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the repeat-trading graph: three
     synchronous label-propagation rounds (plurality neighbor label,

@@ -25,6 +25,7 @@ _SQL_NTOK = f"len(list_filter({_SQL_TOKS}, t -> t <> ''))"
     FROM documents
     GROUP BY lang
     """,
+    extra=True,
 )
 def t01_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus stats (counts are ints -> exact arithmetic)."""
@@ -210,6 +211,7 @@ def t06_pandas_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MEDIAN(n_chars) AS DOUBLE) AS median_chars
     FROM documents GROUP BY lang
     """,
+    extra=True,
 )
 def t07_grouped_pandas_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas surface: holistic per-language stats
@@ -1321,7 +1323,7 @@ def _t33_oracle(rounds: int = 2, seed_multi: int = 60, keep_multi: int = 40,
     )
 
 
-@query("t33_unigram_lm_train", oracle=_t33_oracle(), extra=True)
+@query("t33_unigram_lm_train", oracle=_t33_oracle())
 def t33_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-style) tokenizer training over the
     corpus — the second dominant LLM tokenizer family, completing the
@@ -1354,7 +1356,7 @@ def _bpe_eval_oracle(rounds: int = 5) -> str:
     """
 
 
-@query("t34_tokenizer_eval", oracle=_bpe_eval_oracle(5), extra=True)
+@query("t34_tokenizer_eval", oracle=_bpe_eval_oracle(5))
 def t34_tokenizer_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer EVALUATION — the lifecycle's third rung after training
     (t28/t30/t33) and inference (t31): per-language fertility/

@@ -182,6 +182,7 @@ def m05_stream_datafn_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "m06_pushdown_datafn_wordcount",
     oracle=_m04_oracle(only_split=3),
+    extra=True,
 )
 def m06_pushdown_datafn_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The datafn source's FILTER-PUSHDOWN path, runnable under the
@@ -229,7 +230,7 @@ def m06_pushdown_datafn_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
 
 
-@query("m07_streamed_results_sink", oracle=_m04_oracle(), extra=True)
+@query("m07_streamed_results_sink", oracle=_m04_oracle())
 def m07_streamed_results_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The datafn loop CLOSED end-to-end in Python DataSource code on
     BOTH ends: the streaming datafn source feeds a stateless word

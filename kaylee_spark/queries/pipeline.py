@@ -181,7 +181,7 @@ _P03_ORACLE = """
     """
 
 
-@query("p03_observed_funnel", oracle=_P03_ORACLE, extra=True)
+@query("p03_observed_funnel", oracle=_P03_ORACLE)
 def p03_observed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass pipeline observability: the curation funnel's
     per-stage counters collected with ``DataFrame.observe`` — metrics

@@ -835,6 +835,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY s_nationkey
     """,
+    extra=True,
 )
 def q25_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigated join (operators/skew.salted_join) — result must be
@@ -1540,7 +1541,6 @@ def q36_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_suppkey BETWEEN s_lo AND s_hi
     GROUP BY l_returnflag
     """,
-    extra=True,
 )
 def q37_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-dimensional data-skipping layout as a query row: lineitem
@@ -1611,7 +1611,6 @@ def q37_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
     GROUP BY p.p_brand
     """,
-    extra=True,
 )
 def q38_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape (small-quantity-order revenue) — the classic

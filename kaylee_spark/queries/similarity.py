@@ -140,7 +140,7 @@ def _s03_oracle() -> str:
     """
 
 
-@query("s03_embedding_neardup", oracle=_s03_oracle())
+@query("s03_embedding_neardup", oracle=_s03_oracle(), extra=True)
 def s03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs by 24-bit sign-signature Hamming
     distance <= 3 (SRP-LSH: hamming/bits estimates angle/pi, so <=3

@@ -781,7 +781,9 @@ def e25_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "e18_streamed_dedup",
-    oracle="SELECT DISTINCT user_id, event_type FROM events")
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    extra=True,
+)
 def e18_streamed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE Structured-Streaming dedup: readStream ->
     dropDuplicates over (user_id, event_type) -> availableNow drain.
@@ -1145,6 +1147,7 @@ def e29_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND (f.ts < v.valid_to OR v.valid_to IS NULL)
     WHERE f.event_type = 'purchase'
     """,
+    extra=True,
 )
 def e30_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time-correct feature join — the feature-store primitive
@@ -1236,7 +1239,7 @@ def e31_psi_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_timeline(ev, "value", "event_type", "ts", "2024-01-01")
 
 
-@query("e32_streamed_psi_ingest", oracle=_psi_timeline_oracle())
+@query("e32_streamed_psi_ingest", oracle=_psi_timeline_oracle(), extra=True)
 def e32_streamed_psi_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The drift store fed by a TRUE stream: readStream -> daily
     tumbling (event_type, value-bin) counts (streaming/
@@ -1419,7 +1422,7 @@ GROUP BY 1
 """
 
 
-@query("e37_streamed_rate_source", oracle=_RATE_ORACLE, extra=True)
+@query("e37_streamed_rate_source", oracle=_RATE_ORACLE)
 def e37_streamed_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TENTH true streaming drain — and the first with NO file
     staging anywhere: Spark's built-in ``rate-micro-batch`` source
@@ -1480,7 +1483,7 @@ def _cdc_upsert_oracle() -> str:
     return CDC_UPSERT_ORACLE
 
 
-@query("e38_streamed_upsert_snapshot", oracle=_cdc_upsert_oracle(), extra=True)
+@query("e38_streamed_upsert_snapshot", oracle=_cdc_upsert_oracle())
 def e38_streamed_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ELEVENTH streaming drain and the first with an EXTERNAL
     batch sink: CDC change deliveries arrive as a key-sliced file
@@ -1537,7 +1540,7 @@ _E39_ORACLE = """
     """
 
 
-@query("e39_streamed_outer_join", oracle=_E39_ORACLE, extra=True)
+@query("e39_streamed_outer_join", oracle=_E39_ORACLE)
 def e39_streamed_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream LEFT OUTER join — the streaming
     semantics inner joins don't exercise: an unmatched purchase can
@@ -1613,7 +1616,7 @@ _E40_ORACLE = """
     """
 
 
-@query("e40_streamed_observed_metrics", oracle=_E40_ORACLE, extra=True)
+@query("e40_streamed_observed_metrics", oracle=_E40_ORACLE)
 def e40_streamed_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING observability — p03's twin on the readStream path:
     ``DataFrame.observe`` metrics ride each micro-batch and surface in
@@ -1704,7 +1707,7 @@ def _a40_shared_oracle() -> str:
     return _A40_ORACLE
 
 
-@query("e41_streamed_quantile_ingest", oracle=_a40_shared_oracle(), extra=True)
+@query("e41_streamed_quantile_ingest", oracle=_a40_shared_oracle())
 def e41_streamed_quantile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fixed-fencepost quantile store fed by a TRUE stream:
     readStream -> daily tumbling (event_type, bucket) COUNT shards
