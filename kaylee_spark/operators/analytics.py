@@ -1645,3 +1645,50 @@ def quantile_store_close(
             (F.col("m_delta") == 0).alias("merge_exact"),
         )
     )
+
+
+def comoment_registers(
+    df: DataFrame,
+    x_col,
+    y_col,
+    group_col: str = "grp",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Sharded exact CO-MOMENT registers — the bivariate sibling of the
+    moment store (a39): per (group, shard) keep exact integer sums
+    n, Sx, Sy, Sxy, Sxx, Syy over integer-quantized (x, y), and any
+    window's covariance / Pearson correlation derives from shard
+    ADDITION alone: cov = (n·Sxy − Sx·Sy)/n², r = (n·Sxy − Sx·Sy) /
+    √(n·Sxx − Sx²) / √(n·Syy − Sy²). The merge is addition, so shards
+    are associative, commutative, and replayable by any engine — at
+    100 TB the feature⋈target drift monitor never rescans history.
+
+    Callers pass ALREADY-QUANTIZED integer x/y columns — quantization
+    is the store's declared precision, and choosing the unit is how
+    the int64 envelope is sized: per shard, n·max(x²), n·max(y²) and
+    n·max(|x·y|) must each stay below 2^63 (the a39 precondition,
+    squared terms dominate). Downstream merges should accumulate in
+    DECIMAL(38,0) — the derived statistics are ratios, so scale never
+    cancels exactness.
+
+    One map-side-combined shuffle on (group, shard) builds the store.
+    """
+    x = x_col if not isinstance(x_col, str) else F.col(x_col)
+    y = y_col if not isinstance(y_col, str) else F.col(y_col)
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(shard_col).alias("shard"),
+            x.alias("x"),
+            y.alias("y"),
+        )
+        .groupBy("grp", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )

@@ -1801,3 +1801,128 @@ def a40_quantile_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("value") * 100).cast("bigint")
     base = ev.select(F.col("event_type").alias("grp"), cents.alias("c"))
     return quantile_store_close(merged, base)
+
+
+_A41_ORACLE = """
+    WITH b AS (
+        SELECT l_returnflag AS grp,
+               date_trunc('month', l_shipdate) AS shard,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    shards AS (
+        SELECT grp, shard, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM b GROUP BY grp, shard
+    ),
+    merged AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS n_shards,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(sx) AS BIGINT) AS sx,
+               CAST(SUM(sy) AS BIGINT) AS sy,
+               SUM(CAST(sxy AS HUGEINT)) AS msxy,
+               SUM(CAST(sxx AS HUGEINT)) AS msxx,
+               SUM(CAST(syy AS HUGEINT)) AS msyy
+        FROM shards GROUP BY grp
+    ),
+    direct AS (
+        SELECT grp, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM b GROUP BY grp
+    )
+    SELECT m.grp AS l_returnflag, m.n_shards, m.n, m.sx, m.sy,
+           CAST(m.msxy AS VARCHAR) AS sxy_str,
+           CAST(m.msxx AS VARCHAR) AS sxx_str,
+           CAST(m.msyy AS VARCHAR) AS syy_str,
+           ROUND(
+               (CAST(m.n AS DOUBLE) * CAST(m.msxy AS DOUBLE)
+                - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE))
+               / sqrt(CAST(m.n AS DOUBLE) * CAST(m.msxx AS DOUBLE)
+                      - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE))
+               / sqrt(CAST(m.n AS DOUBLE) * CAST(m.msyy AS DOUBLE)
+                      - CAST(m.sy AS DOUBLE) * CAST(m.sy AS DOUBLE)),
+               6) AS corr_r,
+           (m.n = d.n AND m.sx = d.sx AND m.sy = d.sy
+            AND m.msxy = d.sxy AND m.msxx = d.sxx AND m.msyy = d.syy)
+               AS merge_exact
+    FROM merged m JOIN direct d USING (grp)
+    """
+
+
+@query("a41_comoment_store", oracle=_A41_ORACLE, extra=True)
+def a41_comoment_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable mergeable CO-MOMENT store (operators/analytics.
+    comoment_registers) — the bivariate member of the store family
+    (a37 distinct, a39 moments, a40 quantiles): month shards of exact
+    integer sums (n, Sx, Sy, Sxy, Sxx, Syy) over (quantity,
+    price-in-cents) per return flag, merged by plain ADDITION, with
+    the Pearson correlation derived from merged registers — the
+    feature⋈target drift readout that never rescans history. Merged
+    squared-sum registers ride DECIMAL(38,0) (the a39 int64 envelope
+    lesson applied up front: y² sums pass 2^63 around 1e5 rows/group
+    at ~$10k prices) and are EMITTED AS STRINGS so the hash gate pins
+    them exactly beyond double's 2^53 (a double cast of a 6e18
+    register could legitimately differ by one engine ulp). The
+    in-query ``merge_exact`` proves shard-merge ≡ direct single-pass;
+    corr_r is the one derived double, rounded 6dp after IEEE
+    correctly-rounded cast/sqrt/divide. Correlation derivation from
+    planted registers is pinned against plain statistics in
+    tests/test_planted_defects.py (the t28 lesson)."""
+    from kaylee_spark.operators.analytics import comoment_registers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.date_trunc("month", F.col("l_shipdate")).alias("shard"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    shards = comoment_registers(base, "x", "y")
+    d38 = "decimal(38,0)"
+    merged = shards.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum(F.col("sxy").cast(d38)).alias("msxy"),
+        F.sum(F.col("sxx").cast(d38)).alias("msxx"),
+        F.sum(F.col("syy").cast(d38)).alias("msyy"),
+    )
+    direct = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("dn"),
+        F.sum("x").alias("dsx"),
+        F.sum("y").alias("dsy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("dsxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("dsxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("dsyy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("msxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    dx = F.sqrt(nd * F.col("msxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    dy = F.sqrt(nd * F.col("msyy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    return merged.join(direct, "grp").select(
+        F.col("grp").alias("l_returnflag"),
+        "n_shards",
+        "n",
+        "sx",
+        "sy",
+        F.col("msxy").cast("string").alias("sxy_str"),
+        F.col("msxx").cast("string").alias("sxx_str"),
+        F.col("msyy").cast("string").alias("syy_str"),
+        F.round(num / dx / dy, 6).alias("corr_r"),
+        (
+            (F.col("n") == F.col("dn"))
+            & (F.col("sx") == F.col("dsx"))
+            & (F.col("sy") == F.col("dsy"))
+            & (F.col("msxy") == F.col("dsxy"))
+            & (F.col("msxx") == F.col("dsxx"))
+            & (F.col("msyy") == F.col("dsyy"))
+        ).alias("merge_exact"),
+    )

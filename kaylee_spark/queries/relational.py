@@ -1656,3 +1656,70 @@ def q38_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         (dec_sum("l_extendedprice") / 7.0).alias("avg_yearly"),
     )
+
+
+@query(
+    "q39_important_part_values",
+    oracle="""
+    WITH base AS (
+        SELECT l.l_partkey,
+               l.l_extendedprice * (1 - l.l_discount) AS rev
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_regionkey = 2
+    ),
+    per AS (
+        SELECT l_partkey,
+               ROUND(SUM(CAST(rev AS DECIMAL(24,6))), 2) AS r
+        FROM base GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(r AS DOUBLE) AS part_rev
+    FROM per
+    WHERE r * 2 * (SELECT COUNT(*) FROM per)
+          > 3 * (SELECT SUM(r) FROM per)
+    """,
+    extra=True,
+)
+def q39_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock values) — the GLOBAL-SCALAR
+    decorrelation: per-part revenue from one region's suppliers, kept
+    when it exceeds a fraction of the WHOLE filtered set's aggregate.
+    Q11's fixed 0.0001 cut is SF-calibrated, so here the cut is
+    scale-free — parts above 1.5× the AVERAGE per-part revenue
+    (r > 1.5·total/P ⟺ 2·r·P > 3·total, exact decimal·integer
+    arithmetic on both engines; no double sits on the boundary). The
+    oracle runs the scalar subqueries natively; the engine computes
+    the two global scalars ONCE and broadcasts them.
+
+    Plan shape at 100 TB: supplier⋈nation prunes to one region and
+    arrives broadcast to the single lineitem scan; per-part revenue is
+    one map-side-combined aggregate; the (total, count) pair is a
+    1-row aggregate OF THE AGGREGATE (never a second fact scan) that
+    returns via a broadcast nested-loop on a single row — the
+    decorrelated Q11 plan, no per-row subquery, no re-aggregation.
+    The per-part frame is localCheckpointed so the scalar branch and
+    the output branch share one computed aggregate instead of
+    replaying the join+agg twice (Spark has no common-subplan reuse)."""
+    nat = load_table(spark, sf_dir, "nation").where(F.col("n_regionkey") == 2)
+    sup = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per = (
+        li.join(F.broadcast(sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum(dec(rev)), 2).alias("r"))
+        .localCheckpoint()
+    )
+    totals = per.agg(
+        F.sum("r").alias("total_r"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .where(F.col("r") * 2 * F.col("n_parts") > 3 * F.col("total_r"))
+        .select("l_partkey", F.col("r").cast("double").alias("part_rev"))
+    )

@@ -1745,3 +1745,66 @@ def e41_streamed_quantile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint as e32/e35 (the store is |types| x |buckets|
     # rows — tiny)
     return quantile_store_close(merged.localCheckpoint(), base)
+
+
+def _a39_shared_oracle() -> str:
+    from kaylee_spark.queries.advanced import _A39_ORACLE
+
+    return _A39_ORACLE
+
+
+@query("e42_streamed_moment_ingest", oracle=_a39_shared_oracle(), extra=True)
+def e42_streamed_moment_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The moment store fed by a TRUE stream — completing the
+    store × ingest matrix (a37/e35 distinct, a40/e41 quantile,
+    a39/THIS moments): readStream -> daily tumbling (event_type)
+    exact power-sum shards (streaming/moment_day_shards — n, S1, S2
+    in cents) drained to the store, then closed with the SAME merge
+    + direct-comparison arithmetic as a39 (oracle shared verbatim),
+    so the streamed-ingest path is hash-verified to produce
+    bit-identical registers to the batch path, and a39's merge_exact
+    boolean now ALSO proves streamed-shards ≡ batch-raw sums. At
+    100 TB the stream maintains three integers per type per day and
+    any window's mean/variance never rescans events.
+
+    Two slices per trigger: SUM shards are owned by disjoint day
+    windows and complete-mode re-emission replaces, so batch sizing
+    is purely an overhead dial (same amortization note as e35/e41)."""
+    drained = _drain_staged_stream(
+        spark,
+        sf_dir,
+        lambda ST, staged: ST.run_to_memory(
+            ST.moment_day_shards(ST.events_stream(spark, staged, files_per_trigger=2)),
+            output_mode="complete",
+        ),
+    )
+    merged = drained.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_day").alias("n"),
+        F.sum("s1_day").alias("s1_cents"),
+        F.sum("s2_day").alias("s2_cents"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    direct = (
+        ev.select(F.col("event_type").alias("grp"), cents.alias("c"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("dn"),
+            F.sum("c").alias("ds1"),
+            F.sum(F.col("c") * F.col("c")).alias("ds2"),
+        )
+    )
+    # memory-sink lineage + self-join disambiguation (e32/e35/e41 note)
+    return merged.localCheckpoint().join(direct, "grp").select(
+        F.col("grp").alias("event_type"),
+        "n_days",
+        "n",
+        "s1_cents",
+        "s2_cents",
+        (
+            (F.col("n") == F.col("dn"))
+            & (F.col("s1_cents") == F.col("ds1"))
+            & (F.col("s2_cents") == F.col("ds2"))
+        ).alias("merge_exact"),
+    )

@@ -697,3 +697,32 @@ def quantile_day_buckets(events: DataFrame, watermark: str = "2 hours") -> DataF
         .agg(F.count(F.lit(1)).alias("n_day"))
         .select(F.col("w.start").alias("window_start"), "grp", "b", "n_day")
     )
+
+
+def moment_day_shards(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streamed ingestion leg of the moment store (a39): per
+    (event_type, day) exact integer power sums (n, S1 = Σc, S2 = Σc²,
+    c = value in cents) over daily tumbling event-time windows — the
+    mergeable register shards the batch operator
+    (operators/analytics.py moment_registers) builds. The cents
+    quantization is the shared row-local pipeline, so streamed shards
+    are bit-identical to batch-built ones. State key cardinality =
+    |types| × |days in watermark horizon|; sums merge by addition
+    downstream, and a (type, day) cell is owned by exactly one window,
+    so complete-mode emission replays exact registers. Same int64
+    envelope precondition as the batch operator (S2 < 2^63 per shard).
+    """
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        events.select(F.col("event_type").alias("grp"), F.col("ts"), cents.alias("c"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_day"),
+            F.sum("c").alias("s1_day"),
+            F.sum(F.col("c") * F.col("c")).alias("s2_day"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "grp", "n_day", "s1_day", "s2_day"
+        )
+    )

@@ -35,6 +35,8 @@ Family coverage:
   implementation of the leaky recurrence on a planted graph.
 - Quantile store (a40/e41): derived p50/p90/p99 fenceposts vs a
   hand-computed fixture + day re-shard invariance.
+- Co-moment store (a41): derived Pearson r vs statistics.correlation
+  on a hand-computable fixture + shard-merge reproduction.
 
 Exemptions (formula-twinned but already pinned elsewhere): e22's
 linear interpolation (hand-computed gap/edge/tie cases in
@@ -603,3 +605,38 @@ def test_quantile_store_hand_computed(spark):
     # metamorphic re-shard: swap one value across days, same multiset
     reshard = run([(1, d1[:3] + [d2[0]]), (2, d2[1:] + d1[3:])])
     assert reshard == row, reshard
+
+
+# ------------------------------------------------ co-moment store (a41)
+
+
+def test_comoment_store_derives_known_correlation(spark):
+    """a41's registers share their formula with the oracle, so the
+    DERIVED correlation needs an independent check: on a
+    hand-computable fixture, Pearson r derived from merged registers
+    must equal statistics.correlation, and merging the two shards
+    must reproduce the single-pass registers."""
+    import statistics
+
+    from kaylee_spark.operators.analytics import comoment_registers
+
+    xs = [1, 2, 3, 4, 10]
+    ys = [2, 4, 7, 8, 18]
+    rows = [("g", i % 2, x, y) for i, (x, y) in enumerate(zip(xs, ys))]
+    df = spark.createDataFrame(rows, "grp string, shard int, x long, y long")
+    shards = comoment_registers(df, "x", "y").collect()
+    assert len(shards) == 2
+    n = sum(r["n"] for r in shards)
+    sx = sum(r["sx"] for r in shards)
+    sy = sum(r["sy"] for r in shards)
+    sxy = sum(r["sxy"] for r in shards)
+    sxx = sum(r["sxx"] for r in shards)
+    syy = sum(r["syy"] for r in shards)
+    assert (n, sx, sy, sxy, sxx, syy) == (
+        5, sum(xs), sum(ys),
+        sum(a * b for a, b in zip(xs, ys)),
+        sum(a * a for a in xs), sum(b * b for b in ys),
+    )
+    num = n * sxy - sx * sy
+    r = num / ((n * sxx - sx * sx) ** 0.5 * (n * syy - sy * sy) ** 0.5)
+    assert r == pytest.approx(statistics.correlation(xs, ys), rel=1e-12)
