@@ -1808,3 +1808,125 @@ def e42_streamed_moment_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("s2_cents") == F.col("ds2"))
         ).alias("merge_exact"),
     )
+
+
+_E43_ORACLE = """
+    WITH b AS (
+        SELECT event_type AS grp, date_trunc('day', ts) AS day,
+               CAST(ROUND(value * 100) AS BIGINT) AS x,
+               CAST(datepart('hour', ts) * 60
+                    + datepart('minute', ts) AS BIGINT) AS y
+        FROM events
+    ),
+    shards AS (
+        SELECT grp, day, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM b GROUP BY grp, day
+    ),
+    merged AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(sx) AS BIGINT) AS sx,
+               CAST(SUM(sy) AS BIGINT) AS sy,
+               SUM(CAST(sxy AS HUGEINT)) AS msxy,
+               SUM(CAST(sxx AS HUGEINT)) AS msxx,
+               SUM(CAST(syy AS HUGEINT)) AS msyy
+        FROM shards GROUP BY grp
+    ),
+    direct AS (
+        SELECT grp, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM b GROUP BY grp
+    )
+    SELECT m.grp AS event_type, m.n_days, m.n, m.sx, m.sy,
+           CAST(m.msxy AS VARCHAR) AS sxy_str,
+           CAST(m.msxx AS VARCHAR) AS sxx_str,
+           CAST(m.msyy AS VARCHAR) AS syy_str,
+           ROUND(
+               (CAST(m.n AS DOUBLE) * CAST(m.msxy AS DOUBLE)
+                - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE))
+               / sqrt(CAST(m.n AS DOUBLE) * CAST(m.msxx AS DOUBLE)
+                      - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE))
+               / sqrt(CAST(m.n AS DOUBLE) * CAST(m.msyy AS DOUBLE)
+                      - CAST(m.sy AS DOUBLE) * CAST(m.sy AS DOUBLE)),
+               6) AS corr_r,
+           (m.n = d.n AND m.sx = d.sx AND m.sy = d.sy
+            AND m.msxy = d.sxy AND m.msxx = d.sxx AND m.msyy = d.syy)
+               AS merge_exact
+    FROM merged m JOIN direct d USING (grp)
+    """
+
+
+@query("e43_streamed_comoment_ingest", oracle=_E43_ORACLE, extra=True)
+def e43_streamed_comoment_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-moment store fed by a TRUE stream — a41's mechanics on
+    the events stream (x = value cents, y = minute-of-day: the
+    diurnal-correlation drift readout): readStream -> daily tumbling
+    exact co-moment shards (streaming/comoment_day_shards) drained to
+    the store, merged in DECIMAL(38,0) by addition, Pearson r derived
+    from merged registers, and the in-query merge_exact comparing the
+    streamed-merged registers against a batch single-pass over the
+    same fixture — so the streamed-ingest path is hash-verified
+    register-exact. Squared-sum registers are emitted as strings to
+    stay exact past 2^53 (the a41 convention). The store x ingest
+    matrix is now complete in both directions: distinct a37/e35,
+    moments a39/e42, quantiles a40/e41, co-moments a41/THIS."""
+    drained = _drain_staged_stream(
+        spark,
+        sf_dir,
+        lambda ST, staged: ST.run_to_memory(
+            ST.comoment_day_shards(
+                ST.events_stream(spark, staged, files_per_trigger=2)
+            ),
+            output_mode="complete",
+        ),
+    )
+    d38 = "decimal(38,0)"
+    merged = drained.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_day").alias("n"),
+        F.sum("sx_day").alias("sx"),
+        F.sum("sy_day").alias("sy"),
+        F.sum(F.col("sxy_day").cast(d38)).alias("msxy"),
+        F.sum(F.col("sxx_day").cast(d38)).alias("msxx"),
+        F.sum(F.col("syy_day").cast(d38)).alias("msyy"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("bigint")
+    y = (F.hour("ts") * 60 + F.minute("ts")).cast("bigint")
+    base = ev.select(F.col("event_type").alias("grp"), x.alias("x"), y.alias("y"))
+    direct = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("dn"),
+        F.sum("x").alias("dsx"),
+        F.sum("y").alias("dsy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("dsxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("dsxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("dsyy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("msxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    dx = F.sqrt(nd * F.col("msxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    dy = F.sqrt(nd * F.col("msyy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    # memory-sink lineage + self-join disambiguation (e32/e35/e41 note)
+    return merged.localCheckpoint().join(direct, "grp").select(
+        F.col("grp").alias("event_type"),
+        "n_days",
+        "n",
+        "sx",
+        "sy",
+        F.col("msxy").cast("string").alias("sxy_str"),
+        F.col("msxx").cast("string").alias("sxx_str"),
+        F.col("msyy").cast("string").alias("syy_str"),
+        F.round(num / dx / dy, 6).alias("corr_r"),
+        (
+            (F.col("n") == F.col("dn"))
+            & (F.col("sx") == F.col("dsx"))
+            & (F.col("sy") == F.col("dsy"))
+            & (F.col("msxy") == F.col("dsxy"))
+            & (F.col("msxx") == F.col("dsxx"))
+            & (F.col("msyy") == F.col("dsyy"))
+        ).alias("merge_exact"),
+    )

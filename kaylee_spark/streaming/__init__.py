@@ -726,3 +726,45 @@ def moment_day_shards(events: DataFrame, watermark: str = "2 hours") -> DataFram
             F.col("w.start").alias("window_start"), "grp", "n_day", "s1_day", "s2_day"
         )
     )
+
+
+def comoment_day_shards(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streamed ingestion leg of the co-moment store (a41's mechanics
+    on the events stream): per (event_type, day) exact integer sums
+    (n, Sx, Sy, Sxy, Sxx, Syy) over x = value-in-cents and
+    y = minute-of-day — the diurnal-correlation drift readout — over
+    daily tumbling event-time windows. Both coordinates are row-local
+    integer projections, so streamed shards are bit-identical to
+    batch-built ones; sums merge by addition downstream and a
+    (type, day) cell is owned by one window, so complete-mode
+    emission replays exact registers. Int64 envelope: x² ≤ 2.4e9 per
+    row at the fixture's value domain — ~3.8e9 rows per (type, day)
+    shard before 2^63.
+    """
+    x = F.round(F.col("value") * 100).cast("bigint")
+    y = (F.hour("ts") * 60 + F.minute("ts")).cast("bigint")
+    return (
+        events.select(
+            F.col("event_type").alias("grp"), F.col("ts"), x.alias("x"), y.alias("y")
+        )
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_day"),
+            F.sum("x").alias("sx_day"),
+            F.sum("y").alias("sy_day"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy_day"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx_day"),
+            F.sum(F.col("y") * F.col("y")).alias("syy_day"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "grp",
+            "n_day",
+            "sx_day",
+            "sy_day",
+            "sxy_day",
+            "sxx_day",
+            "syy_day",
+        )
+    )

@@ -252,3 +252,17 @@ def test_q38_one_scan_decorrelation(spark, sf_dir, registry):
     assert "BroadcastHashJoin" in p, p
     assert "Window" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_q39_single_aggregate_scalar_broadcast(spark, sf_dir, registry):
+    """q39's global-scalar decorrelation must compute the per-part
+    aggregate ONCE (localCheckpoint shares it between the scalar
+    branch and the output branch — no second lineitem scan) and
+    return the 1-row (total, count) via a broadcast, never a shuffle
+    or a per-row subquery."""
+    p = plan_of(registry["q39_important_part_values"].fn(spark, sf_dir))
+    assert len(re.findall(r"Location: InMemoryFileIndex \[\S*lineitem", p)) == 0, (
+        "scalar branch re-scans lineitem — localCheckpoint reuse broke"
+    )
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
