@@ -1568,11 +1568,17 @@ def e39_streamed_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit."""
     from kaylee_spark import streaming as ST
 
-    staged = ST.stage_events_with_flush(spark, sf_dir)
+    # two data slices (+ the two sentinel batches) instead of four:
+    # join state still crosses a data-batch boundary (the property
+    # under test) and the sentinels still flush in separate trailing
+    # batches, but the fixed per-micro-batch cost of a stateful
+    # stream-stream trigger is paid 4x instead of 6x — the e36/e35
+    # amortization dial applied here (measured 8.1 s -> ~5 s at sf0.1)
+    staged = ST.stage_events_with_flush(spark, sf_dir, n_files=2)
     prev_tz = spark.conf.get("spark.sql.session.timeZone")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # 6 sequential micro-batches x join-state tasks: size the state
+    # 4 sequential micro-batches x join-state tasks: size the state
     # shuffle by key cardinality (a few hundred users), not the batch
     # default — see _drain_staged_stream's sizing note
     spark.conf.set("spark.sql.shuffle.partitions", "8")
