@@ -198,6 +198,16 @@ PROBE_QUERIES = (
     # a35: the Arrow-kernel profile recurs per doc copy (offset ids
     # give 10x real rows through the RecordBatch path)
     "a35_arrow_batch_stats",
+    # round-13 mergeable stores: x10 is where the integer register
+    # envelopes earn their keep — a39's per-shard S2 and a41/q39's
+    # DECIMAL(38,0)/HUGEINT merges see 10x the magnitude, and the
+    # merge_exact booleans re-prove shard-merge ≡ direct on real new
+    # data; q38's 5·n·q < Σq threshold sees 10x the per-part counts
+    "a39_moment_store",
+    "a40_quantile_store",
+    "a41_comoment_store",
+    "q38_small_quantity_revenue",
+    "q39_important_part_values",
     # t31: training invariance (t28's argument) plus the apply chain
     # over 10x real docs — per-doc counts are new arithmetic, not
     # repeats, because the offset ids join nothing
