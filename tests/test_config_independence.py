@@ -260,3 +260,54 @@ def test_round7_timestamp_queries_session_tz_independent(spark, sf_dir, name):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "a39_moment_store",
+        "a40_quantile_store",
+        "a41_comoment_store",
+        "q38_small_quantity_revenue",
+        "q39_important_part_values",
+    ],
+)
+def test_round13_results_identical_across_shuffle_partition_counts(
+    spark, sf_dir, name
+):
+    """The mergeable stores' whole claim is partition-independence —
+    integer/decimal registers merged by a commutative monoid must be
+    bit-identical at any shuffle width; the q38/q39 decorrelations'
+    exact thresholds likewise cannot depend on partial-agg merge
+    order."""
+    fn = REG[name].fn
+    want = _rows(fn(spark, sf_dir))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        got = _rows(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q38_small_quantity_revenue", "q39_important_part_values"],
+)
+def test_round13_results_identical_without_broadcast_or_aqe(spark, sf_dir, name):
+    """The decorrelations hint broadcasts; with broadcast disabled the
+    planner falls back to shuffle joins and the results must not
+    move."""
+    fn = REG[name].fn
+    want = _rows(fn(spark, sf_dir))
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        got = _rows(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert got == want
