@@ -749,3 +749,87 @@ def label_propagation(
             break
     edges.unpersist()
     return labels.select("id", F.col("label").alias("community"))
+
+
+def connected_components(
+    edges: DataFrame, iterations: int = 3, shuffle_partitions: int | None = None
+) -> DataFrame:
+    """Fixed-iteration HASH-MIN connected components over a (src, dst)
+    bigint edge list, treated as UNDIRECTED (the edge list is
+    symmetrized internally):
+
+        label_0(v)   = v
+        label_{k+1}(v) = min(label_k(v), min_{u ~ v} label_k(u))
+
+    After k iterations every node carries the minimum node id within
+    k hops — the standard BSP components algorithm (Pregel's hello
+    world). Convergence needs diameter iterations; like pagerank/hits
+    this runs a FIXED k so the result is deterministic and
+    oracle-replayable, and emits enough for the caller to detect
+    convergence (``prev``/``cur`` label frames — zero diffs means a
+    fixed point). All arithmetic is integer MIN, bit-exact in any
+    engine and under any partitioning.
+
+    Returns (id, lbl, prev_lbl): the k-iteration label and the
+    (k-1)-iteration label per node.
+
+    Scale shape: the symmetrized edge list and node set are cached
+    loop invariants (the iterative-algorithm standard); each iteration
+    is ONE key-on-key join + min-aggregate, both shuffling on node id
+    so AQE reuses the exchange; ``shuffle_partitions`` pins the width
+    for the whole trajectory (the g01 sizing note: state per step is
+    |nodes|, not cluster-sized). At 100 TB use the alternating
+    large-star/small-star variant to cut rounds; the register
+    arithmetic is unchanged.
+    """
+    if iterations < 1:
+        raise ValueError(f"connected_components requires iterations >= 1, got {iterations}")
+    if shuffle_partitions is not None:
+        spark = edges.sparkSession
+        prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        try:
+            out, caches = _cc_loop(edges, iterations)
+            out = out.cache()
+            out.count()
+            for c in caches:
+                c.unpersist()
+            return out
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
+    out, _ = _cc_loop(edges, iterations)
+    return out
+
+
+def _cc_loop(edges: DataFrame, iterations: int):
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    nodes = sym.select(F.col("src").alias("id")).distinct().cache()
+    lbl = nodes.select("id", F.col("id").alias("lbl"))
+    prev = lbl
+    for _ in range(iterations):
+        prev = lbl
+        neigh = (
+            sym.join(
+                lbl.select(F.col("id").alias("dst"), F.col("lbl").alias("nlbl")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("nlbl").alias("mn"))
+        )
+        lbl = (
+            nodes.join(lbl, "id")
+            .join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce(F.col("mn"), F.col("lbl"))).alias("lbl"),
+            )
+        )
+    out = lbl.join(
+        prev.select(F.col("id").alias("id"), F.col("lbl").alias("prev_lbl")), "id"
+    )
+    return out, [sym, nodes]

@@ -417,3 +417,75 @@ def g07_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return label_propagation(edges, rounds=3, shuffle_partitions=8)
+
+
+def _cc_oracle(iterations: int = 3) -> str:
+    steps = []
+    prev = "l0"
+    for k in range(1, iterations + 1):
+        steps.append(
+            f"""l{k} AS (
+        SELECT n.id, LEAST(n.lbl, COALESCE(MIN(x.lbl), n.lbl)) AS lbl
+        FROM {prev} n
+        LEFT JOIN sym e ON e.src = n.id
+        LEFT JOIN {prev} x ON x.id = e.dst
+        GROUP BY n.id, n.lbl
+    )"""
+        )
+        prev = f"l{k}"
+    last, before = f"l{iterations}", f"l{iterations - 1}"
+    return f"""
+    WITH edges0 AS (
+        SELECT DISTINCT o_custkey AS src,
+               l_suppkey + {SUPPLIER_OFFSET} AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    sym AS (
+        SELECT src, dst FROM edges0
+        UNION
+        SELECT dst AS src, src AS dst FROM edges0
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM sym),
+    l0 AS (SELECT id, id AS lbl FROM nodes),
+    {', '.join(steps)},
+    chg AS (
+        SELECT CAST(SUM(CASE WHEN a.lbl <> b.lbl THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_changed
+        FROM {last} a JOIN {before} b USING (id)
+    )
+    SELECT lbl AS component, CAST(COUNT(*) AS BIGINT) AS n_members,
+           (SELECT n_changed FROM chg) = 0 AS converged
+    FROM {last}
+    GROUP BY lbl
+    """
+
+
+@query("g08_connected_components", oracle=_cc_oracle(3), extra=True)
+def g08_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration hash-min CONNECTED COMPONENTS over the
+    (undirected) customer↔supplier demand graph — the BSP components
+    classic g04's single-source BFS and g07's mode-label propagation
+    don't cover: every node converges to the MINIMUM id reachable
+    within k hops, so the emitted histogram is the k-hop component
+    structure, plus ``converged`` (no label moved in the last
+    iteration ⇒ a fixed point was reached and the histogram is the
+    TRUE component decomposition). The oracle unrolls the identical
+    min-label passes, so the hash gate pins the whole trajectory —
+    integer MIN arithmetic is bit-exact in any engine
+    (operators/graph.py connected_components; shuffle width pinned to
+    8 per the g01 iterative-floor note)."""
+    from kaylee_spark.operators.graph import connected_components
+
+    edges = customer_supplier_edges(spark, sf_dir)
+    labeled = connected_components(edges, iterations=3, shuffle_partitions=8)
+    flag = labeled.select(
+        F.sum(F.when(F.col("lbl") != F.col("prev_lbl"), 1).otherwise(0)).alias(
+            "n_changed"
+        )
+    )
+    return (
+        labeled.groupBy(F.col("lbl").alias("component"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .crossJoin(F.broadcast(flag))
+        .select("component", "n_members", (F.col("n_changed") == 0).alias("converged"))
+    )

@@ -37,6 +37,9 @@ Family coverage:
   hand-computed fixture + day re-shard invariance.
 - Co-moment store (a41): derived Pearson r vs statistics.correlation
   on a hand-computable fixture + shard-merge reproduction.
+- Connected components (g08): hand-derived k-hop min labels on a
+  planted two-component graph, including the not-yet-converged state
+  and the fixed point one iteration later.
 
 Exemptions (formula-twinned but already pinned elsewhere): e22's
 linear interpolation (hand-computed gap/edge/tie cases in
@@ -640,3 +643,39 @@ def test_comoment_store_derives_known_correlation(spark):
     num = n * sxy - sx * sy
     r = num / ((n * sxx - sx * sx) ** 0.5 * (n * syy - sy * sy) ** 0.5)
     assert r == pytest.approx(statistics.correlation(xs, ys), rel=1e-12)
+
+
+# ---------------------------------------------- connected components (g08)
+
+
+def test_connected_components_planted_graph(spark):
+    """g08's oracle unrolls the engine's own min-label passes; this
+    pins the SEMANTICS on a planted graph with two components and a
+    path long enough that 2 iterations have NOT converged but 3 have:
+    path 1-2-3-4-5 (component min 1) and triangle 10-11-12 (min 10).
+    Ground truth by hand: after k iterations each node holds the min
+    id within k hops; node 5 needs 3 hops to learn about 1... wait: 4
+    hops — so after 3 iterations node 5 holds label 2 (3 hops away)
+    and the run must report converged = False; the component
+    histogram is therefore {1: 4, 2: 1, 10: 3}."""
+    from kaylee_spark.operators.graph import connected_components
+
+    edge_list = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r["id"]: (r["lbl"], r["prev_lbl"])
+        for r in connected_components(edges, iterations=3).collect()
+    }
+    # hand-derived: lbl_k(v) = min id within k hops (undirected)
+    want_l3 = {1: 1, 2: 1, 3: 1, 4: 1, 5: 2, 10: 10, 11: 10, 12: 10}
+    want_l2 = {1: 1, 2: 1, 3: 1, 4: 2, 5: 3, 10: 10, 11: 10, 12: 10}
+    assert {k: v[0] for k, v in got.items()} == want_l3
+    assert {k: v[1] for k, v in got.items()} == want_l2
+    # one more iteration reaches the fixed point
+    done = {
+        r["id"]: (r["lbl"], r["prev_lbl"])
+        for r in connected_components(edges, iterations=4).collect()
+    }
+    assert {k: v[0] for k, v in done.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10,
+    }
