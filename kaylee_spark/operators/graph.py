@@ -312,7 +312,7 @@ def coorder_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def triangle_stats(edges: DataFrame) -> DataFrame:
+def triangle_stats(edges: DataFrame, shuffle_partitions: int | None = None) -> DataFrame:
     """Exact triangle counting by degree orientation (compact-forward)
     over an undirected (u, v) edge list with u < v and no duplicates.
 
@@ -335,7 +335,30 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     are pulled via driver actions and folded into a literal row
     (1-row frames attached by join plan as BroadcastNestedLoopJoin —
     the constant-folding trap documented in pagerank).
+
+    The wedge stream is NEVER materialized: both the wedge count and
+    the triangle count come from ONE left-join aggregation pass over
+    it (count(*) = wedges, count(matched edge key) = closed wedges),
+    so the O(m^1.5) intermediate flows straight through a streaming
+    aggregate — previously it was cached and traversed twice, which
+    re-ran the dominant join AND held the whole wedge set (41M rows
+    at sf0.1) in executor storage; measured warm solo at sf0.1:
+    9.8 s -> 7.9 s, identical counts. ``shuffle_partitions`` pins the
+    width across the multi-action sequence (the g01 sizing note — a
+    vanilla session's 200 partitions pay overhead per action on a
+    fixture-sized graph).
     """
+    if shuffle_partitions is not None:
+        spark = edges.sparkSession
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        try:
+            # all scalars are pulled by driver actions inside, so the
+            # pinned scope covers every shuffle; the returned row is
+            # pure literals and safe to use after the conf restore
+            return triangle_stats(edges)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     edges = edges.select("u", "v").cache()
     deg = (
         edges.select(F.col("u").alias("n"))
@@ -359,25 +382,35 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     )
     e1 = oriented.select("src", F.col("dst").alias("x"))
     e2 = oriented.select("src", F.col("dst").alias("y"))
-    wedges = (
-        e1.join(e2, "src").filter(F.col("x") < F.col("y")).select("x", "y")
-    ).cache()
-    n_wedges = wedges.count()
-    # inner join, not semi: the same (x, y) endpoint pair can appear
-    # under many srcs and each such wedge closes its own triangle;
-    # (u, v) is unique in edges, so the join multiplies each wedge row
-    # by exactly 0 or 1
-    n_tri = wedges.join(
-        edges.select(F.col("u").alias("_eu"), F.col("v").alias("_ev")),
-        (F.col("_eu") == F.least("x", "y")) & (F.col("_ev") == F.greatest("x", "y")),
-    ).count()
+    wedges = e1.join(e2, "src").filter(F.col("x") < F.col("y")).select("x", "y")
+    # LEFT join, not semi/inner counts in two passes: the same (x, y)
+    # endpoint pair can appear under many srcs and each such wedge
+    # closes its own triangle; (u, v) is unique in edges, so the join
+    # multiplies each wedge row by exactly 0 or 1 — count(*) is the
+    # wedge count, count(_eu) the closed-wedge (triangle) count, both
+    # from ONE streaming pass with no wedge materialization. The
+    # wedge filter guarantees x < y and edges carry u < v, so the
+    # join keys are plain equi-columns.
+    agg = (
+        wedges.join(
+            edges.select(F.col("u").alias("_eu"), F.col("v").alias("_ev")),
+            (F.col("_eu") == F.col("x")) & (F.col("_ev") == F.col("y")),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_wedges"),
+            F.count("_eu").alias("n_triangles"),
+        )
+        .first()
+    )
+    n_wedges, n_tri = agg["n_wedges"], agg["n_triangles"]
     n_nodes = deg.count()
     n_edges = edges.count()
     spark = edges.sparkSession
     # the returned row is pure literals — nothing downstream depends
     # on the caches, so release them (repeated registry runs in one
     # session otherwise accumulate executor storage).
-    for c in (wedges, oriented, edges):
+    for c in (oriented, edges):
         c.unpersist()
     return spark.range(1).select(
         F.lit(n_nodes).cast("bigint").alias("n_nodes"),

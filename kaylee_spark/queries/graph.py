@@ -174,9 +174,11 @@ def g03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket projection of lineitem) via degree-oriented compact-forward
     counting (operators/graph.triangle_stats): every out-degree is
     bounded by O(sqrt(m)) after orientation, so the wedge join costs
-    O(m^1.5) instead of the celebrity-quadratic naive Σdeg². One row:
+    O(m^1.5) instead of the celebrity-quadratic naive Σdeg²; wedge and
+    triangle counts come from ONE un-materialized left-join pass
+    (shuffle width pinned per the g01 iterative-floor note). One row:
     nodes, edges, oriented wedges, triangles."""
-    return triangle_stats(coorder_part_edges(spark, sf_dir))
+    return triangle_stats(coorder_part_edges(spark, sf_dir), shuffle_partitions=16)
 
 
 def _bfs_oracle(max_hops: int = 3) -> str:
