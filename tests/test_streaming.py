@@ -596,3 +596,74 @@ def test_flush_staging_contract(spark):
     for n in parts[:4]:
         t = pq.read_table(os.path.join(staged, n), columns=["user_id"])
         assert min(t.column("user_id").to_pylist()) >= 0
+
+
+@pytest.mark.parametrize(
+    "builder,keycols",
+    [
+        ("quantile_day_buckets", ("window_start", "grp", "b")),
+        ("moment_day_shards", ("window_start", "grp")),
+        ("comoment_day_shards", ("window_start", "grp")),
+    ],
+)
+def test_store_ingest_restart_no_double_count(
+    spark, events_dir, tmp_path, builder, keycols
+):
+    """The round-13 store-ingest legs (e41 quantile buckets, e42
+    moment sums, e43 co-moment sums) must survive a mid-stream
+    kill-and-resume without double-counting: windowed COUNT/SUM state
+    recovers from the checkpoint, the offset log prevents re-reading
+    committed files, and the complete-mode overwrite landing is
+    idempotent — the recovered store equals batch-built shards
+    EXACTLY (integer registers, so equality is exact, not approx)."""
+    import time
+
+    fn = getattr(ST, builder)
+    out = str(tmp_path / f"store_{builder}")
+    ckpt = str(tmp_path / f"ckpt_{builder}")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+    def start():
+        shards = fn(ST.events_stream(spark, events_dir, files_per_trigger=1))
+
+        def land(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(out)
+
+        return (
+            shards.writeStream.outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(land)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p["batchId"] >= 1:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    q2.awaitTermination()
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    def keyed(df):
+        rows = df.collect()
+        return {
+            tuple(str(r[c]) for c in keycols): tuple(
+                r[c] for c in df.columns if c not in keycols
+            )
+            for r in rows
+        }
+
+    got = keyed(spark.read.parquet(out))
+    want = keyed(fn(_batch_events(spark, events_dir), watermark="0 seconds"))
+    assert got == want
