@@ -113,6 +113,14 @@ SHOWCASE = [
     ("t33_unigram_lm_train", "unigram-LM train: per-EM-round Viterbi scan of the distinct-word table behind checkpoints; one scan per round, score dict broadcast in the UDF closure"),
     ("w09_weekly_rank_movers", "rank movers: two window axes (within-week rank, per-type lag) over ONE tiny weekly aggregate"),
     ("q37_zorder_box_scan", "Z-order box scan: both box predicates pushed to the clustered layout's parquet footer stats — scan cost tracks selectivity, not table size"),
+    ("q38_small_quantity_revenue", "Q17 shape: correlated 0.2·AVG decorrelated onto a window over the SAME partkey exchange the filtered rows need — ONE fact scan, broadcast part dim"),
+    ("q39_important_part_values", "Q11 shape: global (total, count) scalar pair aggregated from a localCheckpointed per-part frame and broadcast back — the scalar branch never re-scans the fact"),
+    ("a39_moment_store", "moment store: exact cents power sums in map-side-combined aggs; day shards merged by ADDITION; tiny per-group close"),
+    ("a40_quantile_store", "quantile store: fixed-fencepost counts merged by addition; cumulative picks, full-outer merge proof, rank-r bracket — all on group-keyed exchanges"),
+    ("a41_comoment_store", "co-moment store: six integer registers in ONE map-side agg; DECIMAL(38,0) merges emitted string-exact past 2^53"),
+    # the min-label passes live BEHIND the pinned-width materialization
+    # (the g01/g07 pattern) — the final plan is the cached label frame
+    ("g08_connected_components", "connected components: hash-min passes behind the pinned-width cache; histogram + converged flag over the cached label frame"),
 ]
 
 
@@ -206,6 +214,13 @@ MUST_CONTAIN = {
     # join (SMJ at 100 TB — same bucket key either way); "HashJoin"
     # matches broadcast/shuffled-hash and excludes BNLJ
     "a38_interval_overlap_join": ("HashJoin", "Generate"),
+    "q38_small_quantity_revenue": ("BroadcastHashJoin", "Window"),
+    # localCheckpointed per-part aggregate surfaces as Scan ExistingRDD
+    "q39_important_part_values": ("Scan ExistingRDD",),
+    "a39_moment_store": ("HashAggregate",),
+    "a40_quantile_store": ("Window", "FullOuter"),
+    "a41_comoment_store": ("HashAggregate",),
+    "g08_connected_components": ("InMemoryTableScan",),
 }
 
 
@@ -228,7 +243,9 @@ def main() -> None:
         # t13's BNLJ is the 1-row corpus-stats broadcast
         # a36's BNLJ is the control-histogram fan-out against the
         # broadcast handful of group NAMES (|arms| rows)
-        if "BroadcastNestedLoopJoin" in p and name not in ("q17_above_avg_parts", "s01_cosine_topk", "s02_lsh_ann_topk", "a16_fuzzy_join", "t13_bm25_topk", "s13_hard_negatives", "a30_ks_test", "a36_mann_whitney"):
+        # q39's BNLJ is the 1-row (total, count) scalar broadcast;
+        # g08's is the 1-row converged-flag broadcast
+        if "BroadcastNestedLoopJoin" in p and name not in ("q17_above_avg_parts", "s01_cosine_topk", "s02_lsh_ann_topk", "a16_fuzzy_join", "t13_bm25_topk", "s13_hard_negatives", "a30_ks_test", "a36_mann_whitney", "q39_important_part_values", "g08_connected_components"):
             problems.append(f"{name}: BroadcastNestedLoopJoin in plan")
         # positive assertions: the plan property each showcase exists
         # to demonstrate must actually be in the plan, so a regression
