@@ -679,3 +679,29 @@ def test_connected_components_planted_graph(spark):
     assert {k: v[0] for k, v in done.items()} == {
         1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10,
     }
+
+
+def test_ewma_truncation_invisible_at_6dp(spark):
+    """e24 truncates the weight chain at 24 lags; the operator's
+    contract says the dropped tail (< 6e-8 of total weight at
+    alpha = 0.5) vanishes under the 6dp rounding — so on a series
+    LONGER than 24 the truncated engine must still equal full
+    (untruncated) pandas ewm after rounding."""
+    import pandas as pd
+
+    from kaylee_spark.operators.timeseries import ewma
+
+    series = [float((7 * i) % 13 + 1) for i in range(30)]
+    rows = [(i, f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00", 1, v)
+            for i, v in enumerate(series)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "user_id", "value")
+    got = [
+        r["value_ewma"]
+        for r in ewma(df, "value", "ts", "user_id", alpha=0.5, max_lags=24,
+                      tiebreak_cols=["event_id"]).orderBy("event_id").collect()
+    ]
+    want = pd.Series(series).ewm(alpha=0.5, adjust=True).mean()
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert g == pytest.approx(round(float(w), 6), abs=2e-6), (i, g, w)
