@@ -830,7 +830,15 @@ def connected_components(
             return out
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
-    out, _ = _cc_loop(edges, iterations)
+    # non-pinned path: same cache hygiene as the pinned branch —
+    # materialize the result, then release the loop-invariant caches
+    # so repeated calls don't leak executor storage (ADVICE r13;
+    # mirrors triangle_stats' cache/count/unpersist sequence).
+    out, caches = _cc_loop(edges, iterations)
+    out = out.cache()
+    out.count()
+    for c in caches:
+        c.unpersist()
     return out
 
 

@@ -51,6 +51,7 @@ def a01_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS quantiles_within_bound
     FROM lineitem GROUP BY l_returnflag
     """,
+    extra=True,
 )
 def a02_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate sketches, ORACLE-GATED: HLL++ count-distinct and
@@ -589,6 +590,7 @@ def a35_arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM corrupted, customer
     WHERE levenshtein(probe_name, c_name) <= 1
     """,
+    extra=True,
 )
 def a16_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance join (entity resolution): every customer name is
@@ -913,6 +915,7 @@ def a23_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(v) AS INT) AS max_v
     FROM px GROUP BY media_id, channel
     """,
+    extra=True,
 )
 def a32_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIXEL-LEVEL image decode, end-to-end and hash-gated (closes the
@@ -1102,7 +1105,7 @@ def _welch_oracle() -> str:
     """
 
 
-@query("a26_welch_ttest", oracle=_welch_oracle(), extra=True)
+@query("a26_welch_ttest", oracle=_welch_oracle())
 def a26_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout: Welch's unequal-variance t-test of every
     event type's value distribution against the 'view' control arm —
@@ -1199,7 +1202,7 @@ def _bootstrap_oracle() -> str:
     """
 
 
-@query("a28_bootstrap_ci", oracle=_bootstrap_oracle(), extra=True)
+@query("a28_bootstrap_ci", oracle=_bootstrap_oracle())
 def a28_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval for the mean order value
     per priority — the uncertainty quantification that actually runs
@@ -1377,7 +1380,7 @@ def _psi_oracle() -> str:
     """
 
 
-@query("a31_psi_drift", oracle=_psi_oracle())
+@query("a31_psi_drift", oracle=_psi_oracle(), extra=True)
 def a31_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index drift monitor: each event type's
     value distribution in the first half of January vs the second,
@@ -1441,7 +1444,6 @@ def a31_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS significant
     FROM agg
     """,
-    extra=True,
 )
 def a36_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U rank-sum test of every event type's value
@@ -1854,7 +1856,7 @@ _A41_ORACLE = """
     """
 
 
-@query("a41_comoment_store", oracle=_A41_ORACLE, extra=True)
+@query("a41_comoment_store", oracle=_A41_ORACLE)
 def a41_comoment_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable mergeable CO-MOMENT store (operators/analytics.
     comoment_registers) — the bivariate member of the store family

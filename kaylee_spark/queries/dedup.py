@@ -140,6 +140,7 @@ def d03_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc, neighbor, jaccard, rnk FROM ranked WHERE rnk <= 3
     """,
+    extra=True,
 )
 def d21_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-output rung of the exact-pairs family (VERDICT r9 item

@@ -120,7 +120,7 @@ def _hits_oracle(iterations: int = 3) -> str:
     """
 
 
-@query("g02_hits", oracle=_hits_oracle(2), extra=True)
+@query("g02_hits", oracle=_hits_oracle(2))
 def g02_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS over the bipartite demand graph: customers as hubs,
     suppliers as authorities, max-normalized exact integer scores
@@ -167,7 +167,6 @@ def g02_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM w JOIN edges e
               ON e.u = least(x, y) AND e.v = greatest(x, y)) AS n_triangles
     """,
-    extra=True,
 )
 def g03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle census of the co-ordered-parts graph (market-
@@ -462,7 +461,7 @@ def _cc_oracle(iterations: int = 3) -> str:
     """
 
 
-@query("g08_connected_components", oracle=_cc_oracle(3), extra=True)
+@query("g08_connected_components", oracle=_cc_oracle(3))
 def g08_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration hash-min CONNECTED COMPONENTS over the
     (undirected) customer↔supplier demand graph — the BSP components

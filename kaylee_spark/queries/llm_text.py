@@ -826,8 +826,9 @@ def t23_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM toks t JOIN weights w USING (tok)
     GROUP BY t.doc
     """,
-    # driver-facing since round 7 (q07_distinct demoted): the flagship
-    # data-selection op belongs in the externally verified window
+    # driver-facing rounds 7-13; rotated to the extra tier in round 14
+    # (t27/t33/t34 keep the text-selection family in the window).
+    extra=True,
 )
 def t24_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance score (Xie et al. 2023): every document's mean
@@ -1034,7 +1035,7 @@ def _bpe_oracle(rounds: int = 5, batch_m: int = 1) -> str:
     return "WITH " + ",\n    ".join(parts) + "\n    " + union
 
 
-@query("t28_bpe_train", oracle=_bpe_oracle(5))
+@query("t28_bpe_train", oracle=_bpe_oracle(5), extra=True)
 def t28_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five rounds of corpus-wide BPE tokenizer training
     (operators/text.bpe_train): the iterative completion of t19's

@@ -136,7 +136,7 @@ def m04_pydatasource_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
 
 
-@query("m05_stream_datafn_wordcount", oracle=_m04_oracle())
+@query("m05_stream_datafn_wordcount", oracle=_m04_oracle(), extra=True)
 def m05_stream_datafn_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING half of the datafn contract: kaylee's scheduler
     pulls ONE work unit per tick from the generator

@@ -34,17 +34,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _STAGED_ONCE: set[str] = set()
 
 
-def _stage_tag(sf_dir: str) -> str:
+def _stage_tag(sf_dir: str, *tables: str) -> str:
     """Staging tag for layout dirs: fixture basename + pid (concurrent-
-    process isolation, ADVICE r11) + the lineitem fixture's mtime, so a
-    fixture regenerated mid-process restages instead of silently
-    reusing a stale layout (ADVICE r12 — mirrors streaming's
-    _STAGE_CACHE key convention)."""
+    process isolation, ADVICE r11) + the max mtime over every staged
+    source table, so regenerating ANY input fixture mid-process
+    restages instead of silently reusing a stale layout (ADVICE r12;
+    widened from lineitem-only per ADVICE r13 — q34 also stages
+    orders, and a lone orders regen must invalidate too)."""
     import os
 
     from kaylee_spark.sources import table_path
 
-    mt = int(os.path.getmtime(table_path(sf_dir, "lineitem")))
+    mt = max(
+        int(os.path.getmtime(table_path(sf_dir, t)))
+        for t in (tables or ("lineitem",))
+    )
     return (
         os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
         + f"_p{os.getpid()}_m{mt}"
@@ -260,6 +264,7 @@ def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     GROUP BY c_nationkey
     """,
+    extra=True,
 )
 def q16_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS as a LEFT ANTI join."""
@@ -924,6 +929,7 @@ def q26_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN region ON n_regionkey = r_regionkey
     GROUP BY CAST(EXTRACT(year FROM o_orderdate) AS INT)
     """,
+    extra=True,
 )
 def q27_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one region's revenue share per order year —
@@ -1247,7 +1253,6 @@ def q32_sole_fault_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n ON n.n_nationkey = s.s_nationkey
     GROUP BY s.s_name, n.n_name
     """,
-    extra=True,
 )
 def q33_front_loaded_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape (excess/front-loaded stock): for each
@@ -1316,6 +1321,7 @@ def q33_front_loaded_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderstatus
     """,
+    extra=True,
 )
 def q34_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact⋈fact join with the shuffle PRE-PAID at write time: both
@@ -1347,7 +1353,7 @@ def q34_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dropping/overwriting each other's bucketed tables mid-query
     # (ADVICE r11); within one process reruns reuse/overwrite the same
     # name, so repeated oracle sweeps don't accumulate temp dirs.
-    tag = _stage_tag(sf_dir)
+    tag = _stage_tag(sf_dir, "lineitem", "orders")
     base = os.path.join(tempfile.gettempdir(), f"kaylee_bucketed_{tag}")
     # stage ONCE per process: the bucketed write is INGEST-time work —
     # the query-time claim under measurement is the zero-Exchange read
@@ -1480,7 +1486,6 @@ def q35_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
     JOIN revenue r ON s.s_suppkey = r.supplier_no
     WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     """,
-    extra=True,
 )
 def q36_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape (top supplier): a revenue VIEW aggregated per
@@ -1679,7 +1684,6 @@ def q38_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE r * 2 * (SELECT COUNT(*) FROM per)
           > 3 * (SELECT SUM(r) FROM per)
     """,
-    extra=True,
 )
 def q39_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock values) — the GLOBAL-SCALAR

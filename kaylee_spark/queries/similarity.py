@@ -44,7 +44,7 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank")
 
 
-@query("s02_lsh_ann_topk", oracle=_EXACT_TOPK_ORACLE)
+@query("s02_lsh_ann_topk", oracle=_EXACT_TOPK_ORACLE, extra=True)
 def s02_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via random-hyperplane LSH + exact re-rank, with the
     (planes, tables) config chosen by the LSH PLANNER

@@ -223,6 +223,7 @@ def e04_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     GROUP BY CAST(json_extract_string(props, '$.k') AS INT) % 10
     """,
+    extra=True,
 )
 def e33_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """e04's semi-structured path on Spark 4 VariantType (VERDICT r9
@@ -645,7 +646,6 @@ def e17_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 END AS DOUBLE) AS v_filled
     FROM anch
     """,
-    extra=True,
 )
 def e22_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted LINEAR interpolation of sensor gaps — the fill
@@ -727,7 +727,7 @@ def _ewma_oracle() -> str:
     """
 
 
-@query("e24_ewma", oracle=_ewma_oracle(), extra=True)
+@query("e24_ewma", oracle=_ewma_oracle())
 def e24_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially weighted moving average (alpha 0.5,
     24-lag truncation, pandas adjust=True semantics) of event values.
@@ -997,7 +997,6 @@ def e26_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
            stv > n * 500 AS is_shift
     FROM st
     """,
-    extra=True,
 )
 def e27_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user one-sided CUSUM changepoint chart (slack 0.5,
@@ -1305,7 +1304,7 @@ def _attribution_oracle() -> str:
     """
 
 
-@query("e34_last_touch_attribution", oracle=_attribution_oracle(), extra=True)
+@query("e34_last_touch_attribution", oracle=_attribution_oracle())
 def e34_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch revenue attribution: every purchase credited to the
     user's most recent click/view strictly before it within 7 days,
@@ -1326,7 +1325,7 @@ def _hll_shared_oracle() -> str:
     return _hll_oracle()
 
 
-@query("e35_streamed_hll_ingest", oracle=_hll_shared_oracle())
+@query("e35_streamed_hll_ingest", oracle=_hll_shared_oracle(), extra=True)
 def e35_streamed_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HLL distinct store fed by a TRUE stream: readStream ->
     daily tumbling (event_type, register) MAX(rho) shards
@@ -1369,7 +1368,7 @@ def e35_streamed_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("e36_streamed_attribution", oracle=_attribution_oracle())
+@query("e36_streamed_attribution", oracle=_attribution_oracle(), extra=True)
 def e36_streamed_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streamed last-touch attribution — the NINTH true readStream
     drain and the first ORDER-SENSITIVE stateful one: per-user
@@ -1422,7 +1421,7 @@ GROUP BY 1
 """
 
 
-@query("e37_streamed_rate_source", oracle=_RATE_ORACLE)
+@query("e37_streamed_rate_source", oracle=_RATE_ORACLE, extra=True)
 def e37_streamed_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TENTH true streaming drain — and the first with NO file
     staging anywhere: Spark's built-in ``rate-micro-batch`` source
@@ -1657,29 +1656,40 @@ def e40_streamed_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     class _Acc(StreamingQueryListener):
+        """Accumulates observed metrics PER query id (ADVICE r13: a
+        start-time qid filter leaves a window where a concurrent
+        stream's events would be folded in — bucketing by the event's
+        own id instead makes the filter a read-time select, race-free
+        by construction)."""
+
         def __init__(self):
-            self.tot = {"n_rows": 0, "n_clicks": 0, "sum_user": 0}
-            self.qid: str | None = None
-            self.done = threading.Event()
+            import collections
+
+            self.by_qid = collections.defaultdict(
+                lambda: {"n_rows": 0, "n_clicks": 0, "sum_user": 0}
+            )
+            self.terminated: set[str] = set()
+            self.cond = threading.Condition()
 
         def onQueryStarted(self, event):
             pass
 
         def onQueryProgress(self, event):
             p = event.progress
-            if self.qid is not None and str(p.id) != self.qid:
-                return
             m = p.observedMetrics.get("m") if p.observedMetrics else None
             if m is not None:
-                for k in self.tot:
-                    self.tot[k] += int(m[k] or 0)
+                with self.cond:
+                    tot = self.by_qid[str(p.id)]
+                    for k in tot:
+                        tot[k] += int(m[k] or 0)
 
         def onQueryIdle(self, event):
             pass
 
         def onQueryTerminated(self, event):
-            if self.qid is None or str(event.id) == self.qid:
-                self.done.set()
+            with self.cond:
+                self.terminated.add(str(event.id))
+                self.cond.notify_all()
 
         def __str__(self):  # listener bus logs repr on errors
             return "e40_observed_metrics_accumulator"
@@ -1692,17 +1702,25 @@ def e40_streamed_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame
             .trigger(availableNow=True)
             .start()
         )
-        # the first progress event cannot precede the first completed
-        # micro-batch, so assigning the filter id here is race-free
-        acc.qid = str(q.id)
+        qid = str(q.id)
         q.awaitTermination()
-        # listener events are async: wait for the in-order terminated
-        # event, which proves all progress events were delivered
-        assert acc.done.wait(timeout=60), "listener termination event not delivered"
+        # listener events are async: wait for OUR query's in-order
+        # terminated event, which proves all its progress events were
+        # delivered. Explicit raise, not assert — the barrier must
+        # survive `python -O` (ADVICE r13).
+        with acc.cond:
+            delivered = acc.cond.wait_for(
+                lambda: qid in acc.terminated, timeout=60
+            )
+        if not delivered:
+            raise RuntimeError(
+                "e40: listener termination event not delivered within 60s"
+            )
+        tot = acc.by_qid[qid]
     finally:
         spark.streams.removeListener(acc)
     return spark.createDataFrame(
-        [(acc.tot["n_rows"], acc.tot["n_clicks"], acc.tot["sum_user"])],
+        [(tot["n_rows"], tot["n_clicks"], tot["sum_user"])],
         "n_rows long, n_clicks long, sum_user long",
     )
 
@@ -1759,7 +1777,7 @@ def _a39_shared_oracle() -> str:
     return _A39_ORACLE
 
 
-@query("e42_streamed_moment_ingest", oracle=_a39_shared_oracle(), extra=True)
+@query("e42_streamed_moment_ingest", oracle=_a39_shared_oracle())
 def e42_streamed_moment_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The moment store fed by a TRUE stream — completing the
     store × ingest matrix (a37/e35 distinct, a40/e41 quantile,
@@ -1866,7 +1884,7 @@ _E43_ORACLE = """
     """
 
 
-@query("e43_streamed_comoment_ingest", oracle=_E43_ORACLE, extra=True)
+@query("e43_streamed_comoment_ingest", oracle=_E43_ORACLE)
 def e43_streamed_comoment_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The co-moment store fed by a TRUE stream — a41's mechanics on
     the events stream (x = value cents, y = minute-of-day: the
@@ -1936,3 +1954,71 @@ def e43_streamed_comoment_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("msyy") == F.col("dsyy"))
         ).alias("merge_exact"),
     )
+
+
+@query("e44_quantile_store_reopen", oracle=_a40_shared_oracle(), extra=True)
+def e44_quantile_store_reopen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SESSION store round-trip — the monitoring deployment shape
+    the a37-a41 family promises but (until this query) never proved
+    end-to-end: the STREAMED ingest leg (e41's readStream -> daily
+    tumbling (grp, bucket) COUNT shards) PERSISTS its day shards to a
+    day-partitioned parquet store, and a SEPARATE session (a bare
+    ``spark.newSession()`` — fresh session state, no shared temp views
+    or conf, exactly the nightly-ingest/ad-hoc-reader split) reopens
+    the files with a plain ``spark.read.parquet`` and closes them with
+    the BATCH closer (operators/analytics.quantile_store_close).
+    Oracle shared VERBATIM with a40/e41, so the persisted-reopened
+    path is hash-verified to produce bit-identical bucket counts and
+    quantiles to both the batch and the in-memory streamed paths:
+    ``merge_exact`` now additionally proves the parquet round-trip is
+    lossless, and ``bracket_exact`` re-pins the rank arithmetic on the
+    reader's side.
+
+    At 100 TB this is THE store contract: a nightly stream appends one
+    day=... partition of |types| x |buckets| integers; any later
+    reader merges partitions by ADDITION without rescanning events.
+    The day-partitioned layout means a reader asking for a window
+    prunes to its days at the parquet-partition level.
+    """
+    import os
+    import tempfile
+
+    from kaylee_spark.operators.analytics import quantile_store_close
+    from kaylee_spark.sources import table_path
+
+    # ---- leg 1: the ingest session (streamed drain -> persisted store)
+    drained = _drain_staged_stream(
+        spark,
+        sf_dir,
+        lambda ST, staged: ST.run_to_memory(
+            ST.quantile_day_buckets(
+                ST.events_stream(spark, staged, files_per_trigger=2)
+            ),
+            output_mode="complete",
+        ),
+    )
+    # store path keyed by fixture + pid + mtime (the relational
+    # _stage_tag convention: concurrent-process isolation + staleness
+    # invalidation when the fixture regenerates mid-process)
+    mt = int(os.path.getmtime(table_path(sf_dir, "events")))
+    tag = (
+        os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+        + f"_p{os.getpid()}_m{mt}"
+    )
+    store = os.path.join(tempfile.gettempdir(), f"kaylee_qstore_{tag}")
+    (
+        drained.withColumn("day", F.to_date("window_start"))
+        .select("day", "grp", "b", "n_day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(store)
+    )
+
+    # ---- leg 2: a later ad-hoc session reopens and closes the store
+    reader = spark.newSession()
+    shards = reader.read.parquet(store)
+    merged = shards.groupBy("grp", "b").agg(F.sum("n_day").alias("n"))
+    ev = load_table(reader, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    base = ev.select(F.col("event_type").alias("grp"), cents.alias("c"))
+    return quantile_store_close(merged, base)
