@@ -1928,3 +1928,94 @@ def a41_comoment_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("msyy") == F.col("dsyy"))
         ).alias("merge_exact"),
     )
+
+
+@query("a42_quantile_store_compact", oracle=_A40_ORACLE, extra=True)
+def a42_quantile_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store MAINTENANCE — the compaction rung the mergeable-store
+    family (a37/a39/a40/a41 + streamed twins + e44's cross-session
+    reopen) needs for multi-year retention: day shards re-aggregated
+    into MONTH shards (one groupBy addition — compaction IS the merge
+    operation, applied at rest), then the compacted store is closed by
+    the standard closer. The oracle is a40's VERBATIM, so the hash
+    gate proves day->month compaction changes NOTHING the store can
+    answer: merge_exact now additionally certifies
+    compacted-shard-merge ≡ direct single-pass counts, and the
+    p50/p90/p99 fenceposts are bit-identical to the uncompacted
+    store's.
+
+    At 100 TB this is the retention policy's mechanism: a nightly job
+    folds day partitions older than N days into month partitions,
+    shrinking the store ~30x with zero information loss for any query
+    window aligned to the compaction grain — the associativity the
+    fixed fenceposts were chosen to buy. Runs as pure addition, so it
+    is idempotent under re-execution on the same inputs and safe to
+    re-run after partial failure (overwrite-by-partition).
+    """
+    from kaylee_spark.operators.analytics import (
+        quantile_buckets,
+        quantile_store_close,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    day_shards = quantile_buckets(ev)
+    month_shards = (
+        day_shards.withColumn("month", F.date_trunc("month", F.col("day")))
+        .groupBy("grp", "month", "b")
+        .agg(F.sum("n").alias("n"))
+    )
+    merged = month_shards.groupBy("grp", "b").agg(F.sum("n").alias("n"))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    base = ev.select(F.col("event_type").alias("grp"), cents.alias("c"))
+    return quantile_store_close(merged, base)
+
+
+@query("a43_hll_store_compact", oracle=_hll_oracle(), extra=True)
+def a43_hll_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store MAINTENANCE for the HLL distinct store — a42's compaction
+    rung applied to the MAX-merge member of the family: per
+    (event_type, day) register shards folded into MONTH shards by
+    element-wise MAX (compaction IS the merge law applied at rest),
+    then the compacted store merged and closed with the standard
+    hll_estimate_close arithmetic. Oracle shared VERBATIM with
+    a37/e35, so the hash gate proves day->month register compaction
+    loses nothing: merge_exact now certifies
+    compacted-registers ≡ direct-from-raw, and the estimate is
+    bit-identical to the uncompacted store's.
+
+    Together with a42 (quantiles, SUM) this pins the family's
+    retention mechanism across BOTH merge monoids: a distinct-count
+    window aligned to the compaction grain answers from ~30x fewer
+    shards with zero drift — MAX is idempotent, so re-running a
+    partially-failed compaction is safe by construction (stronger
+    even than a42's SUM case, which relies on overwrite-by-partition
+    for idempotence).
+    """
+    from kaylee_spark.operators.analytics import (
+        hll_estimate_close,
+        with_hll_cols,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("grp"),
+        F.col("user_id").alias("uid"),
+        F.col("ts"),
+    )
+    coords = with_hll_cols(base, "uid")
+    day_regs = (
+        coords.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .groupBy("grp", "day", "idx")
+        .agg(F.max("rho").alias("m_day"))
+    )
+    month_regs = (
+        day_regs.withColumn("month", F.date_trunc("month", F.col("day")))
+        .groupBy("grp", "month", "idx")
+        .agg(F.max("m_day").alias("m_month"))
+    )
+    merged = month_regs.groupBy("grp", "idx").agg(
+        F.max("m_month").alias("m_merged")
+    )
+    direct = coords.groupBy("grp", "idx").agg(F.max("rho").alias("m_direct"))
+    exact = base.groupBy("grp").agg(F.countDistinct("uid").alias("n_exact"))
+    return hll_estimate_close(merged.join(direct, ["grp", "idx"]), exact)

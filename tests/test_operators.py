@@ -1340,3 +1340,26 @@ def test_bpe_apply_reproduces_training_merges(spark):
     assert out[2] == (2, ["lower", "lower"])
     assert out[3] == (4, ["n", "ew", "n", "ew"])
     assert out[4] == (0, [])
+
+
+def test_bpe_model_store_cache_and_refresh(spark, sf_dir):
+    """The process-level trained-model store: consumers reuse the
+    trainer's merges (identical rows, no retrain), refresh=True
+    repopulates, and the cache key includes training params so the
+    t30 config never collides with the t28 config."""
+    from kaylee_spark.queries import llm_text as L
+
+    L._BPE_MODELS.clear()
+    trained = L._bpe_trained_merges(spark, sf_dir, rounds=3, refresh=True)
+    rows_trained = sorted(tuple(r) for r in trained.collect())
+    assert len(L._BPE_MODELS) == 1
+    # consumer path: cache hit returns identical model rows
+    reused = L._bpe_trained_merges(spark, sf_dir, rounds=3)
+    assert sorted(tuple(r) for r in reused.collect()) == rows_trained
+    # a different param key trains separately, does not evict
+    other = L._bpe_trained_merges(spark, sf_dir, rounds=2, batch_m=2)
+    assert len(L._BPE_MODELS) == 2
+    assert sorted(tuple(r) for r in other.collect()) != rows_trained
+    # refresh retrains deterministically (pure function of corpus)
+    refreshed = L._bpe_trained_merges(spark, sf_dir, rounds=3, refresh=True)
+    assert sorted(tuple(r) for r in refreshed.collect()) == rows_trained
