@@ -705,3 +705,68 @@ def test_ewma_truncation_invisible_at_6dp(spark):
     want = pd.Series(series).ewm(alpha=0.5, adjust=True).mean()
     for i, (g, w) in enumerate(zip(got, want)):
         assert g == pytest.approx(round(float(w), 6), abs=2e-6), (i, g, w)
+
+
+def test_quantile_store_reopen_reads_persisted_shards(spark, sf_dir, tmp_path):
+    """The e44 claim is that the reopened closure derives from the
+    PERSISTED day partitions. Plant the defect: drop one day's
+    partition directory from the store and re-close — totals must
+    shrink by exactly that day's count and merge_exact must flip
+    false, proving the reopen path reads the files (no hidden
+    lineage back to the events table). Also pins overwrite
+    idempotence: writing the same store twice changes nothing."""
+    import pyspark.sql.functions as F
+
+    from kaylee_spark.operators.analytics import (
+        quantile_buckets,
+        quantile_store_close,
+    )
+    from kaylee_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    shards = quantile_buckets(ev).withColumn("d", F.to_date("day"))
+    store = str(tmp_path / "qstore")
+    writer = shards.select("d", "grp", "b", "n").write.mode("overwrite")
+    writer.partitionBy("d").parquet(store)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    base = ev.select(F.col("event_type").alias("grp"), cents.alias("c"))
+
+    def close_from(path):
+        re = spark.read.parquet(path)
+        merged = re.groupBy("grp", "b").agg(F.sum("n").alias("n"))
+        return {
+            r["event_type"]: r.asDict()
+            for r in quantile_store_close(merged, base).collect()
+        }
+
+    baseline = close_from(store)
+    assert all(r["merge_exact"] for r in baseline.values())
+
+    # overwrite idempotence: rewriting the identical store is a no-op
+    shards.select("d", "grp", "b", "n").write.mode("overwrite").partitionBy(
+        "d"
+    ).parquet(store)
+    assert close_from(store) == baseline
+
+    # plant: remove one day partition -> reopened closure must see it
+    import glob
+    import shutil
+
+    parts = sorted(glob.glob(store + "/d=*"))
+    assert len(parts) >= 2
+    victim = parts[0]
+    victim_day = victim.rsplit("d=", 1)[1]
+    lost = {
+        r["grp"]: r["n"]
+        for r in spark.read.parquet(victim)
+        .groupBy("grp")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    shutil.rmtree(victim)
+    tampered = close_from(store)
+    for g, row in tampered.items():
+        expect = baseline[g]["n"] - lost.get(g, 0)
+        assert row["n"] == expect, (g, victim_day)
+        if lost.get(g, 0):
+            assert not row["merge_exact"]
