@@ -2019,3 +2019,151 @@ def a43_hll_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct = coords.groupBy("grp", "idx").agg(F.max("rho").alias("m_direct"))
     exact = base.groupBy("grp").agg(F.countDistinct("uid").alias("n_exact"))
     return hll_estimate_close(merged.join(direct, ["grp", "idx"]), exact)
+
+
+@query("a44_moment_store_compact", oracle=_A39_ORACLE, extra=True)
+def a44_moment_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a42's compaction rung for the MOMENT store: day shards of
+    exact integer power sums folded into MONTH shards by ADDITION —
+    including the shard-count bookkeeping (``n_days`` rides through
+    compaction as an additive register of its own), so the closed
+    output is COLUMN-FOR-COLUMN identical to a39's uncompacted
+    closure and shares its oracle verbatim. With a42 (quantiles,
+    SUM over bucket counts) and a43 (HLL, MAX over registers) this
+    extends the proven-lossless retention mechanism to the
+    mean/variance member; same int64 envelope precondition as the
+    day shards (a month's S2 is the sum of ≤ 31 day registers —
+    pre-scale or shard finer long before the envelope binds).
+    """
+    from kaylee_spark.operators.analytics import moment_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    day_shards = moment_registers(ev)
+    month_shards = (
+        day_shards.withColumn("month", F.date_trunc("month", F.col("day")))
+        .groupBy("grp", "month")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n").alias("n"),
+            F.sum("s1").alias("s1"),
+            F.sum("s2").alias("s2"),
+        )
+    )
+    merged = month_shards.groupBy("grp").agg(
+        F.sum("n_days").alias("n_days"),
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1_cents"),
+        F.sum("s2").alias("s2_cents"),
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    direct = (
+        ev.select(F.col("event_type").alias("grp"), cents.alias("c"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("dn"),
+            F.sum("c").alias("ds1"),
+            F.sum(F.col("c") * F.col("c")).alias("ds2"),
+        )
+    )
+    return merged.join(direct, "grp").select(
+        F.col("grp").alias("event_type"),
+        "n_days",
+        "n",
+        "s1_cents",
+        "s2_cents",
+        (
+            (F.col("n") == F.col("dn"))
+            & (F.col("s1_cents") == F.col("ds1"))
+            & (F.col("s2_cents") == F.col("ds2"))
+        ).alias("merge_exact"),
+    )
+
+
+@query("a45_comoment_store_compact", oracle=_A41_ORACLE, extra=True)
+def a45_comoment_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compaction rung for the CO-MOMENT store, completing the
+    maintenance matrix across all four mergeable stores: a41's month
+    shards folded into QUARTER shards by ADDITION (squared-sum
+    registers lifted to DECIMAL(38,0) at the compaction step — the
+    a41 envelope discipline applied one grain earlier, since a
+    quarter register is the sum of 3 month registers), with
+    ``n_shards`` carried through as its own additive register so the
+    closed output is column-for-column identical to a41's and shares
+    its oracle verbatim. Day→month (a42/a43/a44) and month→quarter
+    (here) are the same theorem at different grains: any fold along
+    the shard axis commutes with the closer.
+    """
+    from kaylee_spark.operators.analytics import comoment_registers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.date_trunc("month", F.col("l_shipdate")).alias("shard"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    month_shards = comoment_registers(base, "x", "y")
+    d38 = "decimal(38,0)"
+    quarter_shards = (
+        month_shards.withColumn(
+            "quarter", F.date_trunc("quarter", F.col("shard"))
+        )
+        .groupBy("grp", "quarter")
+        .agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.sum("n").alias("n"),
+            F.sum("sx").alias("sx"),
+            F.sum("sy").alias("sy"),
+            F.sum(F.col("sxy").cast(d38)).alias("sxy"),
+            F.sum(F.col("sxx").cast(d38)).alias("sxx"),
+            F.sum(F.col("syy").cast(d38)).alias("syy"),
+        )
+    )
+    merged = quarter_shards.groupBy("grp").agg(
+        F.sum("n_shards").alias("n_shards"),
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxy").alias("msxy"),
+        F.sum("sxx").alias("msxx"),
+        F.sum("syy").alias("msyy"),
+    )
+    direct = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("dn"),
+        F.sum("x").alias("dsx"),
+        F.sum("y").alias("dsy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("dsxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("dsxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("dsyy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("msxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    dx = F.sqrt(
+        nd * F.col("msxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    dy = F.sqrt(
+        nd * F.col("msyy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return merged.join(direct, "grp").select(
+        F.col("grp").alias("l_returnflag"),
+        "n_shards",
+        "n",
+        "sx",
+        "sy",
+        F.col("msxy").cast("string").alias("sxy_str"),
+        F.col("msxx").cast("string").alias("sxx_str"),
+        F.col("msyy").cast("string").alias("syy_str"),
+        F.round(num / dx / dy, 6).alias("corr_r"),
+        (
+            (F.col("n") == F.col("dn"))
+            & (F.col("sx") == F.col("dsx"))
+            & (F.col("sy") == F.col("dsy"))
+            & (F.col("msxy") == F.col("dsxy"))
+            & (F.col("msxx") == F.col("dsxx"))
+            & (F.col("msyy") == F.col("dsyy"))
+        ).alias("merge_exact"),
+    )
