@@ -121,6 +121,10 @@ SHOWCASE = [
     # the min-label passes live BEHIND the pinned-width materialization
     # (the g01/g07 pattern) — the final plan is the cached label frame
     ("g08_connected_components", "connected components: hash-min passes behind the pinned-width cache; histogram + converged flag over the cached label frame"),
+    ("a42_quantile_store_compact", "store compaction (SUM monoid): day->month->merged is three stacked map-side-combined HashAggregates — compaction is the merge applied at rest, no extra scan shape"),
+    ("a43_hll_store_compact", "store compaction (MAX monoid): register MAX folds day->month->merged; idempotent re-aggregation, same one-scan register build as a37"),
+    ("a45_comoment_store_compact", "co-moment compaction month->quarter: DECIMAL(38,0) lifted at the compaction grain, shard-count riding as an additive register"),
+    ("e44_quantile_store_reopen", "cross-session reopen: the closure's shard side is a bare parquet scan of the persisted day-partitioned store — no lineage back to events"),
 ]
 
 
@@ -221,6 +225,11 @@ MUST_CONTAIN = {
     "a40_quantile_store": ("Window", "FullOuter"),
     "a41_comoment_store": ("HashAggregate",),
     "g08_connected_components": ("InMemoryTableScan",),
+    "a42_quantile_store_compact": ("HashAggregate",),
+    "a43_hll_store_compact": ("HashAggregate",),
+    "a45_comoment_store_compact": ("HashAggregate",),
+    # the reopened store must scan the persisted parquet files
+    "e44_quantile_store_reopen": ("Scan parquet", "FullOuter"),
 }
 
 
