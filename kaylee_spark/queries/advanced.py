@@ -2167,3 +2167,119 @@ def a45_comoment_store_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("msyy") == F.col("dsyy"))
         ).alias("merge_exact"),
     )
+
+
+_A46_ORACLE = """
+    WITH deltas AS (
+        SELECT o_orderpriority AS grp,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               1 AS mult
+        FROM orders
+        UNION ALL
+        SELECT o_orderpriority AS grp,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               -1 AS mult
+        FROM orders WHERE o_orderkey % 10 = 3
+    ),
+    view_regs AS (
+        SELECT grp, CAST(SUM(mult) AS BIGINT) AS n,
+               CAST(SUM(mult * cents) AS BIGINT) AS revenue_cents
+        FROM deltas GROUP BY grp
+    ),
+    direct AS (
+        SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS dn,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS drevenue
+        FROM orders WHERE o_orderkey % 10 <> 3 GROUP BY o_orderpriority
+    )
+    SELECT v.grp AS o_orderpriority, v.n, v.revenue_cents,
+           (v.n = d.dn AND v.revenue_cents = d.drevenue) AS maintain_exact
+    FROM view_regs v JOIN direct d USING (grp)
+    """
+
+
+@query("a46_incremental_view_maintenance", oracle=_A46_ORACLE, extra=True)
+def a46_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance under inserts AND
+    deletes — the delta algebra the mergeable stores deliberately
+    avoid (their monoids never retract; a real warehouse's views
+    must). The maintained view is revenue-by-priority held as
+    multiplicity-weighted registers (n = Σmult,
+    revenue = Σ mult·cents — the Z-relation/DBSP formulation: a
+    delete is the insert with mult = −1), and the query REPLAYS a
+    five-batch CDC history through the actual maintenance loop:
+    four insert slices (o_orderkey mod 4) then a retraction batch
+    (o_orderkey mod 10 = 3), each batch folded into the running
+    register frame by one |delta|+|view|-sized additive merge with
+    the lineage cut per step (localCheckpoint — the iterative-loop
+    lesson; step cost is delta-driven, never a base rescan).
+    ``maintain_exact`` proves the maintained registers equal a direct
+    aggregate over the surviving rows — the refresh-equivalence
+    theorem, checked in-query and replayed by the oracle (which
+    exploits the same associativity to fold all five batches in one
+    pass: THE point of the algebra).
+
+    At 100 TB this is the nightly-view contract: refresh cost scales
+    with the day's delta, not the view's history, and deletes need no
+    tombstone compaction because mult sums to the truth. Register
+    overflow rides the a39 int64 envelope (cents × rows ≪ 2^63
+    per group here; DECIMAL(38,0) is the documented escalation).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        cents.alias("cents"),
+        F.col("o_orderkey").alias("k"),
+    )
+
+    def regs(delta):
+        return delta.groupBy("grp").agg(
+            F.sum("mult").cast("bigint").alias("n"),
+            F.sum(F.col("mult") * F.col("cents")).cast("bigint").alias(
+                "revenue_cents"
+            ),
+        )
+
+    batches = [
+        base.filter(F.col("k") % 4 == i).withColumn("mult", F.lit(1))
+        for i in range(4)
+    ] + [base.filter(F.col("k") % 10 == 3).withColumn("mult", F.lit(-1))]
+
+    view = None
+    for b in batches:
+        delta_regs = regs(b.select("grp", "cents", "mult"))
+        if view is None:
+            merged = delta_regs
+        else:
+            merged = (
+                view.unionByName(delta_regs)
+                .groupBy("grp")
+                .agg(
+                    F.sum("n").cast("bigint").alias("n"),
+                    F.sum("revenue_cents").cast("bigint").alias(
+                        "revenue_cents"
+                    ),
+                )
+            )
+        # cut lineage: step k must cost |delta_k| + |view|, not a
+        # replay of batches 1..k (the g01/bpe_train iterative lesson)
+        view = merged.localCheckpoint(eager=True)
+
+    direct = (
+        base.filter(F.col("k") % 10 != 3)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("dn"),
+            F.sum("cents").cast("bigint").alias("drevenue"),
+        )
+    )
+    return view.join(direct, "grp").select(
+        F.col("grp").alias("o_orderpriority"),
+        "n",
+        "revenue_cents",
+        (
+            (F.col("n") == F.col("dn"))
+            & (F.col("revenue_cents") == F.col("drevenue"))
+        ).alias("maintain_exact"),
+    )

@@ -770,3 +770,68 @@ def test_quantile_store_reopen_reads_persisted_shards(spark, sf_dir, tmp_path):
         assert row["n"] == expect, (g, victim_day)
         if lost.get(g, 0):
             assert not row["merge_exact"]
+
+
+def test_ivm_retraction_actually_retracts(spark, sf_dir):
+    """a46's claim is refresh-equivalence under deletes. Plant both
+    defects: (1) dropping the retraction batch must inflate the
+    maintained counts by exactly the deleted-row count per group and
+    flip maintain_exact; (2) applying the retraction TWICE must
+    undershoot symmetrically — i.e. mult really is the Z-relation
+    multiplicity, not an ignored tag."""
+    import pyspark.sql.functions as F
+
+    from kaylee_spark.queries import load_everything
+    from kaylee_spark.sources import load_table
+
+    reg = load_everything()
+    ok = {
+        r["o_orderpriority"]: r.asDict()
+        for r in reg["a46_incremental_view_maintenance"].fn(spark, sf_dir).collect()
+    }
+    assert ok and all(r["maintain_exact"] for r in ok.values())
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        cents.alias("cents"),
+        F.col("o_orderkey").alias("k"),
+    )
+    deleted = {
+        r["grp"]: (r["dn"], r["dc"])
+        for r in base.filter(F.col("k") % 10 == 3)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("dn"), F.sum("cents").alias("dc"))
+        .collect()
+    }
+    assert any(n for n, _ in deleted.values())
+
+    def fold(mults):
+        out = None
+        for m in mults:
+            d = (
+                base.filter(F.col("k") % 10 == 3) if m < 0 else base
+            ).withColumn("mult", F.lit(m))
+            r = d.groupBy("grp").agg(
+                F.sum("mult").cast("bigint").alias("n"),
+                F.sum(F.col("mult") * F.col("cents")).cast("bigint").alias("rc"),
+            )
+            out = r if out is None else (
+                out.unionByName(r)
+                .groupBy("grp")
+                .agg(
+                    F.sum("n").cast("bigint").alias("n"),
+                    F.sum("rc").cast("bigint").alias("rc"),
+                )
+            )
+        return {r["grp"]: (r["n"], r["rc"]) for r in out.collect()}
+
+    full = fold([1])              # inserts only, retraction dropped
+    once = fold([1, -1])          # the correct history
+    twice = fold([1, -1, -1])     # retraction replayed twice
+    for g, (dn, dc) in deleted.items():
+        assert full[g][0] - once[g][0] == dn
+        assert full[g][1] - once[g][1] == dc
+        assert once[g][0] - twice[g][0] == dn
+        assert once[g][1] - twice[g][1] == dc
