@@ -2022,3 +2022,88 @@ def e44_quantile_store_reopen(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("value") * 100).cast("bigint")
     base = ev.select(F.col("event_type").alias("grp"), cents.alias("c"))
     return quantile_store_close(merged, base)
+
+
+def _a46_shared_oracle() -> str:
+    from kaylee_spark.queries.advanced import _A46_ORACLE
+
+    return _A46_ORACLE
+
+
+@query("e45_streamed_view_maintenance", oracle=_a46_shared_oracle(), extra=True)
+def e45_streamed_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a46's maintained view fed by a TRUE stream — and the first
+    drain whose streaming STATE carries NEGATIVE multiplicities: the
+    five-batch CDC history (four insert slices + the retraction
+    batch, mult = −1) lands as a file stream and a complete-mode
+    stateful aggregation folds Σmult / Σmult·cents per group across
+    micro-batches, so deletes retract inside streaming state rather
+    than via tombstone compaction. Oracle shared VERBATIM with a46,
+    proving streamed-fold ≡ batch-replay ≡ direct-over-survivors for
+    the Z-relation algebra; file slicing is arrival-order-free
+    because addition commutes (the e38 hash-slice argument, for
+    registers instead of keys).
+
+    At 100 TB the state is |groups| rows of integer registers — the
+    streamed view never rescans history, and a delete storm costs the
+    same as an insert storm (no vacuum step, the a46 point made
+    continuous)."""
+    import os
+    import tempfile
+    import uuid
+
+    from kaylee_spark import streaming as ST
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        cents.alias("cents"),
+        F.col("o_orderkey").alias("k"),
+    )
+    inserts = base.withColumn("mult", F.lit(1))
+    retractions = base.filter(F.col("k") % 10 == 3).withColumn(
+        "mult", F.lit(-1)
+    )
+    deltas = inserts.unionByName(retractions).select("grp", "cents", "mult")
+    staged = os.path.join(
+        tempfile.gettempdir(), f"kaylee_viewdeltas_{uuid.uuid4().hex[:8]}"
+    )
+    deltas.repartition(4).write.mode("overwrite").parquet(staged)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        stream = (
+            spark.readStream.schema(deltas.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staged)
+        )
+        regs = stream.groupBy("grp").agg(
+            F.sum("mult").cast("bigint").alias("n"),
+            F.sum(F.col("mult") * F.col("cents")).cast("bigint").alias(
+                "revenue_cents"
+            ),
+        )
+        view = ST.run_to_memory(regs, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    direct = (
+        base.filter(F.col("k") % 10 != 3)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("dn"),
+            F.sum("cents").cast("bigint").alias("drevenue"),
+        )
+    )
+    # memory-sink lineage + self-join disambiguation (e32/e35/e41 note)
+    return view.localCheckpoint().join(direct, "grp").select(
+        F.col("grp").alias("o_orderpriority"),
+        "n",
+        "revenue_cents",
+        (
+            (F.col("n") == F.col("dn"))
+            & (F.col("revenue_cents") == F.col("drevenue"))
+        ).alias("maintain_exact"),
+    )
