@@ -667,3 +667,76 @@ def test_store_ingest_restart_no_double_count(
     got = keyed(spark.read.parquet(out))
     want = keyed(fn(_batch_events(spark, events_dir), watermark="0 seconds"))
     assert got == want
+
+
+def test_view_maintenance_fold_restarts_exactly_once(spark, sf_dir, tmp_path):
+    """e45's checkpointed form: the complete-mode register fold must
+    (a) after the first delivery equal the inserts-only registers,
+    (b) after a RETRACTION delivery resume from the checkpoint and
+    equal the direct aggregate over the survivors (deletes retract
+    in recovered state — no reprocessing of delivery 1), and
+    (c) commit nothing new on a restart with no new files."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        cents.alias("cents"),
+        F.col("o_orderkey").alias("k"),
+    )
+    inserts = base.withColumn("mult", F.lit(1)).select("grp", "cents", "mult")
+    retr = (
+        base.filter(F.col("k") % 10 == 3)
+        .withColumn("mult", F.lit(-1))
+        .select("grp", "cents", "mult")
+    )
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    inserts.coalesce(2).write.mode("append").parquet(src)
+
+    def drain(name):
+        stream = (
+            spark.readStream.schema(inserts.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        regs = stream.groupBy("grp").agg(
+            F.sum("mult").cast("bigint").alias("n"),
+            F.sum(F.col("mult") * F.col("cents")).cast("bigint").alias("rc"),
+        )
+        q = (
+            regs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["grp"]: (r["n"], r["rc"]) for r in spark.table(name).collect()}
+
+    def direct(df):
+        return {
+            r["grp"]: (r["n"], r["rc"])
+            for r in df.groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("cents").cast("bigint").alias("rc"),
+            )
+            .collect()
+        }
+
+    assert drain("vm1") == direct(base)
+    retr.coalesce(1).write.mode("append").parquet(src)
+    survivors = direct(base.filter(F.col("k") % 10 != 3))
+    assert drain("vm2") == survivors
+    # restart with nothing new: availableNow fires no batch, so the
+    # fresh memory table stays empty — and the checkpoint must NOT
+    # have advanced past truth. Prove state recovery (not reset) by
+    # delivering a NET-ZERO delta (+1/-1 of the same row): the fold
+    # re-emits, and the totals must still equal the survivors.
+    assert drain("vm3") == {}
+    one = base.orderBy("k").limit(1).select("grp", "cents")
+    noop = one.withColumn("mult", F.lit(1)).unionByName(
+        one.withColumn("mult", F.lit(-1))
+    )
+    noop.coalesce(1).write.mode("append").parquet(src)
+    assert drain("vm4") == survivors
