@@ -359,13 +359,24 @@ def triangle_stats(edges: DataFrame, shuffle_partitions: int | None = None) -> D
             return triangle_stats(edges)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # MATERIALIZE the cached loop inputs SEQUENTIALLY (cheap counts the
+    # function needs anyway) BEFORE the heavy wedge aggregate: a cached
+    # frame referenced from several branches of one action is raced by
+    # AQE's concurrent subtree scheduling — each concurrent stage finds
+    # the cache block missing and recomputes it (measured: the
+    # lineitem-pair edge derivation ran 3x inside g03's single .first()
+    # action). Counting edges/deg first populates each cache exactly
+    # once; every later stage then reads the block store.
     edges = edges.select("u", "v").cache()
+    n_edges = edges.count()
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count("*").alias("d"))
+        .cache()
     )
+    n_nodes = deg.count()
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
     fwd = (F.col("du") < F.col("dv")) | (
@@ -380,37 +391,45 @@ def triangle_stats(edges: DataFrame, shuffle_partitions: int | None = None) -> D
         )
         .cache()
     )
-    e1 = oriented.select("src", F.col("dst").alias("x"))
-    e2 = oriented.select("src", F.col("dst").alias("y"))
-    wedges = e1.join(e2, "src").filter(F.col("x") < F.col("y")).select("x", "y")
-    # LEFT join, not semi/inner counts in two passes: the same (x, y)
-    # endpoint pair can appear under many srcs and each such wedge
-    # closes its own triangle; (u, v) is unique in edges, so the join
-    # multiplies each wedge row by exactly 0 or 1 — count(*) is the
-    # wedge count, count(_eu) the closed-wedge (triangle) count, both
-    # from ONE streaming pass with no wedge materialization. The
-    # wedge filter guarantees x < y and edges carry u < v, so the
-    # join keys are plain equi-columns.
-    agg = (
-        wedges.join(
-            edges.select(F.col("u").alias("_eu"), F.col("v").alias("_ev")),
-            (F.col("_eu") == F.col("x")) & (F.col("_ev") == F.col("y")),
-            "left",
+    # materialize before the adjacency build and edge pass read it
+    oriented.count()
+    # EDGE-ITERATOR closure counting instead of wedge materialization:
+    # the previous form generated the full O(m^1.5) wedge stream (41M
+    # rows at sf0.1) through the join machinery and probed each wedge
+    # against the edge set — ~50-60 s of executor time in one stage.
+    # With out-adjacency arrays, n_triangles = Σ_{(u,v)∈oriented}
+    # |N+(u) ∩ N+(v)|: under the (degree, id) orientation every
+    # triangle a<b<c is counted exactly once, at its (a, b) edge
+    # (c ∈ N+(a) ∩ N+(b); the other two edges contribute nothing —
+    # N+(c) contains only higher nodes). The per-edge intersect costs
+    # d+(u) + d+(v) native array ops, the same O(m^1.5) total bound
+    # with no 41M-row intermediate, and the attach joins move the
+    # node-sized adjacency frame, never a wedge stream. The wedge
+    # count needs no wedges at all: n_wedges = Σ_v C(d+(v), 2), a
+    # droplet aggregate over the adjacency sizes. collect_list order
+    # is partition-dependent, but only set SIZES are consumed —
+    # counts stay a pure function of the graph, bit-identical to the
+    # oracle's wedge-join formulation (verified at all three scales).
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nb")).cache()
+    # `or 0`: SUM over an empty frame is NULL — an empty/wedge-free
+    # graph must report 0, matching the old COUNT(*) semantics
+    n_wedges = adj.agg(
+        F.sum(F.expr("CAST(size(nb) AS BIGINT) * (size(nb) - 1) DIV 2"))
+    ).first()[0] or 0
+    n_tri = (
+        oriented.join(adj.select("src", F.col("nb").alias("nb_u")), "src")
+        .join(
+            adj.select(F.col("src").alias("dst"), F.col("nb").alias("nb_v")), "dst"
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_wedges"),
-            F.count("_eu").alias("n_triangles"),
-        )
-        .first()
+        .agg(F.sum(F.expr("CAST(size(array_intersect(nb_u, nb_v)) AS BIGINT)")))
+        .first()[0]
+        or 0
     )
-    n_wedges, n_tri = agg["n_wedges"], agg["n_triangles"]
-    n_nodes = deg.count()
-    n_edges = edges.count()
     spark = edges.sparkSession
     # the returned row is pure literals — nothing downstream depends
     # on the caches, so release them (repeated registry runs in one
     # session otherwise accumulate executor storage).
-    for c in (oriented, edges):
+    for c in (adj, oriented, deg, edges):
         c.unpersist()
     return spark.range(1).select(
         F.lit(n_nodes).cast("bigint").alias("n_nodes"),
@@ -843,34 +862,51 @@ def connected_components(
 
 
 def _cc_loop(edges: DataFrame, iterations: int):
-    sym = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .cache()
+    # SELF-LOOP formulation: with (v, v) appended to the symmetrized
+    # edge list, min(label(v), min_{u~v} label(u)) collapses to ONE
+    # join + min-aggregate over symplus — the label frame is
+    # referenced exactly once per iteration. The previous form
+    # (neighbor-min joined back onto nodes ⋈ lbl) referenced lbl
+    # TWICE per iteration with no lineage truncation, so the lazy
+    # 3-iteration plan grew 2^k subtree copies (16,702 formatted plan
+    # lines, 2,871 HashAggregates) and AQE's concurrent subtree
+    # scheduling raced ~10 duplicate builds of the orders ⋈ lineitem
+    # edge derivation past the sym cache — measured 152 jobs for one
+    # g08 pass. Each iteration is localCheckpoint'ed (eager), the
+    # MMR/kcore/bfs house pattern: per-iteration plans stay constant-
+    # size and the trajectory runs each edge join exactly once.
+    # Labels are exact integer MINs, so the restructured trajectory
+    # is bit-identical to the unrolled oracle's.
+    # cache the EDGE LIST, not the symmetrized union: the union's two
+    # legs otherwise each replay the caller's edge derivation (the
+    # orders ⋈ lineitem join in g08) to build it. The union is a
+    # map-side concat of the cached frame — free to re-read per
+    # iteration. No distinct on sym: MIN-aggregation is duplicate-
+    # insensitive (a repeated neighbor contributes the same label), so
+    # the dedup shuffle bought nothing — callers own edge dedup for
+    # join-width economy (g08's edges are distinct by construction).
+    edges = edges.select("src", "dst").cache()
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     nodes = sym.select(F.col("src").alias("id")).distinct().cache()
-    lbl = nodes.select("id", F.col("id").alias("lbl"))
+    symplus = sym.unionByName(
+        nodes.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+    )
+    lbl = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint()
     prev = lbl
     for _ in range(iterations):
         prev = lbl
-        neigh = (
-            sym.join(
+        lbl = (
+            symplus.join(
                 lbl.select(F.col("id").alias("dst"), F.col("lbl").alias("nlbl")),
                 "dst",
             )
             .groupBy(F.col("src").alias("id"))
-            .agg(F.min("nlbl").alias("mn"))
-        )
-        lbl = (
-            nodes.join(lbl, "id")
-            .join(neigh, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("lbl"), F.coalesce(F.col("mn"), F.col("lbl"))).alias("lbl"),
-            )
+            .agg(F.min("nlbl").alias("lbl"))
+            .localCheckpoint()
         )
     out = lbl.join(
         prev.select(F.col("id").alias("id"), F.col("lbl").alias("prev_lbl")), "id"
     )
-    return out, [sym, nodes]
+    return out, [edges, nodes]
