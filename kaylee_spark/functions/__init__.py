@@ -126,3 +126,38 @@ def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
         out = out + a[i].cast("double") * b[i].cast("double")
     return out
 
+
+
+def literal_frame(spark, rows, schema_ddl: str) -> DataFrame:
+    """Droplet-sized driver-local rows as a DataFrame WITHOUT the
+    Python-worker scan that ``spark.createDataFrame(list)`` plans.
+
+    createDataFrame over a local list becomes a pickled-row RDD whose
+    every action launches defaultParallelism Python worker tasks —
+    measured ~8.6 s of executor time per bench pass for s14's 320-row
+    PQ lookup table on local[32] (guide §4: every Python path pays the
+    JVM<->Python boundary; a model/plan frame does not need one). Here
+    each COLUMN becomes one array literal (a single py4j transfer) and
+    a 1-partition ``spark.range`` indexes into it — pure JVM codegen,
+    no Python workers, no SQL-text escaping concerns. Values must be
+    plain Python scalars Spark can fold to literals (int/float/str/
+    bool/None/datetime). Intended for model state and plan tables
+    (<= a few thousand rows); big frames belong in real sources.
+    """
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string(schema_ddl)
+    rows = [tuple(r) for r in rows]
+    if not rows:
+        return spark.createDataFrame([], schema)
+    idx = F.col("id").cast("int")
+    cols = []
+    for j, f in enumerate(schema.fields):
+        vals = [r[j] for r in rows]
+        if all(v is None for v in vals):
+            # an all-NULL column gives lit() no element type to infer
+            col = F.lit(None)
+        else:
+            col = F.get(F.lit(vals), idx)
+        cols.append(col.cast(f.dataType).alias(f.name))
+    return spark.range(0, len(rows), 1, 1).select(*cols)

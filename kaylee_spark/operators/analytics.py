@@ -578,6 +578,29 @@ def bootstrap_weight_sql(key_expr: str, rep_expr: str, replicates: int) -> str:
     return f"(CASE {arms} ELSE 8 END)"
 
 
+def _bootstrap_hash_sql(key_expr: str, rep_expr: str, replicates: int) -> str:
+    """Just the minstd² draw ``h`` from bootstrap_weight_sql's chain —
+    the engine hoists it into its own column so the CASE ladder
+    compares ONE computed value instead of re-deriving the chain in
+    every conditional arm (codegen subexpression elimination does not
+    reach conditionally-evaluated CASE branches; at Poisson(1) odds
+    the chain was evaluated ~2.1x per row). The oracle keeps the
+    inlined bootstrap_weight_sql form — identical integers either way.
+    """
+    k0 = f"(((CAST({key_expr} AS BIGINT) % {MINSTD_M}) + {MINSTD_M}) % {MINSTD_M})"
+    x = f"({k0} * {replicates} + CAST({rep_expr} AS BIGINT) + 1)"
+    h1 = f"((({x} % {MINSTD_M}) * {MINSTD_A}) % {MINSTD_M})"
+    return f"(({h1} * {MINSTD_A}) % {MINSTD_M})"
+
+
+def _bootstrap_weight_from_hash_sql(h_col: str) -> str:
+    """CASE ladder over a precomputed hash column (see above)."""
+    arms = " ".join(
+        f"WHEN {h_col} < {t} THEN {k}" for k, t in enumerate(POISSON1_THRESHOLDS)
+    )
+    return f"(CASE {arms} ELSE 8 END)"
+
+
 def poisson_bootstrap_ci(
     df: DataFrame,
     group_col: str,
@@ -608,20 +631,50 @@ def poisson_bootstrap_ci(
     """
     if replicates < 4:
         raise ValueError("need >= 4 replicates for the rank-based CI")
-    base = df.groupBy(F.col(group_col).alias("grp")).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.round(
-            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("point_mean"),
+    # cache + eagerly materialize the droplet-sized per-group stats:
+    # the result plan references base TWICE (degenerate guard + final
+    # join) and the lazy form scanned the source once per reference —
+    # and once more when AQE's concurrent broadcast builds raced the
+    # cold cache (3 scans observed for a28). The cache stays alive for
+    # the returned lazy frame (the shipped-query convention max_df
+    # paths use); it is |groups| rows.
+    base = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("point_mean"),
+        )
+        .cache()
     )
-    rep = df.select(
-        F.col(group_col).alias("grp"),
-        F.col(value_col).alias("val"),
-        F.col(key_col).alias("k"),
-        F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("rep"),
-    ).withColumn("w", F.expr(bootstrap_weight_sql("k", "rep", replicates)))
+    base.count()
+    # fan_out BEFORE the B-fold explode: the single-row-group fixture
+    # scan would otherwise evaluate every replicate weight on one core
+    # (guide §2.5 input skew — measured as a ~2.5 s straggler task).
+    # Hash hoisted into its own column so the CASE ladder compares one
+    # value (see _bootstrap_hash_sql); weights are identical integers.
+    from kaylee_spark.operators.skew import fan_out
+
+    narrow = fan_out(
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).alias("val"),
+            F.col(key_col).alias("k"),
+        )
+    )
+    rep = (
+        narrow.select(
+            "grp",
+            "val",
+            "k",
+            F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("rep"),
+        )
+        .withColumn("_h", F.expr(_bootstrap_hash_sql("k", "rep", replicates)))
+        .withColumn("w", F.expr(_bootstrap_weight_from_hash_sql("_h")))
+    )
     # degenerate-replicate guard: a tiny group can draw weight 0 on
     # EVERY row of a replicate (P ~ e^-n), whose mean would be NULL —
     # Spark's collect_list silently drops NULLs while DuckDB's list()
@@ -1065,7 +1118,13 @@ def heavy_hitters(
         summ.filter(F.col("item").isNotNull()).select("item").distinct().collect()
     )
     summ.unpersist()
-    cands = items.sparkSession.createDataFrame(cand_rows, "item string")
+    from kaylee_spark.functions import literal_frame
+
+    # literal_frame, not createDataFrame: the candidate set is a
+    # droplet-sized plan table — no Python-worker scan
+    cands = literal_frame(
+        items.sparkSession, [(r["item"],) for r in cand_rows], "item string"
+    )
     return (
         src.join(F.broadcast(cands), "item", "left_semi")
         .groupBy("item")

@@ -84,25 +84,36 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     """Distinct word n-gram shingles per document: (id, shingle).
 
     Built-ins only: slice+concat_ws over the token array, deduped
-    row-locally (array_distinct), exploded. Shuffle-free.
+    row-locally (array_distinct), exploded. Shuffle-free past the
+    fan_out (which is the identity on any already-parallel input —
+    see operators/skew.fan_out: single-row-group fixture scans would
+    otherwise shingle the whole corpus on one core).
     """
-    return df.select(
+    from kaylee_spark.operators.skew import fan_out
+
+    return fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("doc"), F.explode(_gram_array(text_col, n)).alias("shingle")
     )
 
 
 def hashed_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct (doc, xxhash64(shingle)) pairs, computed shuffle-free
-    (see _gram_array).
+    past the fan_out (see shingles/_gram_array).
 
     Hashing at the source means every downstream shuffle in the dedup
     pipeline — the inverted-index self-join, the minhash aggregation —
     carries an 8-byte key instead of the n-gram string (~4x smaller at
     n=3). Collision analysis in jaccard_pairs.
     """
-    return df.select(
-        F.col(id_col).alias("doc"), F.explode(_gram_array(text_col, n)).alias("g")
-    ).select("doc", F.xxhash64("g").alias("sh64"))
+    from kaylee_spark.operators.skew import fan_out
+
+    return (
+        fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col).alias("doc"), F.explode(_gram_array(text_col, n)).alias("g")
+        )
+        .select("doc", F.xxhash64("g").alias("sh64"))
+    )
 
 
 #: Default document-frequency cap for the inverted-index self-join.

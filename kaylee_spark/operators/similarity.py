@@ -465,8 +465,13 @@ def sign_signatures(
             f"IF(({dot_j}) > 0, CAST({1 << j} AS BIGINT), CAST(0 AS BIGINT))"
         )
     sig = " + ".join(bit_terms)
+    # fan_out: bits x dim bigint terms per row — keep the projection
+    # off the single-row-group scan's one core (skew.fan_out is the
+    # identity on any already-parallel input)
+    from kaylee_spark.operators.skew import fan_out
+
     return (
-        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        fan_out(corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")))
         .selectExpr("vid", f"{vi} AS vi")
         .selectExpr("vid", f"CAST({sig} AS BIGINT) AS sig")
     )
@@ -818,13 +823,21 @@ def kmeans_lattice(
     # string expressions, ONE Py4J/parse round-trip each: building the
     # same chains from Column objects costs ~6 JVM calls per dimension
     # (~1.5 s of pure driver time at dim=64 — measured; see
-    # _kmeans_distances for the same finding on the distance chains)
+    # _kmeans_distances for the same finding on the distance chains).
+    # fan_out: the lattice is CACHED and rescanned once per Lloyd
+    # iteration with k x dim arithmetic per row — a single-row-group
+    # fixture scan would pin every one of those passes to one core
+    # (operators/skew.fan_out; identity on already-parallel input).
+    from kaylee_spark.operators.skew import fan_out
+
     cols = [
         f"CAST(FLOOR(CAST({vec_col}[{i}] AS DOUBLE) * {float(KMEANS_QUANT_SCALE)!r})"
         f" AS BIGINT) + {KMEANS_QUANT_OFFSET} AS x{i}"
         for i in range(dim)
     ]
-    return df.selectExpr(f"{id_col} AS vec_id", *cols)
+    return fan_out(df.select(id_col, vec_col)).selectExpr(
+        f"{id_col} AS vec_id", *cols
+    )
 
 
 def _kmeans_distances(
@@ -1343,7 +1356,12 @@ def pq_adc_topk(
             for code, cx in cents:
                 d = sum((qx[i] - cx[j]) ** 2 for j, i in enumerate(dims))
                 lut_rows.append((int(qid), s, int(code), int(d)))
-    lut = spark.createDataFrame(lut_rows, "query_id long, s int, code int, d long")
+    # literal_frame, not createDataFrame: the model-sized lookup table
+    # must not plan a Python-worker scan (measured ~8.6 s of executor
+    # time per bench pass for these 320 rows on local[32])
+    from kaylee_spark.functions import literal_frame
+
+    lut = literal_frame(spark, lut_rows, "query_id long, s int, code int, d long")
     melted = codes.select(
         "vec_id",
         F.explode(

@@ -126,3 +126,37 @@ def skew_report(
         .withColumn("key_rank", F.row_number().over(Window.orderBy(*order)))
         .drop("__total")
     )
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the available cores BEFORE a
+    work-amplifying operator (explode/shingle/iterated model scans).
+
+    The local fixtures are single-row-group parquet files, and a
+    parquet row group is indivisible: whatever
+    ``spark.sql.files.maxPartitionBytes`` says, one task reads ALL the
+    rows, so everything up to the first exchange — including a 32-way
+    explode or per-document shingling — runs on one core (measured:
+    a28's 4.8M-row weight evaluation as a single ~2.5 s straggler in a
+    3-task scan stage). Guide §2.5's input-skew remedy is to
+    repartition right after the read; doing it before amplification is
+    also the scale-correct order (the exchange moves the SMALL
+    pre-amplification rows once, instead of letting the amplified work
+    pile onto the skewed task).
+
+    Scale-adaptive, not a local constant: if the input already has at
+    least defaultParallelism partitions (any real multi-row-group
+    table at cluster scale), this is the identity — no extra exchange.
+    The explicit partition count (not a REBALANCE hint) matters for
+    the tiny-but-CPU-heavy frames this guards: AQE's advisory-size
+    coalescing would fold a few-MB input back into one partition and
+    re-serialize the amplified work. Round-robin repartition is
+    retry-safe (sortBeforeRepartition is on by default) and every
+    consumer here is order-insensitive (aggregates/joins), so results
+    are bit-identical.
+    """
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)

@@ -1052,6 +1052,11 @@ def bpe_train(
         raise ValueError(f"bpe_train requires batch_m >= 1, got {batch_m}")
     SEP = "  "
     spark = df.sparkSession
+    # NO fan_out on the corpus (measured 2.6 -> 3.5 s): each round is
+    # several droplet-sized actions (pair count + argmaxes), and
+    # 32-way stages multiply their scheduling floors past what the
+    # parallel replace chain saves at fixture scale; real corpora
+    # arrive wide and need no repartition
     corpus = (
         df.select(F.array_join(tokens(text_col), SEP).alias("s"))
         .filter(F.col("s") != "")
@@ -1111,7 +1116,12 @@ def bpe_train(
                 padded, F.lit(f" {a}{SEP}{b} "), F.lit(f" {merged} ")
             )
         corpus = corpus.select(F.trim(padded).alias("s")).localCheckpoint(eager=True)
-    return spark.createDataFrame(
+    from kaylee_spark.functions import literal_frame
+
+    # literal_frame, not createDataFrame: the learned merge table is
+    # model state — no Python-worker scan for a few dozen rows
+    return literal_frame(
+        spark,
         merges,
         "round int, rank int, pair_a string, pair_b string, merged string, n bigint",
     )
@@ -1252,6 +1262,9 @@ def unigram_train(
     if rounds < 1:
         raise ValueError(f"unigram_train requires rounds >= 1, got {rounds}")
     spark = df.sparkSession
+    # NO fan_out on the explode leg (measured +0.5 s at sf0.1): the
+    # word-table groupBy right behind it already supplies the loop's
+    # parallelism, so widening the scan only adds an exchange
     words = (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") <= max_word_len))

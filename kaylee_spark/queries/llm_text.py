@@ -953,6 +953,11 @@ def t27_heavy_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kaylee_spark.operators.analytics import heavy_hitters
     from kaylee_spark.operators.text import positional_grams, tokens
 
+    # NO fan_out here (measured 2.2 -> 6.1 s): widening the input
+    # multiplies the per-partition Misra-Gries summaries (k x
+    # partitions candidate rows), so the exact second pass pays more
+    # than the parallel explode saves at fixture scale; at 100 TB the
+    # input is already wide and the trade does not arise
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     uni = docs.select(F.explode(toks).alias("phrase"))
@@ -1004,7 +1009,11 @@ def _bpe_trained_merges(
         )
         rows = [tuple(r) for r in df.collect()]
         _BPE_MODELS[key] = rows
-    return spark.createDataFrame(rows, _BPE_MERGE_SCHEMA)
+    from kaylee_spark.functions import literal_frame
+
+    # literal_frame, not createDataFrame: reloading the shared model
+    # must not plan a Python-worker scan on every consumer query
+    return literal_frame(spark, rows, _BPE_MERGE_SCHEMA)
 
 
 def _bpe_oracle(rounds: int = 5, batch_m: int = 1) -> str:

@@ -216,7 +216,12 @@ def p03_observed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_unique = staged.agg(
         F.count_distinct(content_hash("text")).alias("n_unique")
     ).first()["n_unique"]
-    return spark.createDataFrame(
+    from kaylee_spark.functions import literal_frame
+
+    # literal_frame, not createDataFrame: one literal result row must
+    # not plan a Python-worker scan
+    return literal_frame(
+        spark,
         [
             (
                 obs_in.get["n_input"],

@@ -1719,7 +1719,12 @@ def e40_streamed_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame
         tot = acc.by_qid[qid]
     finally:
         spark.streams.removeListener(acc)
-    return spark.createDataFrame(
+    from kaylee_spark.functions import literal_frame
+
+    # literal_frame, not createDataFrame: one literal totals row must
+    # not plan a Python-worker scan
+    return literal_frame(
+        spark,
         [(tot["n_rows"], tot["n_clicks"], tot["sum_user"])],
         "n_rows long, n_clicks long, sum_user long",
     )
