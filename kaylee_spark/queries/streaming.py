@@ -1362,9 +1362,14 @@ def e35_streamed_hll_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = base.groupBy("grp").agg(F.countDistinct("uid").alias("n_exact"))
     # memory-sink lineage + self-join disambiguation: same localCheckpoint
-    # as e32 (the register store is |types| x 256 rows — tiny)
+    # as e32 (the register store is |types| x 256 rows — tiny).
+    # coalesce(1) first: the store frame is droplet-sized by design,
+    # but its checkpoint inherits the restored 32-wide shuffle layout
+    # and every downstream consumer then launches 32 near-empty tasks
+    # (4 consumers in the close = ~17 s of executor-time floors per
+    # bench pass, measured on e41).
     return hll_estimate_close(
-        merged.localCheckpoint().join(direct, ["grp", "idx"]), exact
+        merged.coalesce(1).localCheckpoint().join(direct, ["grp", "idx"]), exact
     )
 
 
@@ -1773,7 +1778,7 @@ def e41_streamed_quantile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memory-sink lineage + self-join disambiguation: same
     # localCheckpoint as e32/e35 (the store is |types| x |buckets|
     # rows — tiny)
-    return quantile_store_close(merged.localCheckpoint(), base)
+    return quantile_store_close(merged.coalesce(1).localCheckpoint(), base)
 
 
 def _a39_shared_oracle() -> str:
@@ -1825,7 +1830,7 @@ def e42_streamed_moment_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # memory-sink lineage + self-join disambiguation (e32/e35/e41 note)
-    return merged.localCheckpoint().join(direct, "grp").select(
+    return merged.coalesce(1).localCheckpoint().join(direct, "grp").select(
         F.col("grp").alias("event_type"),
         "n_days",
         "n",
@@ -1940,7 +1945,7 @@ def e43_streamed_comoment_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     dx = F.sqrt(nd * F.col("msxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
     dy = F.sqrt(nd * F.col("msyy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
     # memory-sink lineage + self-join disambiguation (e32/e35/e41 note)
-    return merged.localCheckpoint().join(direct, "grp").select(
+    return merged.coalesce(1).localCheckpoint().join(direct, "grp").select(
         F.col("grp").alias("event_type"),
         "n_days",
         "n",
@@ -2103,7 +2108,7 @@ def e45_streamed_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     # memory-sink lineage + self-join disambiguation (e32/e35/e41 note)
-    return view.localCheckpoint().join(direct, "grp").select(
+    return view.coalesce(1).localCheckpoint().join(direct, "grp").select(
         F.col("grp").alias("o_orderpriority"),
         "n",
         "revenue_cents",
