@@ -240,6 +240,31 @@ def rollup_cascade(
     return out
 
 
+def _key_fanout(df: DataFrame, key_col: str) -> DataFrame:
+    """Pin the per-key window exchange to a CPU-sized width.
+
+    The heavy time-series windows (24-lag EWMA chains, rolling
+    moment frames, dual interpolation frames) are CPU-dense per row,
+    but AQE coalesces their post-shuffle partitions by BYTES — the
+    2.1 MB events shuffle folded to 2 tasks on 32 cores (measured:
+    e24 2.27 s; 1.45 s with a 32-wide window stage). An explicit
+    repartition on the WINDOW KEY replaces the window's own
+    ENSURE_REQUIREMENTS exchange (same clustering, so no second
+    shuffle appears) and a user-specified partition count is exempt
+    from AQE coalescing. Width = max(defaultParallelism,
+    spark.sql.shuffle.partitions): locally that is the core count; a
+    production session sizes shuffle.partitions to its data and keeps
+    its own number. Window results are per-key and order-pinned, so
+    values are bit-identical at any width (the g01 argument).
+    """
+    spark = df.sparkSession
+    n = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    return df.repartition(n, key_col)
+
+
 def linear_interpolate(
     df: DataFrame,
     value_col: str,
@@ -267,6 +292,7 @@ def linear_interpolate(
     """
     from pyspark.sql import Window
 
+    df = _key_fanout(df, key_col)
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak_cols or [])]
     wp = (
         Window.partitionBy(key_col)
@@ -328,6 +354,7 @@ def rolling_zscore(
     three frame aggregates — a single exchange, no self-join, and the
     window slides in O(1) per row (count/sum frames, not holistic).
     """
+    df = _key_fanout(df, key_col)
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak_cols or [])]
     w = (
         Window.partitionBy(key_col)
@@ -452,6 +479,7 @@ def ewma(
         raise ValueError(f"ewma requires 0 < alpha <= 1, got {alpha}")
     if max_lags < 1:
         raise ValueError(f"ewma requires max_lags >= 1, got {max_lags}")
+    df = _key_fanout(df, key_col)
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (tiebreak_cols or [])]
     w = Window.partitionBy(key_col).orderBy(*order)
     weights = [(1.0 - alpha) ** k for k in range(max_lags)]
