@@ -1520,14 +1520,25 @@ def e38_streamed_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir = os.path.join(
         tempfile.gettempdir(), f"kaylee_cow_{uuid.uuid4().hex[:8]}"
     )
-    return ST.streamed_upsert_snapshot(
-        spark,
-        base,
-        changes_dir,
-        keys="o_orderkey",
-        workdir=workdir,
-        tombstone_col="deleted",
-    )
+    # pin the drain's shuffle width like _drain_staged_stream: each
+    # foreachBatch round is a droplet-sized upsert join + COW version
+    # write, and at the batch-tuned 32 every version lands as 32 tiny
+    # files whose write/read commits dominate the drain. The returned
+    # frame is a parquet read of the final version — independent of
+    # the restored conf.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        return ST.streamed_upsert_snapshot(
+            spark,
+            base,
+            changes_dir,
+            keys="o_orderkey",
+            workdir=workdir,
+            tombstone_col="deleted",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 _E39_ORACLE = """
