@@ -156,15 +156,32 @@ def test_events_scan_prunes_props(spark, sf_dir, registry):
 
 def test_shingling_is_shuffle_free(spark, sf_dir):
     """Per-doc shingle distinctness is row-local (array_distinct before
-    the explode) — the shingle stream must reach downstream consumers
-    without ANY exchange. A regression to a global .distinct() would
-    re-shuffle the full (doc, shingle) stream, the largest avoidable
-    exchange in the dedup family at 100 TB."""
+    the explode) — the AMPLIFIED (doc, shingle) stream must reach
+    downstream consumers without any exchange. A regression to a global
+    .distinct() would re-shuffle the full shingle stream, the largest
+    avoidable exchange in the dedup family at 100 TB.
+
+    One exchange IS allowed, and only below the Generate: the
+    scale-adaptive fan_out (operators/skew.fan_out) round-robins the
+    narrow PRE-amplification rows when the scan is under-parallel
+    (single-row-group fixture files); on any already-parallel input it
+    is the identity. What must never appear is an exchange ABOVE the
+    explode, where each row has been amplified ~|doc| times."""
     from kaylee_spark.operators.dedup import hashed_shingles
 
     df = hashed_shingles(load_table(spark, sf_dir, "documents"), "doc_id", "text")
     p = plan_of(df, mode="simple")
-    assert "Exchange" not in p, p
+    # Every Exchange line must sit strictly below the Generate (explode)
+    # in each plan rendering (initial/final under AQE), i.e. appear
+    # after it in the printed tree, and be the round-robin fan_out —
+    # never a hash/range exchange of the shingle stream.
+    assert "Exchange hashpartitioning" not in p, p
+    assert "Exchange rangepartitioning" not in p, p
+    for section in p.split("== ")[1:]:
+        gen = section.find("Generate explode")
+        for m in re.finditer(r"Exchange \w+", section):
+            assert "RoundRobinPartitioning" in m.group(0), section
+            assert gen != -1 and m.start() > gen, section
 
 
 def test_documents_dedup_scan_prunes_text_after_hash(spark, sf_dir):
