@@ -1595,8 +1595,14 @@ def e39_streamed_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # 4 sequential micro-batches x join-state tasks: size the state
     # shuffle by key cardinality (a few hundred users), not the batch
-    # default — see _drain_staged_stream's sizing note
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # default — see _drain_staged_stream's sizing note. 4, matching
+    # every other drain: a symmetric-hash outer join commits FOUR
+    # state stores per partition per side per trigger, so the pinned
+    # width multiplies straight into commit machinery (interleaved
+    # solo A/B at sf0.1, min of 4: width 8 = 4.99 s, 4 = 4.28 s,
+    # 2 = 4.06 s — 2's edge over 4 is inside run noise, 4 keeps the
+    # state tasks parallel over ~100 keys each).
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         # one file per trigger: the two sentinels MUST land in separate
         # batches for the tail flush (see stage_events_with_flush).
