@@ -28,7 +28,7 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from kaylee_spark.queries import load_all  # noqa: E402
+from kaylee_spark.queries import clear_process_stores, load_all  # noqa: E402
 from kaylee_spark.session import get_spark  # noqa: E402
 from kaylee_spark.sources import load_table  # noqa: E402
 
@@ -78,8 +78,12 @@ def main() -> None:
 
     def timed_pass(names) -> None:
         # each pass measures the same cold-cache work: intra-query
-        # caches from the previous pass must not subsidize this one
+        # caches from the previous pass must not subsidize this one —
+        # JVM-side (catalog) AND Python-side (process-level model
+        # stores, e.g. the trained-tokenizer store an eval rung would
+        # otherwise consume from an earlier pass's training)
         spark.catalog.clearCache()
+        clear_process_stores()
         for name in sorted(names):
             if name in errors:
                 continue

@@ -631,13 +631,18 @@ def poisson_bootstrap_ci(
     """
     if replicates < 4:
         raise ValueError("need >= 4 replicates for the rank-based CI")
-    # cache + eagerly materialize the droplet-sized per-group stats:
-    # the result plan references base TWICE (degenerate guard + final
-    # join) and the lazy form scanned the source once per reference —
-    # and once more when AQE's concurrent broadcast builds raced the
-    # cold cache (3 scans observed for a28). The cache stays alive for
-    # the returned lazy frame (the shipped-query convention max_df
-    # paths use); it is |groups| rows.
+    # eagerly materialize the droplet-sized per-group stats with a
+    # localCheckpoint: the result plan references base TWICE
+    # (degenerate guard + final join) and the lazy form scanned the
+    # source once per reference — and once more when AQE's concurrent
+    # broadcast builds raced a cold cache (3 scans observed for a28).
+    # localCheckpoint instead of cache()+count() (ADVICE r14): a
+    # cache() entry lives in the CacheManager until someone calls
+    # unpersist — which no caller of a returned lazy frame can do —
+    # so repeated calls accumulated executor storage; checkpoint
+    # blocks are released by the ContextCleaner once the frame is
+    # garbage collected. Same eagerness, same single source scan; it
+    # is |groups| rows.
     base = (
         df.groupBy(F.col(group_col).alias("grp"))
         .agg(
@@ -648,9 +653,8 @@ def poisson_bootstrap_ci(
                 6,
             ).alias("point_mean"),
         )
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    base.count()
     # fan_out BEFORE the B-fold explode: the single-row-group fixture
     # scan would otherwise evaluate every replicate weight on one core
     # (guide §2.5 input skew — measured as a ~2.5 s straggler task).

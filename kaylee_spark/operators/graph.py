@@ -203,13 +203,15 @@ def hits(edges: DataFrame, iterations: int = 3, shuffle_partitions: int | None =
 
     Where PageRank (above) stays fully lazy — one action at the end —
     HITS NEEDS a normalizer per half-step, so this is the other
-    canonical iterative shape: cache each score frame, pull the single
-    max scalar eagerly, fold it into the next step's codegen literals.
-    2 tiny driver scalars per iteration, each off a cached aggregate;
-    every heavy operation remains a distributed join + map-side-
-    combined sum on the edge key. Integer max-normalization keeps the
-    whole trajectory bit-identical across engines and partitionings —
-    the property the unrolled SQL oracle hash-verifies.
+    canonical iterative shape: checkpoint each half-step's raw score
+    frame (one action), then fold its max into the NEXT step's plan
+    as a 1-row broadcast — the normalizer never touches the driver
+    (only the score VALUES are contractual, not when the max is
+    pulled). Every heavy operation remains a distributed join +
+    map-side-combined sum on the edge key. Integer max-normalization
+    keeps the whole trajectory bit-identical across engines and
+    partitionings — the property the unrolled SQL oracle
+    hash-verifies.
 
     ``shuffle_partitions`` scopes the shuffle width for the whole
     eager trajectory (set/restored around it): HITS runs ~5 shuffle
@@ -236,59 +238,71 @@ def _hits_loop(edges: DataFrame, iterations: int) -> DataFrame:
     edges = edges.select("src", "dst").cache()
     hubs = edges.select(F.col("src").alias("id")).distinct().cache()
     auths = edges.select(F.col("dst").alias("id")).distinct().cache()
+    # one up-front emptiness probe (also materializes the hubs cache
+    # before any multi-branch action can race it) replaces the old
+    # per-half-step max-collect's None check.
+    if hubs.first() is None:
+        raise ValueError("hits requires a non-empty edge list")
+
+    def _normed(raw_ck: DataFrame) -> DataFrame:
+        # fold the max-normalizer into the consumer's plan as a 1-row
+        # broadcast instead of collecting it eagerly (VERDICT r14
+        # item 6): only the score VALUES are contractual, not when the
+        # normalizer is pulled — this halves the driver actions per
+        # half-step (the old shape paid a max-collect job AND a
+        # checkpoint job). raw_ck is checkpointed, so the max subtree
+        # and the probe subtree both read materialized blocks — no
+        # duplicate recompute race. max >= HITS_SCALE > 0 always on a
+        # non-empty graph (the previous max element normalizes to
+        # HITS_SCALE; h starts at HITS_SCALE), so DIV never sees 0.
+        mx = F.broadcast(raw_ck.agg(F.max("raw").alias("__mx")))
+        return raw_ck.crossJoin(mx).select(
+            "id", F.expr(f"(raw * {HITS_SCALE}) DIV __mx").alias("score")
+        )
+
     h = hubs.select("id", F.lit(HITS_SCALE).alias("score"))
     a = None
     for _ in range(iterations):
-        a_raw = (
-            edges.join(h.withColumnRenamed("id", "src").withColumnRenamed("score", "h"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("h").alias("raw"))
-            .cache()
-        )
-        max_a = a_raw.agg(F.max("raw")).first()[0]
-        if max_a is None:
-            raise ValueError("hits requires a non-empty edge list")
-        # each score frame is read twice (next half-step + final
-        # output) and anchors the next step's lineage — cache it
-        # localCheckpoint (eager) instead of cache: the score frame is
-        # materialized before its raw input is unpersisted, the next
-        # half-step's lineage is truncated, and superseded frames free
-        # their blocks via GC — no per-iteration storage accumulation.
-        a = (
-            auths.join(a_raw, "id", "left")
-            .select(
+        # ONE action per half-step: checkpoint the zero-extended raw
+        # scores (eager, truncates lineage, blocks freed via GC when
+        # superseded — same discipline as before); normalization rides
+        # the next consumer's plan lazily over the checkpointed rows.
+        a_full = (
+            auths.join(
+                edges.join(
+                    h.withColumnRenamed("id", "src").withColumnRenamed("score", "h"),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("h").alias("raw")),
                 "id",
-                F.expr(
-                    f"(coalesce(raw, CAST(0 AS BIGINT)) * {HITS_SCALE}) DIV {max_a}"
-                ).alias("score"),
+                "left",
             )
+            .select("id", F.expr("coalesce(raw, CAST(0 AS BIGINT))").alias("raw"))
             .localCheckpoint()
         )
-        a_raw.unpersist()
-        h_raw = (
-            edges.join(a.withColumnRenamed("id", "dst").withColumnRenamed("score", "a"), "dst")
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.sum("a").alias("raw"))
-            .cache()
-        )
-        max_h = h_raw.agg(F.max("raw")).first()[0]
-        h = (
-            hubs.join(h_raw, "id", "left")
-            .select(
+        a = _normed(a_full)
+        h_full = (
+            hubs.join(
+                edges.join(
+                    a.withColumnRenamed("id", "dst").withColumnRenamed("score", "a"),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("a").alias("raw")),
                 "id",
-                F.expr(
-                    f"(coalesce(raw, CAST(0 AS BIGINT)) * {HITS_SCALE}) DIV {max_h}"
-                ).alias("score"),
+                "left",
             )
+            .select("id", F.expr("coalesce(raw, CAST(0 AS BIGINT))").alias("raw"))
             .localCheckpoint()
         )
-        h_raw.unpersist()
+        h = _normed(h_full)
     out = h.select(
         "id", F.lit("hub").alias("role"), F.col("score").alias("score_e6")
     ).union(
         a.select("id", F.lit("authority").alias("role"), F.col("score").alias("score_e6"))
     )
-    # the final frames are checkpointed (materialized), so the loop
+    # the per-step frames are checkpointed (materialized), so the loop
     # invariants can be released.
     for c in (edges, hubs, auths):
         c.unpersist()
@@ -317,6 +331,16 @@ def coorder_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triangle_stats(edges: DataFrame, shuffle_partitions: int | None = None) -> DataFrame:
     """Exact triangle counting by degree orientation (compact-forward)
     over an undirected (u, v) edge list with u < v and no duplicates.
+
+    PRECONDITION (u < v, (u, v) unique) is load-bearing for the
+    counts, not just a normalization nicety: the adjacency-intersect
+    formulation collects each node's out-neighbors into ONE array, so
+    a duplicate edge row contributes nothing extra (array_intersect
+    is set-valued), whereas the historical wedge-join form counted
+    one closure per duplicate row. Callers with raw pair streams must
+    dedupe first (coorder_part_edges above ends in .distinct() for
+    exactly this reason); feeding duplicates is a contract violation,
+    not a supported mode (ADVICE r14).
 
     The naive wedge join costs Σ_v deg(v)² — one celebrity node makes
     it quadratic. Orienting every edge from its lower-(degree, id)

@@ -154,7 +154,20 @@ def fan_out(df: DataFrame) -> DataFrame:
     retry-safe (sortBeforeRepartition is on by default) and every
     consumer here is order-insensitive (aggregates/joins), so results
     are bit-identical.
+
+    Input contract: meant for SCAN-LEVEL frames (the shipped call
+    sites all pass ``df.select(narrow cols)`` of a source scan). A
+    frame whose lineage already contains an exchange is returned
+    unchanged WITHOUT probing its width: that exchange already
+    distributed the rows (AQE sizes its output by bytes), and probing
+    ``.rdd`` on such a frame would eagerly materialize its query
+    stages at plan-build time under AQE — the work would then run
+    again at action time (ADVICE r14). The exchange check reads the
+    pre-AQE physical plan, which the planner computes without running
+    any job.
     """
+    if "Exchange" in df._jdf.queryExecution().sparkPlan().toString():
+        return df
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
@@ -177,6 +190,14 @@ def pin_width(spark, n_partitions: int | str) -> tuple[str, str]:
     (measured: s09_kmeans 3.22 -> 2.57 s with AQE off inside the
     pin). Unpinned (production) calls never reach this path and keep
     AQE's coalescing/skew handling.
+
+    Thread-safety: conf set/restore is SESSION-GLOBAL, not scoped to
+    the calling thread — a concurrent query on the same session (e.g.
+    a streaming drain on another thread) would lose AQE and run at
+    the pinned width mid-flight. Every caller in this engine runs its
+    pinned loop single-threaded on the session (the registry executes
+    queries sequentially); a multi-threaded deployment must scope the
+    override per query (cloned session / SQL hints) instead.
     """
     prev = (
         spark.conf.get("spark.sql.shuffle.partitions"),

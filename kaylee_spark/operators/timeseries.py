@@ -258,10 +258,13 @@ def _key_fanout(df: DataFrame, key_col: str) -> DataFrame:
     values are bit-identical at any width (the g01 argument).
     """
     spark = df.sparkSession
-    n = max(
-        spark.sparkContext.defaultParallelism,
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-    )
+    try:
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        # platforms that manage the width themselves report a
+        # non-numeric value (e.g. "auto"); fall back to core count
+        parts = 0
+    n = max(spark.sparkContext.defaultParallelism, parts)
     return df.repartition(n, key_col)
 
 

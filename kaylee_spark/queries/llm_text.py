@@ -980,6 +980,16 @@ def t27_heavy_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: invalidates (the _stage_tag staleness convention).
 _BPE_MODELS: dict[tuple, list[tuple]] = {}
 
+# bench.py resets this store at the start of every timed pass (via
+# kaylee_spark.queries.clear_process_stores), so an eval rung measured
+# in a pass where no train rung with MATCHING params preceded it pays
+# its own training — cross-PASS model reuse must never subsidize a
+# timed measurement (the deployed train-refresh/eval-consume semantics
+# within one pass are unchanged).
+from kaylee_spark.queries import register_process_store  # noqa: E402
+
+register_process_store(_BPE_MODELS)
+
 _BPE_MERGE_SCHEMA = (
     "round int, rank int, pair_a string, pair_b string, merged string, n bigint"
 )

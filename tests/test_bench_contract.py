@@ -48,3 +48,28 @@ def test_bench_stdout_contract(tmp_path):
     detail = json.load(open(tmp_path / "detail.json"))
     assert set(detail["queries_median"]) == set(result["queries"])
     assert "queries_median" not in result
+
+
+def test_clear_process_stores_resets_model_store():
+    """Each timed bench pass must start with cold process-level model
+    stores (VERDICT r14 item 1): a trained-tokenizer model cached by
+    pass N must not subsidize pass N+1's eval timing. The hook is the
+    registry-level clear_process_stores(), called by bench.timed_pass
+    alongside spark.catalog.clearCache()."""
+    from kaylee_spark.queries import clear_process_stores
+    from kaylee_spark.queries.llm_text import _BPE_MODELS
+
+    _BPE_MODELS[("sentinel", 0, 5, 1)] = [(1, 1, "a", "b", "ab", 2)]
+    clear_process_stores()
+    assert _BPE_MODELS == {}, "clear_process_stores must empty _BPE_MODELS"
+
+
+def test_bench_timed_pass_clears_stores():
+    """bench.py's timed_pass source must invoke the store-clear hook —
+    a regression here silently re-inflates eval-rung timings."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.main)
+    assert "clear_process_stores()" in src
