@@ -331,6 +331,7 @@ def containment_pairs(
     max_df: int | None = DEFAULT_MAX_DF,
     pair_budget: int | None = None,
     return_plan: bool = False,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame | tuple[DataFrame, dict | None]:
     """Asymmetric n-gram containment over candidate pairs from the
     inverted index: containment(src -> dst) = |S(src) ∩ S(dst)| /
@@ -362,7 +363,36 @@ def containment_pairs(
     ``pair_budget`` works as in jaccard_pairs: plan_max_df picks the
     cap from the df histogram to fit the candidate-pair budget, and
     ``return_plan=True`` returns (DataFrame, plan) with the decision.
+
+    ``shuffle_partitions`` pins the whole candidate/score pipeline's
+    shuffle width and materializes the result inside the pinned scope
+    (same trade as connected_components above): the pipeline is ~5
+    chained shuffles (df-cap, sizes, self-join, pair count, two size
+    joins), so a batch-tuned width multiplies near-empty partition
+    commits — and AQE's per-stage replan rounds — by the stage count
+    on a capped candidate set (measured r15 at sf0.1: unpinned 4.39 s
+    vs pinned-8 1.85 s, and the 8-core driver run BEAT the 32-core
+    one before the pin — the classic over-split signature). Size it
+    to the capped pair volume (Σ C(df,2) is bounded by the planner) —
+    single digits for fixture corpora, thousands at 100 TB. The
+    result is materialized via eager localCheckpoint inside the scope
+    (blocks GC-freed), so the caller's conf never replans it.
     """
+    if shuffle_partitions is not None:
+        spark = df.sparkSession
+        prev = pin_width(spark, shuffle_partitions)
+        try:
+            out = containment_pairs(
+                df, id_col, text_col, n=n, threshold=threshold,
+                max_df=max_df, pair_budget=pair_budget,
+                return_plan=return_plan,
+            )
+            if return_plan:
+                frame, plan_meta = out
+                return frame.localCheckpoint(eager=True), plan_meta
+            return out.localCheckpoint(eager=True)
+        finally:
+            unpin_width(spark, prev)
     sh, plan_meta = _capped_postings(df, id_col, text_col, n, max_df, pair_budget)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
     a = sh.withColumnRenamed("doc", "doc_a")

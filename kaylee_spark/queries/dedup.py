@@ -763,9 +763,13 @@ def d16_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a long one where Jaccard (d03) stays arbitrarily low. Same
     inverted index, same Σdf² df-cap semantics mirrored in the
     oracle's HAVING filter; both directions scored from one symmetric
-    candidate aggregate."""
+    candidate aggregate. Pipeline width pinned to 8 shuffle
+    partitions, sized to the df-capped candidate-pair volume like
+    g01's/s09's pins (measured r15: 4.39 -> 1.85 s, and the unpinned
+    shape anti-scaled — 8 driver cores beat 32)."""
     return D.containment_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.7
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.7,
+        shuffle_partitions=8,
     )
 
 
