@@ -203,15 +203,22 @@ def hits(edges: DataFrame, iterations: int = 3, shuffle_partitions: int | None =
 
     Where PageRank (above) stays fully lazy — one action at the end —
     HITS NEEDS a normalizer per half-step, so this is the other
-    canonical iterative shape: checkpoint each half-step's raw score
-    frame (one action), then fold its max into the NEXT step's plan
-    as a 1-row broadcast — the normalizer never touches the driver
-    (only the score VALUES are contractual, not when the max is
-    pulled). Every heavy operation remains a distributed join +
-    map-side-combined sum on the edge key. Integer max-normalization
-    keeps the whole trajectory bit-identical across engines and
-    partitionings — the property the unrolled SQL oracle
-    hash-verifies.
+    canonical iterative shape: checkpoint each half-step's
+    zero-extended RAW score frame (the one materialization), pull the
+    single max scalar off the checkpointed blocks (a droplet
+    aggregate), and leave normalization LAZY — a literal division the
+    next consumer's plan applies row-locally over the checkpoint.
+    One materialization per half-step where the r14 shape paid two
+    (cache of the raw aggregate + checkpoint of the normalized frame);
+    a broadcast-crossJoin normalizer that avoids the driver scalar
+    entirely was also measured and is SLOWER (r15 interleaved A/B,
+    median of 5: raw-checkpoint+literal 2.99 s, r14 two-materialize
+    3.38 s, broadcast-normalizer 3.64 s — the per-half-step broadcast
+    build costs more than the scalar collect it saves). Every heavy
+    operation remains a distributed join + map-side-combined sum on
+    the edge key. Integer max-normalization keeps the whole
+    trajectory bit-identical across engines and partitionings — the
+    property the unrolled SQL oracle hash-verifies.
 
     ``shuffle_partitions`` scopes the shuffle width for the whole
     eager trajectory (set/restored around it): HITS runs ~5 shuffle
@@ -245,58 +252,50 @@ def _hits_loop(edges: DataFrame, iterations: int) -> DataFrame:
         raise ValueError("hits requires a non-empty edge list")
 
     def _normed(raw_ck: DataFrame) -> DataFrame:
-        # fold the max-normalizer into the consumer's plan as a 1-row
-        # broadcast instead of collecting it eagerly (VERDICT r14
-        # item 6): only the score VALUES are contractual, not when the
-        # normalizer is pulled — this halves the driver actions per
-        # half-step (the old shape paid a max-collect job AND a
-        # checkpoint job). raw_ck is checkpointed, so the max subtree
-        # and the probe subtree both read materialized blocks — no
-        # duplicate recompute race. max >= HITS_SCALE > 0 always on a
-        # non-empty graph (the previous max element normalizes to
-        # HITS_SCALE; h starts at HITS_SCALE), so DIV never sees 0.
-        mx = F.broadcast(raw_ck.agg(F.max("raw").alias("__mx")))
-        return raw_ck.crossJoin(mx).select(
-            "id", F.expr(f"(raw * {HITS_SCALE}) DIV __mx").alias("score")
+        # ONE materialization per half-step: the checkpointed frame is
+        # the ZERO-EXTENDED raw scores; the max scalar is a droplet
+        # aggregate over its blocks and normalization stays LAZY — a
+        # literal row-local division each consumer (next half-step +
+        # final output) applies on read. max >= HITS_SCALE > 0 always
+        # on a non-empty graph (the previous max element normalizes to
+        # HITS_SCALE; h starts at HITS_SCALE), so DIV never sees 0 and
+        # first() cannot be None (non-emptiness probed up front).
+        mx = raw_ck.agg(F.max("raw")).first()[0]
+        return raw_ck.select(
+            "id", F.expr(f"(raw * {HITS_SCALE}) DIV {mx}").alias("score")
+        )
+
+    def _half(base: DataFrame, contrib: DataFrame) -> DataFrame:
+        # zero-extended raw scores for one half-step, checkpointed
+        # (eager — truncates lineage; superseded frames free their
+        # blocks via GC, no per-iteration storage accumulation)
+        return (
+            base.join(contrib, "id", "left")
+            .select("id", F.expr("coalesce(raw, CAST(0 AS BIGINT))").alias("raw"))
+            .localCheckpoint()
         )
 
     h = hubs.select("id", F.lit(HITS_SCALE).alias("score"))
     a = None
     for _ in range(iterations):
-        # ONE action per half-step: checkpoint the zero-extended raw
-        # scores (eager, truncates lineage, blocks freed via GC when
-        # superseded — same discipline as before); normalization rides
-        # the next consumer's plan lazily over the checkpointed rows.
-        a_full = (
-            auths.join(
-                edges.join(
-                    h.withColumnRenamed("id", "src").withColumnRenamed("score", "h"),
-                    "src",
-                )
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.sum("h").alias("raw")),
-                "id",
-                "left",
+        a = _normed(_half(
+            auths,
+            edges.join(
+                h.withColumnRenamed("id", "src").withColumnRenamed("score", "h"),
+                "src",
             )
-            .select("id", F.expr("coalesce(raw, CAST(0 AS BIGINT))").alias("raw"))
-            .localCheckpoint()
-        )
-        a = _normed(a_full)
-        h_full = (
-            hubs.join(
-                edges.join(
-                    a.withColumnRenamed("id", "dst").withColumnRenamed("score", "a"),
-                    "dst",
-                )
-                .groupBy(F.col("src").alias("id"))
-                .agg(F.sum("a").alias("raw")),
-                "id",
-                "left",
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("h").alias("raw")),
+        ))
+        h = _normed(_half(
+            hubs,
+            edges.join(
+                a.withColumnRenamed("id", "dst").withColumnRenamed("score", "a"),
+                "dst",
             )
-            .select("id", F.expr("coalesce(raw, CAST(0 AS BIGINT))").alias("raw"))
-            .localCheckpoint()
-        )
-        h = _normed(h_full)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("a").alias("raw")),
+        ))
     out = h.select(
         "id", F.lit("hub").alias("role"), F.col("score").alias("score_e6")
     ).union(
