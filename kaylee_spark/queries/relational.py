@@ -82,9 +82,30 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: partial aggregation is map-side (2x3 groups), so the shuffle
     carries only per-partition partials — bytes, not rows. The shipdate
-    filter pushes into the parquet scan.
+    filter pushes into the parquet scan (below the fan_out, verified in
+    plans/r15).
+
+    fan_out on the narrow projection (r15): the fixture arrives as ONE
+    parquet row group, so the eight decimal aggregates over ~590k rows
+    all ran on one core; fan_out spreads that compute-dense partial agg
+    across the cores for the cost of a narrow row shuffle (measured
+    interleaved at sf0.1, median of 5: 1.68 -> 1.34 s). Identity at
+    100 TB (scan already has >= defaultParallelism splits). The same
+    probe REJECTED fan_out for q39's broadcast-probe+agg (median 1.11
+    -> 1.81 s: its map-side agg already collapses to ~20k groups, so
+    the added exchange outweighs the spread work) — join-bearing
+    siblings keep their r14 shape.
     """
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+    from kaylee_spark.operators.skew import fan_out
+
+    li = fan_out(
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        )
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+    )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
