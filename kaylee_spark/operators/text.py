@@ -1338,7 +1338,13 @@ def unigram_train(
             .orderBy(F.desc("cnt"), F.asc("piece"))
             .limit(keep_multi)
         )
-        vocab = new_chars.unionAll(new_multi).localCheckpoint(eager=True)
+        # vocab stays LAZY (r15): it is a droplet-sized join + top-k
+        # over the ROUND-CHECKPOINTED counts (the heavy Viterbi pass
+        # is materialized exactly once above), so re-deriving it per
+        # consumer is cheaper than paying an eager materialization
+        # job per round — the BPE lazy-chain argument; the chain
+        # never deepens because counts re-anchors it each round.
+        vocab = new_chars.unionAll(new_multi)
 
     return vocab.select(
         "piece",
